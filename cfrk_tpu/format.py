@@ -1,0 +1,129 @@
+"""The `.cfrk` output format contract.
+
+A `.cfrk` file holds, for each read of a FASTA file, the dense frequency
+table of all ``4**k`` possible k-mers in that read.  The byte format is
+pinned by the reference implementation's writer (CFRK ``PrintFreq``,
+reference ``src/main.cu:26-62``) and by its checked-in golden files
+(``test/out-seq1.cfrk``, ``test/out-seq2.cfrk``):
+
+* one row per read, in input order;
+* each row is ``"<index>:<count> "`` for EVERY index in ``[0, 4**k)``,
+  i.e. dense including zeros, pairs separated by a single space and with a
+  trailing space at the end of the row;
+* rows are joined by a single ``"\\n"`` — there is NO trailing newline at
+  the end of the file.
+
+This module is pure NumPy/CPython; it is the single source of truth for
+formatting, used by the CLI, the streaming pipeline, and the tests.  A
+faster native writer (``cfrk_tpu.io.native``) must produce byte-identical
+output and is tested against this one.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import IO, Iterable
+
+import numpy as np
+
+__all__ = ["format_rows", "format_file_bytes", "CfrkWriter", "parse_cfrk"]
+
+
+def _format_row_py(row: np.ndarray) -> bytes:
+    """Format one read's dense count row: ``b"0:c0 1:c1 ... F-1:cF-1 "``."""
+    return ("".join(f"{i}:{int(c)} " for i, c in enumerate(row))).encode("ascii")
+
+
+def _format_rows_fast(counts: np.ndarray) -> list[bytes]:
+    """Vectorised row formatting.
+
+    Builds per-row byte strings using NumPy string kernels instead of a
+    Python loop over every (index, count) pair.  Byte-identical to
+    :func:`_format_row_py`.
+    """
+    counts = np.ascontiguousarray(counts)
+    n_rows, four_k = counts.shape
+    # "<idx>:" prefixes are shared by every row.
+    prefixes = np.array([f"{i}:" for i in range(four_k)], dtype=np.str_)
+    body = np.char.add(
+        np.char.add(prefixes[None, :], counts.astype(np.int64).astype(np.str_)),
+        " ",
+    )
+    # Join the 4^k cells of each row.
+    rows = body[:, 0]
+    for j in range(1, four_k):
+        rows = np.char.add(rows, body[:, j])
+    return [r.encode("ascii") for r in rows]
+
+
+def format_rows(counts: np.ndarray) -> list[bytes]:
+    """Format a ``[n_reads, 4**k]`` count matrix into per-read row bytes."""
+    counts = np.asarray(counts)
+    if counts.ndim != 2:
+        raise ValueError(f"counts must be 2-D [n_reads, 4**k], got {counts.shape}")
+    if counts.shape[1] <= 64 and counts.shape[0] >= 64:
+        return _format_rows_fast(counts)
+    return [_format_row_py(row) for row in counts]
+
+
+def format_file_bytes(counts: np.ndarray) -> bytes:
+    """Format a full `.cfrk` file: rows joined by b"\\n", no trailing newline."""
+    return b"\n".join(format_rows(counts))
+
+
+class CfrkWriter:
+    """Streaming `.cfrk` writer.
+
+    Accepts count batches incrementally (the streaming pipeline emits one
+    batch per device chunk) while preserving the exact file contract:
+    a newline *before* every row except the first, none at the end.
+    """
+
+    def __init__(self, f: IO[bytes] | str):
+        if isinstance(f, str):
+            self._f: IO[bytes] = open(f, "wb")
+            self._owns = True
+        else:
+            self._f = f
+            self._owns = False
+        self._first = True
+
+    def write_batch(self, counts: np.ndarray) -> None:
+        for row in format_rows(counts):
+            if not self._first:
+                self._f.write(b"\n")
+            self._f.write(row)
+            self._first = False
+
+    def close(self) -> None:
+        if self._owns:
+            self._f.close()
+
+    def __enter__(self) -> "CfrkWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def parse_cfrk(data: bytes) -> np.ndarray:
+    """Parse `.cfrk` bytes back into a ``[n_reads, 4**k]`` int64 matrix.
+
+    Used by tests and by the FASTA reconstruction tool; tolerant only of the
+    exact reference format.
+    """
+    rows = data.split(b"\n")
+    out: list[list[int]] = []
+    for row in rows:
+        cells = row.strip().split(b" ")
+        vals = []
+        for cell in cells:
+            idx, cnt = cell.split(b":")
+            if int(idx) != len(vals):
+                raise ValueError("non-dense or out-of-order .cfrk row")
+            vals.append(int(cnt))
+        out.append(vals)
+    width = len(out[0])
+    if any(len(v) != width for v in out):
+        raise ValueError("ragged .cfrk rows")
+    return np.array(out, dtype=np.int64)

@@ -1,0 +1,111 @@
+"""FASTA parsing and 2-bit base encoding (host side, pure Python/NumPy).
+
+Replaces the reference's C parser + encoder (``src/fastaIO.h:24-71`` ReadFasta,
+``:105-148`` ReadFASTASequences).  Differences, by design (see SURVEY.md §4 —
+the reference's quirks are bugs, not contract):
+
+* multi-line records are concatenated WITHOUT the interior newlines (the
+  reference keeps ``\\n`` bytes inside multi-line reads and encodes them as
+  invalid symbols, ``src/fastaIO.h:62-65``);
+* the read count comes from the parse itself, not from shelling out to
+  ``grep -c '>'`` (``src/fastaIO.h:12-22``);
+* gzip-compressed FASTA is supported transparently (the reference includes
+  zlib.h but never uses it, ``src/fastaIO.h:7``).
+
+Encoding contract (identical to ``src/fastaIO.h:123-139``):
+A/a→0, C/c→1, G/g→2, T/t→3, anything else→-1 (invalid sentinel).
+
+A faster native C++ parser lives in ``cfrk_tpu.io.native``; it must agree
+with this module byte-for-byte and is tested against it.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import IO, Iterator
+
+import numpy as np
+
+__all__ = [
+    "ENCODE_LUT",
+    "DECODE_LUT",
+    "encode_seq",
+    "decode_codes",
+    "iter_fasta",
+    "read_fasta",
+    "read_fasta_encoded",
+]
+
+# 256-entry LUT: byte -> 2-bit code, -1 for anything not in ACGTacgt.
+ENCODE_LUT = np.full(256, -1, dtype=np.int8)
+for _b, _v in ((b"Aa", 0), (b"Cc", 1), (b"Gg", 2), (b"Tt", 3)):
+    ENCODE_LUT[_b[0]] = _v
+    ENCODE_LUT[_b[1]] = _v
+
+DECODE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def encode_seq(seq: bytes | np.ndarray) -> np.ndarray:
+    """Encode raw bases into int8 codes (0..3 valid, -1 invalid)."""
+    buf = np.frombuffer(seq, dtype=np.uint8) if isinstance(seq, (bytes, bytearray)) else seq
+    return ENCODE_LUT[buf]
+
+
+def decode_codes(codes: np.ndarray, invalid: bytes = b"N") -> bytes:
+    """Decode int8 codes back to bases (invalid/-1 → ``invalid`` byte)."""
+    codes = np.asarray(codes)
+    out = np.where(codes >= 0, DECODE_LUT[np.clip(codes, 0, 3)], ord(invalid))
+    return out.astype(np.uint8).tobytes()
+
+
+def _open_maybe_gzip(path: str | os.PathLike) -> IO[bytes]:
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")  # type: ignore[return-value]
+    return f
+
+
+def iter_fasta(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[bytes, bytes]]:
+    """Yield ``(header, sequence)`` pairs; header excludes ``>`` and newline,
+    sequence is the concatenation of all its lines (no newlines)."""
+    if isinstance(path_or_file, (str, os.PathLike)):
+        f: IO[bytes] = _open_maybe_gzip(path_or_file)
+        owns = True
+    else:
+        f, owns = path_or_file, False
+    try:
+        header: bytes | None = None
+        parts: list[bytes] = []
+        for line in f:
+            line = line.rstrip(b"\r\n")
+            if line.startswith(b">"):
+                if header is not None:
+                    yield header, b"".join(parts)
+                header = line[1:]
+                parts = []
+            elif line:
+                parts.append(line)
+        if header is not None:
+            yield header, b"".join(parts)
+    finally:
+        if owns:
+            f.close()
+
+
+def read_fasta(path) -> tuple[list[bytes], list[bytes]]:
+    """Read all records; returns (headers, sequences)."""
+    headers: list[bytes] = []
+    seqs: list[bytes] = []
+    for h, s in iter_fasta(path):
+        headers.append(h)
+        seqs.append(s)
+    return headers, seqs
+
+
+def read_fasta_encoded(path) -> list[np.ndarray]:
+    """Read and encode all records into a ragged list of int8 code arrays."""
+    return [encode_seq(s) for _, s in iter_fasta(path)]

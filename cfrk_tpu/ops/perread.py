@@ -1,0 +1,104 @@
+"""Per-read dense k-mer histograms on TPU (XLA path).
+
+Replaces the reference's ``ComputeFreqNew`` kernel (``src/kmer_kernel.cu:73-90``),
+which used one CUDA block per read and ``atomicAdd`` scatter.  TPUs have no
+cheap atomics and XLA scatter serialises, so the TPU-native formulation is:
+
+    counts[b, hi, lo] = Σ_w one_hot(hi[b, w]) ⊗ one_hot(lo[b, w])
+
+a batched matmul with contraction over the window axis — the systolic MXU
+performs the "scatter" as an outer-product accumulation at full throughput.
+For k <= 3 (4**k <= 64, too narrow to feed the 128-wide MXU) a VPU
+compare-and-sum is used instead.
+
+Counts are accumulated in float32: one-hot values are exactly 0/1 and row
+sums are bounded by the window count (< 2**24), so the result is exact.
+
+The reference could only express per-read dense counting; for k where
+4**k * batch exceeds memory it aborted (``src/kmer_main.cu:51-56``).  Here
+k <= 8 is supported per-read (65,536 bins); larger k belongs to the
+spectrum / sparse paths (see ops/spectrum.py, parallel/bucket.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .encode import split_k, window_components, window_indices
+
+__all__ = ["count_perread", "MAX_PERREAD_K"]
+
+MAX_PERREAD_K = 8
+
+
+@partial(jax.jit, static_argnums=(1, 2), inline=True)
+def _count_compare(codes: jax.Array, k: int, canonical: bool) -> jax.Array:
+    """VPU path for tiny k: counts[b, v] = Σ_w (idx[b, w] == v)."""
+    idx = window_indices(codes, k, canonical)  # [B, W], -1 invalid
+    bins = jnp.arange(4**k, dtype=jnp.int32)
+    eq = idx[..., None] == bins  # [B, W, 4^k] — 4^k <= 64, cheap
+    return jnp.sum(eq, axis=-2, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3), inline=True)
+def _count_matmul(codes: jax.Array, k: int, canonical: bool, acc_dtype) -> jax.Array:
+    """MXU path: batched one-hot outer-product matmul over windows."""
+    kh, kl = split_k(k)
+    fh, fl = 4**kh, 4**kl
+    if canonical:
+        # Canonical min() breaks the independent hi/lo split; re-split the
+        # canonical full index (k <= 8 keeps it well inside int32).
+        idx = window_indices(codes, k, canonical=True)
+        valid = idx >= 0
+        idxc = jnp.maximum(idx, 0)
+        hi, lo = idxc >> (2 * kl), idxc & (fl - 1)
+    else:
+        wc = window_components(codes, k)
+        hi, lo, valid = wc.hi, wc.lo, wc.valid
+    oh_hi = jax.nn.one_hot(hi, fh, dtype=acc_dtype)
+    oh_hi = oh_hi * valid[..., None].astype(acc_dtype)
+    oh_lo = jax.nn.one_hot(lo, fl, dtype=acc_dtype)
+    counts = jnp.einsum(
+        "bwh,bwl->bhl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    )
+    b = codes.shape[0]
+    return counts.reshape(b, fh * fl).astype(jnp.int32)
+
+
+def count_perread(
+    codes: jax.Array,
+    k: int,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+    acc_dtype=None,
+) -> jax.Array:
+    """Dense per-read histograms: codes [B, L] int8 → counts [B, 4**k] int32.
+
+    impl: 'auto' | 'compare' | 'matmul' | 'pallas'.
+    acc_dtype: matmul operand dtype (default bfloat16 on TPU, float32 else).
+    """
+    if k > MAX_PERREAD_K:
+        raise ValueError(
+            f"per-read dense counting supports k <= {MAX_PERREAD_K} "
+            f"(4**{k} bins/read); use spectrum or bucketed modes"
+        )
+    if codes.ndim != 2:
+        raise ValueError(f"codes must be [B, L], got {codes.shape}")
+    if impl == "auto":
+        impl = "compare" if 4**k <= 64 else "matmul"
+    if impl == "compare":
+        return _count_compare(codes, k, canonical)
+    if impl == "matmul":
+        if acc_dtype is None:
+            platform = jax.default_backend()
+            acc_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+        return _count_matmul(codes, k, canonical, acc_dtype)
+    if impl == "pallas":
+        from .pallas.perread import count_perread_pallas
+
+        return count_perread_pallas(codes, k, canonical=canonical)
+    raise ValueError(f"unknown impl {impl!r}")

@@ -1,0 +1,92 @@
+"""Global k-mer spectrum (one table over all reads) on TPU.
+
+The reference has no global-spectrum mode at all — its only aggregate is
+per-read (SURVEY.md §5: no inter-process data exchange anywhere).  This is
+new capability demanded by BASELINE.json configs 3-5.
+
+Two dense implementations:
+
+* ``matmul`` (k <= 8): the same MXU one-hot outer-product trick as
+  perread.py but contracting over reads AND windows — a single
+  ``[4**kh, W_total] @ [W_total, 4**kl]`` matmul.
+* ``scatter`` (k <= 15): XLA scatter-add into a flat ``4**k`` table.
+  Invalid windows are redirected to index 4**k and dropped by the
+  out-of-bounds ``mode='drop'`` semantics, so there is no branch.
+
+Device tables are int32 (per-batch counts are far below 2**31); the
+streaming pipeline accumulates across batches into an int64 host table.
+Sharded multi-chip spectra live in parallel/sharded.py (psum over the
+mesh); k > 15 uses bucket routing (parallel/bucket.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .encode import split_k, window_components, window_indices
+
+__all__ = ["spectrum", "MAX_DENSE_SPECTRUM_K"]
+
+MAX_DENSE_SPECTRUM_K = 15
+
+
+@partial(jax.jit, static_argnums=(1, 2), inline=True)
+def _spectrum_scatter(codes: jax.Array, k: int, canonical: bool) -> jax.Array:
+    idx = window_indices(codes, k, canonical)  # [..., W], -1 invalid
+    four_k = 4**k
+    flat = jnp.where(idx < 0, four_k, idx).reshape(-1)  # OOB → dropped
+    table = jnp.zeros((four_k,), dtype=jnp.int32)
+    return table.at[flat].add(1, mode="drop")
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3), inline=True)
+def _spectrum_matmul(codes: jax.Array, k: int, canonical: bool, acc_dtype) -> jax.Array:
+    kh, kl = split_k(k)
+    fh, fl = 4**kh, 4**kl
+    if canonical:
+        idx = window_indices(codes, k, canonical=True)
+        valid = idx >= 0
+        idxc = jnp.maximum(idx, 0)
+        hi, lo = idxc >> (2 * kl), idxc & (fl - 1)
+    else:
+        wc = window_components(codes, k)
+        hi, lo, valid = wc.hi, wc.lo, wc.valid
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1)
+    oh_hi = jax.nn.one_hot(hi, fh, dtype=acc_dtype) * valid[:, None].astype(acc_dtype)
+    oh_lo = jax.nn.one_hot(lo, fl, dtype=acc_dtype)
+    table = jnp.einsum("wh,wl->hl", oh_hi, oh_lo, preferred_element_type=jnp.float32)
+    return table.reshape(fh * fl).astype(jnp.int32)
+
+
+def spectrum(
+    codes: jax.Array,
+    k: int,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+    acc_dtype=None,
+) -> jax.Array:
+    """Global dense spectrum: codes [..., L] int8 → counts [4**k] int32."""
+    if k > MAX_DENSE_SPECTRUM_K:
+        raise ValueError(
+            f"dense spectrum supports k <= {MAX_DENSE_SPECTRUM_K}; "
+            "use the bucketed sparse mode (parallel/bucket.py) for larger k"
+        )
+    if impl == "auto":
+        impl = "matmul" if k <= 6 else "scatter"
+    if impl == "scatter":
+        return _spectrum_scatter(codes, k, canonical)
+    if impl == "matmul":
+        if acc_dtype is None:
+            acc_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        return _spectrum_matmul(codes, k, canonical, acc_dtype)
+    if impl == "pallas":
+        from .pallas.spectrum import spectrum_pallas
+
+        return spectrum_pallas(codes, k, canonical=canonical)
+    raise ValueError(f"unknown impl {impl!r}")

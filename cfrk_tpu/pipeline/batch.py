@@ -1,0 +1,96 @@
+"""Ragged reads → fixed-shape device batches.
+
+XLA traces and compiles each distinct shape once; the reference's dynamic
+per-chunk buffer sizing (``src/main.cu:160-206`` SelectChunk) becomes
+padding to a small set of static shapes here, so every chunk of a large
+run reuses one compiled executable.
+
+Layout: ``codes[B, L]`` int8 with 0..3 = bases and -1 = invalid/padding,
+``lengths[B]`` int32.  Padding with -1 makes window validity purely local:
+a window is valid iff all its codes are ≥ 0 — no separate length masking
+is needed in the kernels (pad bytes poison any window that overlaps them,
+which is exactly the separator semantics of the reference's flat ``-1``
+delimited array, ``src/fastaIO.h:74-102``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+__all__ = ["ReadBatch", "pad_reads", "iter_batches", "round_up"]
+
+PAD = -1
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ReadBatch:
+    """A fixed-shape batch of encoded reads.
+
+    codes:    [B, L] int8, 0..3 valid, -1 invalid/pad.
+    lengths:  [B] int32 true read lengths (0 for padding rows).
+    n_reads:  number of real (non-padding) rows.
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+    n_reads: int
+
+    @property
+    def batch_size(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.codes.shape[1]
+
+
+def pad_reads(
+    reads: Sequence[np.ndarray],
+    batch_size: int | None = None,
+    max_len: int | None = None,
+    len_multiple: int = 128,
+) -> ReadBatch:
+    """Pack a ragged list of code arrays into one padded batch.
+
+    Reads longer than ``max_len`` raise (callers split long reads upstream;
+    the reference silently truncated reads at 1024 bases — a bug we do not
+    reproduce, see SURVEY.md §2 #8).
+    """
+    n = len(reads)
+    b = batch_size or n
+    if n > b:
+        raise ValueError(f"{n} reads > batch_size {b}")
+    longest = max((len(r) for r in reads), default=0)
+    ml = max_len or round_up(max(longest, 1), len_multiple)
+    if longest > ml:
+        raise ValueError(f"read of length {longest} exceeds max_len {ml}")
+    codes = np.full((b, ml), PAD, dtype=np.int8)
+    lengths = np.zeros(b, dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = r
+        lengths[i] = len(r)
+    return ReadBatch(codes=codes, lengths=lengths, n_reads=n)
+
+
+def iter_batches(
+    reads: Iterable[np.ndarray],
+    batch_size: int,
+    max_len: int,
+) -> Iterator[ReadBatch]:
+    """Chunk a read stream into fixed-shape batches (analog of the
+    reference's chunk partitioner, ``src/main.cu:160-206``)."""
+    buf: list[np.ndarray] = []
+    for r in reads:
+        buf.append(np.asarray(r, dtype=np.int8))
+        if len(buf) == batch_size:
+            yield pad_reads(buf, batch_size, max_len)
+            buf = []
+    if buf:
+        yield pad_reads(buf, batch_size, max_len)

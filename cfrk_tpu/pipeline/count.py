@@ -1,0 +1,101 @@
+"""End-to-end file counting: FASTA in → counts / .cfrk out.
+
+This is the in-memory driver, the analog of the reference's whole
+``main`` flow (``src/main.cu:232-309``: parse → chunk → per-chunk kernel →
+write) collapsed into: parse → fixed-shape batches → one jitted XLA
+executable reused per batch → streaming writer.  The reference's pthread /
+per-thread-stream machinery is subsumed by XLA's async dispatch: each
+device batch is enqueued while the host packs the next one.
+
+For runs too large to hold reads in memory, use pipeline/stream.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from ..format import CfrkWriter
+from ..io.fasta import read_fasta_encoded
+from ..ops.perread import count_perread
+from ..ops.spectrum import spectrum as spectrum_op
+from .batch import iter_batches, round_up
+
+__all__ = ["count_reads", "count_file", "spectrum_file", "write_cfrk"]
+
+
+def _plan_shapes(reads: Sequence[np.ndarray], k: int, batch_size: int | None,
+                 max_len: int | None) -> tuple[int, int]:
+    longest = max((len(r) for r in reads), default=1)
+    ml = max_len or round_up(max(longest, k), 128)
+    bs = min(batch_size or 8192, max(len(reads), 1))
+    return bs, ml
+
+
+def count_reads(
+    reads: Sequence[np.ndarray],
+    k: int,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+    batch_size: int | None = 8192,
+    max_len: int | None = None,
+) -> np.ndarray:
+    """Per-read dense histograms for a ragged list of encoded reads."""
+    if not reads:
+        return np.zeros((0, 4**k), dtype=np.int32)
+    bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+    out = np.zeros((len(reads), 4**k), dtype=np.int32)
+    row = 0
+    pending: list[tuple[int, int, jax.Array]] = []
+    for batch in iter_batches(reads, bs, ml):
+        counts = count_perread(
+            jax.numpy.asarray(batch.codes), k, canonical=canonical, impl=impl
+        )
+        # Keep device queue deep: materialise the previous batch while this
+        # one computes (async dispatch does the overlap).
+        pending.append((row, batch.n_reads, counts))
+        row += batch.n_reads
+        if len(pending) > 2:
+            r0, n, c = pending.pop(0)
+            out[r0 : r0 + n] = np.asarray(c)[:n]
+    for r0, n, c in pending:
+        out[r0 : r0 + n] = np.asarray(c)[:n]
+    return out
+
+
+def count_file(path, k: int, **kw) -> np.ndarray:
+    """Count a FASTA file: returns [n_reads, 4**k] int32."""
+    return count_reads(read_fasta_encoded(path), k, **kw)
+
+
+def spectrum_file(
+    path,
+    k: int,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+    batch_size: int | None = 8192,
+    max_len: int | None = None,
+) -> np.ndarray:
+    """Global spectrum of a FASTA file: returns [4**k] int64."""
+    reads = read_fasta_encoded(path)
+    total = np.zeros(4**k, dtype=np.int64)
+    if not reads:
+        return total
+    bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+    for batch in iter_batches(reads, bs, ml):
+        total += np.asarray(
+            spectrum_op(jax.numpy.asarray(batch.codes), k,
+                        canonical=canonical, impl=impl),
+            dtype=np.int64,
+        )
+    return total
+
+
+def write_cfrk(path, counts: np.ndarray) -> None:
+    """Write counts to a `.cfrk` file (exact reference byte format)."""
+    with CfrkWriter(path) as w:
+        w.write_batch(counts)

@@ -1,0 +1,126 @@
+"""XLA op correctness vs. the NumPy executable spec (ops/reference.py)."""
+
+import numpy as np
+import pytest
+
+from conftest import make_ragged_reads
+
+import jax.numpy as jnp
+
+from cfrk_tpu.ops import reference as ref
+from cfrk_tpu.ops.encode import split_k, window_components, window_indices
+from cfrk_tpu.ops.perread import count_perread
+from cfrk_tpu.ops.spectrum import spectrum
+from cfrk_tpu.pipeline.batch import pad_reads
+
+
+def test_split_k():
+    assert split_k(2) == (1, 1)
+    assert split_k(8) == (4, 4)
+    assert split_k(31) == (16, 15)
+    assert split_k(1) == (1, 0)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 8, 15])
+def test_window_indices_match_numpy(rng, k):
+    reads = make_ragged_reads(rng, 16, max_len=90, min_len=k)
+    batch = pad_reads(reads, max_len=128)
+    got = np.asarray(window_indices(jnp.asarray(batch.codes), k))
+    for r, codes in enumerate(reads):
+        want = ref.window_indices_np(codes, k)
+        w = len(want)
+        assert (got[r, :w] == want).all(), f"read {r} k={k}"
+        assert (got[r, w:] == -1).all(), "windows overlapping pad must be invalid"
+
+
+@pytest.mark.parametrize("k", [2, 5, 11])
+def test_canonical_indices_match_numpy(rng, k):
+    reads = make_ragged_reads(rng, 8, max_len=60, min_len=k)
+    batch = pad_reads(reads, max_len=64)
+    got = np.asarray(window_indices(jnp.asarray(batch.codes), k, canonical=True))
+    for r, codes in enumerate(reads):
+        want = ref.canonical_indices_np(codes, k)
+        assert (got[r, : len(want)] == want).all()
+
+
+def test_revcomp_involution(rng):
+    idx = rng.integers(0, 4**7, size=1000)
+    rc = ref.revcomp_index_np(idx, 7)
+    assert (ref.revcomp_index_np(rc, 7) == idx).all()
+
+
+def test_revcomp_known():
+    # ACGT (k=4) -> revcomp ACGT (palindrome); AAAA -> TTTT
+    acgt = 0 * 64 + 1 * 16 + 2 * 4 + 3
+    assert ref.revcomp_index_np(np.array([acgt]), 4)[0] == acgt
+    assert ref.revcomp_index_np(np.array([0]), 4)[0] == 4**4 - 1
+
+
+@pytest.mark.parametrize("impl", ["compare", "matmul"])
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 6, 8])
+def test_count_perread_matches_numpy(rng, k, impl):
+    reads = make_ragged_reads(rng, 24, max_len=150, min_len=1)
+    batch = pad_reads(reads, max_len=256)
+    got = np.asarray(count_perread(jnp.asarray(batch.codes), k, impl=impl))
+    want = ref.count_perread_np(reads, k)
+    assert (got[: len(reads)] == want).all()
+    assert (got[len(reads) :] == 0).all(), "padding rows must count zero"
+
+
+@pytest.mark.parametrize("k", [2, 5, 8])
+def test_count_perread_canonical(rng, k):
+    reads = make_ragged_reads(rng, 12, max_len=100, min_len=k)
+    batch = pad_reads(reads, max_len=128)
+    got = np.asarray(
+        count_perread(jnp.asarray(batch.codes), k, canonical=True, impl="matmul")
+    )
+    want = ref.count_perread_np(reads, k, canonical=True)
+    assert (got[: len(reads)] == want).all()
+
+
+def test_count_perread_rejects_large_k(rng):
+    batch = pad_reads(make_ragged_reads(rng, 2, max_len=64), max_len=64)
+    with pytest.raises(ValueError):
+        count_perread(jnp.asarray(batch.codes), 9)
+
+
+def test_reads_shorter_than_k_count_zero():
+    batch = pad_reads([np.array([0, 1], dtype=np.int8)], max_len=128)
+    got = np.asarray(count_perread(jnp.asarray(batch.codes), 4))
+    assert (got == 0).all()
+
+
+@pytest.mark.parametrize("impl", ["scatter", "matmul"])
+@pytest.mark.parametrize("k", [1, 2, 4, 7])
+def test_spectrum_matches_numpy(rng, k, impl):
+    reads = make_ragged_reads(rng, 32, max_len=120, min_len=1)
+    batch = pad_reads(reads, max_len=128)
+    got = np.asarray(spectrum(jnp.asarray(batch.codes), k, impl=impl))
+    want = ref.spectrum_np(reads, k)
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("impl", ["scatter", "matmul"])
+def test_spectrum_canonical(rng, impl):
+    k = 5
+    reads = make_ragged_reads(rng, 16, max_len=80, min_len=k)
+    batch = pad_reads(reads, max_len=128)
+    got = np.asarray(spectrum(jnp.asarray(batch.codes), k, canonical=True, impl=impl))
+    want = ref.spectrum_np(reads, k, canonical=True)
+    assert (got == want).all()
+
+
+def test_spectrum_equals_perread_sum(rng):
+    k = 3
+    reads = make_ragged_reads(rng, 20, max_len=90)
+    batch = pad_reads(reads, max_len=128)
+    codes = jnp.asarray(batch.codes)
+    assert (
+        np.asarray(spectrum(codes, k))
+        == np.asarray(count_perread(codes, k)).sum(axis=0)
+    ).all()
+
+
+def test_all_invalid_read():
+    batch = pad_reads([np.full(50, -1, dtype=np.int8)], max_len=128)
+    assert np.asarray(count_perread(jnp.asarray(batch.codes), 2)).sum() == 0
