@@ -1,0 +1,112 @@
+"""Headline benchmark: dense per-read k-mer counting throughput on 1 chip.
+
+Workload (BASELINE.json config 2): synthetic reads of 150 bp, k=8, dense
+4**8-bin per-read histograms — the TPU replacement of the reference's
+ComputeIndex + ComputeFreqNew CUDA pipeline
+(reference src/kmer_kernel.cu:21-49,73-90).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": bases/sec/chip, "unit": "bases/s",
+     "vs_baseline": fraction_of_speed_of_light}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+the achieved fraction of the chip's speed-of-light for this op.  Dense
+k=8 per-read counting emits 4**8 int32 bins per 150 bp read (~1.7 KB of
+HBM traffic per input base), so the roofline is HBM bandwidth, not MXU
+flops; the model below charges one read + one write of the count matrix
+per batch (what the benchmark's accumulator actually does).
+
+Measurement notes: the whole run is ONE jitted lax.scan over batches that
+folds every batch's [B, 4**k] count matrix into an on-device accumulator
+(forcing full materialisation each step — nothing can be dead-code
+eliminated or fused away), and the timed section ends by fetching a
+scalar checksum to host.  This is required on tunneled-TPU setups where
+``block_until_ready`` returns before remote execution finishes and bulk
+D2H is slow; a scalar fetch is an honest end-to-end sync.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+K = 8
+READ_LEN = 150
+BATCH = 8192
+N_BATCHES = 64
+DISTINCT = 4  # distinct input batches cycled through the scan
+
+
+def _chip_specs(platform: str) -> dict:
+    """Rough per-chip peak specs for the roofline, by platform."""
+    if platform in ("tpu", "axon"):
+        # TPU v5e: ~197 Tflop/s bf16, ~819 GB/s HBM.
+        return {"flops": 197e12, "hbm_bw": 819e9}
+    # CPU fallback numbers (only used off-TPU; keeps vs_baseline finite).
+    return {"flops": 1e12, "hbm_bw": 50e9}
+
+
+def speed_of_light_bases_per_s(platform: str, batch: int, read_len: int, k: int) -> float:
+    specs = _chip_specs(platform)
+    w = read_len - k + 1
+    four_k = 4**k
+    flops = 2.0 * batch * w * four_k          # one-hot outer-product matmuls
+    acc_bytes = 2.0 * batch * four_k * 4.0    # accumulator read + write
+    t = max(flops / specs["flops"], acc_bytes / specs["hbm_bw"])
+    return batch * read_len / t
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cfrk_tpu.ops.perread import count_perread
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    batch = BATCH if on_tpu else 256
+    n_batches = N_BATCHES if on_tpu else 4
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        rng.integers(0, 4, size=(DISTINCT, batch, READ_LEN)).astype(np.int8)
+    )
+
+    def run(xs):
+        acc0 = jnp.zeros((batch, 4**K), dtype=jnp.int32)
+
+        def body(acc, i):
+            counts = count_perread(xs[i % DISTINCT], K, impl="matmul")
+            return acc + counts, ()
+
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_batches))
+        # Scalar checksum: forces every step; cheap to fetch over any link.
+        return jnp.sum(acc[:, :: 4096], dtype=jnp.int32)
+
+    fn = jax.jit(run)
+    _ = int(fn(xs))  # compile + warm up + verify sync path
+
+    t0 = time.perf_counter()
+    checksum = int(fn(xs))
+    dt = time.perf_counter() - t0
+
+    bases = n_batches * batch * READ_LEN
+    bases_per_s = bases / dt
+    sol = speed_of_light_bases_per_s(platform, batch, READ_LEN, K)
+    assert checksum > 0
+    print(
+        json.dumps(
+            {
+                "metric": f"perread dense k={K} count throughput, 1 chip ({platform})",
+                "value": round(bases_per_s, 1),
+                "unit": "bases/s",
+                "vs_baseline": round(bases_per_s / sol, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Multi-chip / multi-host parallelism: meshes, sharded ops, halo exchange."""
+
+from .mesh import DP_AXIS, TP_AXIS, batch_sharding, make_mesh, table_sharding
+from .seqpar import SP_AXIS, count_perread_seqpar, make_seq_mesh, spectrum_seqpar
+from .sharded import count_perread_sharded, shard_batch, spectrum_sharded
+
+__all__ = [
+    "DP_AXIS",
+    "TP_AXIS",
+    "SP_AXIS",
+    "make_mesh",
+    "make_seq_mesh",
+    "batch_sharding",
+    "table_sharding",
+    "shard_batch",
+    "count_perread_sharded",
+    "spectrum_sharded",
+    "count_perread_seqpar",
+    "spectrum_seqpar",
+]

@@ -1,0 +1,105 @@
+"""Sequence parallelism over very long reads (contigs).
+
+The reference hard-capped read length at blockDim.x = 1024 bases — positions
+beyond that were silently dropped (reference ``src/kmer_kernel.cu:83-85``).
+The TPU-native answer to long sequences is to shard the POSITION axis over
+the mesh: each chip holds a contiguous slice of every read, computes the
+windows that *start* inside its slice, and the per-read histograms are
+summed with ``psum``.
+
+Windows that straddle a slice boundary need the first ``k-1`` codes of the
+right neighbour's slice — a halo exchange done with one ``ppermute`` along
+the ring (k-1 ≤ 30 bytes per read: negligible ICI traffic).  The last chip
+receives a halo of ``-1`` padding, which poisons the windows that would run
+off the end of the read — exactly the validity semantics of the local path.
+
+This is the k-mer analog of blockwise/ring scanning over the sequence axis
+in long-context attention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.perread import count_perread
+from ..ops.spectrum import spectrum
+
+__all__ = ["make_seq_mesh", "SP_AXIS", "count_perread_seqpar", "spectrum_seqpar"]
+
+SP_AXIS = "sp"
+
+
+def make_seq_mesh(devices=None) -> Mesh:
+    """1-D mesh over the sequence (position) axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (SP_AXIS,))
+
+
+def _halo_extend(codes_blk: jax.Array, k: int) -> jax.Array:
+    """Append the right neighbour's first k-1 columns (ring ppermute).
+
+    The wrap-around halo the last chip receives from chip 0 is replaced by
+    -1 padding so end-of-read windows stay invalid.
+    """
+    n = jax.lax.axis_size(SP_AXIS)
+    i = jax.lax.axis_index(SP_AXIS)
+    halo = codes_blk[:, : k - 1]
+    # send my leading columns to my LEFT neighbour: perm maps src -> dst.
+    halo = jax.lax.ppermute(halo, SP_AXIS, [(j, (j - 1) % n) for j in range(n)])
+    halo = jnp.where(i == n - 1, jnp.full_like(halo, -1), halo)
+    return jnp.concatenate([codes_blk, halo], axis=-1)
+
+
+def count_perread_seqpar(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Per-read counts with the position axis sharded over ``sp``.
+
+    codes: [B, L] int8, L divisible by the sp size.  Returns [B, 4**k]
+    int32, replicated (each chip ends with the full per-read histograms).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def local(codes_blk):
+        ext = _halo_extend(codes_blk, k) if k > 1 else codes_blk
+        part = count_perread(ext, k, canonical=canonical, impl=impl)
+        return jax.lax.psum(part, SP_AXIS)
+
+    fn = jax.jit(
+        shard_map(local, mesh=mesh, in_specs=P(None, SP_AXIS), out_specs=P())
+    )
+    return fn(codes)
+
+
+def spectrum_seqpar(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Global spectrum with the position axis sharded over ``sp``."""
+
+    def local(codes_blk):
+        ext = _halo_extend(codes_blk, k) if k > 1 else codes_blk
+        part = spectrum(ext, k, canonical=canonical, impl=impl)
+        return jax.lax.psum(part, SP_AXIS)
+
+    fn = jax.jit(
+        shard_map(local, mesh=mesh, in_specs=P(None, SP_AXIS), out_specs=P())
+    )
+    return fn(codes)

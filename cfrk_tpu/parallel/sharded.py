@@ -1,0 +1,115 @@
+"""Sharded (multi-chip) counting: shard_map over a (dp, tp) mesh.
+
+Replaces — and goes beyond — the reference's Swift/K file-shard scale-out
+(reference ``swift/cfrk.swf:14-20``), which never exchanged data between
+processes:
+
+* ``count_perread_sharded`` — per-read mode.  Reads are sharded over
+  ``dp``; each chip counts its rows independently.  Zero collectives,
+  exactly the reference's communication pattern, but inside one SPMD
+  program so a pod slice looks like one device to the driver.
+* ``spectrum_sharded`` — global-spectrum mode (new capability).  Each
+  chip computes a local dense table; tables are summed with ``psum``
+  over ``dp``.  With tp > 1 the summed table is ``psum_scatter``-ed over
+  ``tp`` so each chip keeps only 4**k / tp bins — the result lives
+  sharded (bins over tp), avoiding 4**k replication at large k.
+
+Both are ordinary jitted functions of sharded arrays: XLA inserts the ICI
+collectives, overlapping them with compute where possible.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.perread import count_perread
+from ..ops.spectrum import spectrum
+from .mesh import DP_AXIS, TP_AXIS, batch_sharding, table_sharding
+
+__all__ = ["count_perread_sharded", "spectrum_sharded", "shard_batch"]
+
+
+def shard_batch(codes, mesh: Mesh):
+    """Place a host [B, L] batch onto the mesh, rows sharded over dp.
+
+    B must be divisible by the dp size (pad with -1 rows upstream —
+    padding rows produce all-zero counts and are sliced off by callers).
+    """
+    return jax.device_put(codes, batch_sharding(mesh))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _count_perread_jit(codes, k: int, canonical: bool, impl: str):
+    return count_perread(codes, k, canonical=canonical, impl=impl)
+
+
+def count_perread_sharded(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Per-read dense counts with rows sharded over the dp axis.
+
+    codes: [B, L] int8 (device-put with ``shard_batch`` or host array).
+    Returns [B, 4**k] int32 sharded the same way.  Data-parallel per-read
+    counting requires no cross-chip communication at all.
+    """
+    fn = jax.jit(
+        partial(count_perread, k=k, canonical=canonical, impl=impl),
+        in_shardings=batch_sharding(mesh),
+        out_shardings=NamedSharding(mesh, P((DP_AXIS, TP_AXIS), None)),
+    )
+    return fn(codes)
+
+
+def spectrum_sharded(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Global spectrum over all reads on a (dp, tp) mesh.
+
+    Returns the [4**k] int32 table sharded bins-over-tp (replicated over
+    dp).  Local per-chip dense tables are merged with ``psum`` over dp and
+    ``psum_scatter`` over tp.
+    """
+    tp = mesh.shape[TP_AXIS]
+    four_k = 4**k
+    if four_k % tp:
+        raise ValueError(f"4**{k} bins not divisible by tp={tp}")
+
+    def local(codes_blk):
+        # Every device holds a distinct row slice (rows sharded over
+        # dp AND tp) and computes a full local table from it.
+        tbl = spectrum(codes_blk, k, canonical=canonical, impl=impl)
+        if tp > 1:
+            tbl = jax.lax.psum(tbl, DP_AXIS)
+            # Sum the tp partials while scattering bins over tp: each
+            # chip keeps 4**k / tp bins of the global table.
+            tbl = jax.lax.psum_scatter(tbl, TP_AXIS, scatter_dimension=0, tiled=True)
+        else:
+            # psum over both axes so the replication over the (size-1)
+            # tp axis is statically known to shard_map's checker.
+            tbl = jax.lax.psum(tbl, (DP_AXIS, TP_AXIS))
+        return tbl
+
+    fn = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P((DP_AXIS, TP_AXIS), None),
+            out_specs=P(TP_AXIS) if tp > 1 else P(),
+        )
+    )
+    return fn(codes)

@@ -8,12 +8,18 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# Some environments (the axon TPU tunnel) force jax_platforms at interpreter
+# startup via sitecustomize; the config-level update wins over the env var.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

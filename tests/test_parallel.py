@@ -1,0 +1,79 @@
+"""Sharded-path correctness on the virtual 8-device CPU mesh.
+
+Every sharded implementation must agree exactly with the NumPy
+specification (ops/reference.py) — the same contract the single-device
+ops are held to.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfrk_tpu.ops.reference import count_perread_np, spectrum_np
+from cfrk_tpu.parallel import (
+    count_perread_seqpar,
+    count_perread_sharded,
+    make_mesh,
+    make_seq_mesh,
+    shard_batch,
+    spectrum_seqpar,
+    spectrum_sharded,
+)
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < N_DEV:
+        pytest.skip(f"need {N_DEV} devices, have {len(devs)}")
+    return devs[:N_DEV]
+
+
+def _batch(rng, b, l, p_invalid=0.03):
+    codes = rng.integers(0, 4, size=(b, l)).astype(np.int8)
+    codes[rng.random(codes.shape) < p_invalid] = -1
+    return codes
+
+
+@pytest.mark.parametrize("k,tp", [(2, 1), (4, 2), (6, 4)])
+def test_perread_sharded_matches_numpy(devices, rng, k, tp):
+    mesh = make_mesh(devices, tp=tp)
+    codes = _batch(rng, 2 * N_DEV, 96)
+    got = count_perread_sharded(shard_batch(jnp.asarray(codes), mesh), k, mesh)
+    want = count_perread_np(list(codes), k)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("k,tp", [(2, 1), (4, 2), (5, 8)])
+def test_spectrum_sharded_matches_numpy(devices, rng, k, tp):
+    mesh = make_mesh(devices, tp=tp)
+    codes = _batch(rng, 2 * N_DEV, 96)
+    got = spectrum_sharded(shard_batch(jnp.asarray(codes), mesh), k, mesh)
+    want = spectrum_np(list(codes), k)
+    np.testing.assert_array_equal(np.asarray(got).astype(np.int64), want)
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 7])
+def test_seqpar_matches_numpy(devices, rng, k):
+    """Position-sharded counting with halo exchange: windows crossing
+    shard boundaries must be counted exactly once."""
+    mesh = make_seq_mesh(devices)
+    codes = _batch(rng, 4, 16 * N_DEV)  # small shards stress the halos
+    got = count_perread_seqpar(jnp.asarray(codes), k, mesh)
+    want = count_perread_np(list(codes), k)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    gs = spectrum_seqpar(jnp.asarray(codes), k, mesh)
+    ws = spectrum_np(list(codes), k)
+    np.testing.assert_array_equal(np.asarray(gs).astype(np.int64), ws)
+
+
+def test_seqpar_canonical(devices, rng):
+    mesh = make_seq_mesh(devices)
+    codes = _batch(rng, 2, 8 * N_DEV)
+    got = count_perread_seqpar(jnp.asarray(codes), 3, mesh, canonical=True)
+    want = count_perread_np(list(codes), 3, canonical=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
