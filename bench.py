@@ -1,7 +1,8 @@
 """Headline benchmark: dense per-read k-mer counting throughput on 1 chip.
 
 Workload (BASELINE.json config 2): synthetic reads of 150 bp, k=8, dense
-4**8-bin per-read histograms — the TPU replacement of the reference's
+4**8-bin per-read histograms via the fused Pallas kernel
+(cfrk_tpu/ops/pallas/perread.py) — the TPU replacement of the reference's
 ComputeIndex + ComputeFreqNew CUDA pipeline
 (reference src/kmer_kernel.cu:21-49,73-90).
 
@@ -13,16 +14,16 @@ The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 the achieved fraction of the chip's speed-of-light for this op.  Dense
 k=8 per-read counting emits 4**8 int32 bins per 150 bp read (~1.7 KB of
 HBM traffic per input base), so the roofline is HBM bandwidth, not MXU
-flops; the model below charges one read + one write of the count matrix
-per batch (what the benchmark's accumulator actually does).
+flops; the model charges one write of the count matrix (the kernel) plus
+one read (the checksum that forces materialisation).
 
-Measurement notes: the whole run is ONE jitted lax.scan over batches that
-folds every batch's [B, 4**k] count matrix into an on-device accumulator
-(forcing full materialisation each step — nothing can be dead-code
-eliminated or fused away), and the timed section ends by fetching a
-scalar checksum to host.  This is required on tunneled-TPU setups where
-``block_until_ready`` returns before remote execution finishes and bulk
-D2H is slow; a scalar fetch is an honest end-to-end sync.
+Measurement notes: the run is ONE jitted lax.scan over batches; each
+step's [B, 4**k] count matrix feeds a non-algebraically-foldable
+checksum (sum of counts & 3) so no step can be fused away, and the timed
+section ends by fetching the scalar to host.  This is required on
+tunneled-TPU setups where ``block_until_ready`` returns before remote
+execution finishes and bulk D2H is slow; a scalar fetch is an honest
+end-to-end sync.
 """
 
 from __future__ import annotations
@@ -53,8 +54,8 @@ def speed_of_light_bases_per_s(platform: str, batch: int, read_len: int, k: int)
     w = read_len - k + 1
     four_k = 4**k
     flops = 2.0 * batch * w * four_k          # one-hot outer-product matmuls
-    acc_bytes = 2.0 * batch * four_k * 4.0    # accumulator read + write
-    t = max(flops / specs["flops"], acc_bytes / specs["hbm_bw"])
+    io_bytes = 2.0 * batch * four_k * 4.0     # count write + checksum read
+    t = max(flops / specs["flops"], io_bytes / specs["hbm_bw"])
     return batch * read_len / t
 
 
@@ -68,6 +69,7 @@ def main() -> None:
     on_tpu = platform in ("tpu", "axon")
     batch = BATCH if on_tpu else 256
     n_batches = N_BATCHES if on_tpu else 4
+    impl = "pallas" if on_tpu else "auto"
 
     rng = np.random.default_rng(0)
     xs = jnp.asarray(
@@ -75,15 +77,13 @@ def main() -> None:
     )
 
     def run(xs):
-        acc0 = jnp.zeros((batch, 4**K), dtype=jnp.int32)
+        def body(chk, i):
+            counts = count_perread(xs[i % DISTINCT], K, impl=impl)
+            # Non-foldable checksum: forces every step's counts into HBM.
+            return chk + jnp.sum(counts & 3), ()
 
-        def body(acc, i):
-            counts = count_perread(xs[i % DISTINCT], K, impl="matmul")
-            return acc + counts, ()
-
-        acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_batches))
-        # Scalar checksum: forces every step; cheap to fetch over any link.
-        return jnp.sum(acc[:, :: 4096], dtype=jnp.int32)
+        chk, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_batches))
+        return chk
 
     fn = jax.jit(run)
     _ = int(fn(xs))  # compile + warm up + verify sync path

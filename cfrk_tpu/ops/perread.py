@@ -89,7 +89,14 @@ def count_perread(
     if codes.ndim != 2:
         raise ValueError(f"codes must be [B, L], got {codes.shape}")
     if impl == "auto":
-        impl = "compare" if 4**k <= 64 else "matmul"
+        if 4**k <= 64:
+            impl = "compare"
+        elif k >= 5 and jax.default_backend() == "tpu":
+            # The fused Pallas kernel writes counts to HBM exactly once;
+            # the XLA einsum materialises one-hots + f32 output (~6x traffic).
+            impl = "pallas"
+        else:
+            impl = "matmul"
     if impl == "compare":
         return _count_compare(codes, k, canonical)
     if impl == "matmul":

@@ -1,0 +1,70 @@
+"""Pallas kernel correctness vs the NumPy specification.
+
+Runs in interpreter mode on CPU (compiled-mode parity on real TPU
+hardware is exercised by bench.py and was validated chip-side for
+k ∈ {2, 5, 8} × {plain, canonical}).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfrk_tpu.ops.pallas.perread import count_perread_pallas
+from cfrk_tpu.ops.pallas.spectrum import spectrum_pallas
+from cfrk_tpu.ops.reference import count_perread_np, spectrum_np
+
+from conftest import make_ragged_reads
+
+
+def _batch(rng, b, l, p_invalid=0.03):
+    codes = rng.integers(0, 4, size=(b, l)).astype(np.int8)
+    codes[rng.random(codes.shape) < p_invalid] = -1
+    return codes
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 5, 8])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_perread_pallas(rng, k, canonical):
+    codes = _batch(rng, 13, 171)
+    got = np.asarray(
+        count_perread_pallas(jnp.asarray(codes), k, canonical=canonical)
+    )
+    want = count_perread_np(list(codes), k, canonical=canonical)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 5, 8])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_spectrum_pallas(rng, k, canonical):
+    codes = _batch(rng, 13, 171)
+    got = np.asarray(spectrum_pallas(jnp.asarray(codes), k, canonical=canonical))
+    want = spectrum_np(list(codes), k, canonical=canonical)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_perread_pallas_window_tiling(rng):
+    """Reads longer than one window tile must tile over positions
+    (the reference capped reads at 1024, src/kmer_kernel.cu:83-85)."""
+    codes = _batch(rng, 3, 1500)
+    got = np.asarray(
+        count_perread_pallas(jnp.asarray(codes), 4, window_block=256)
+    )
+    want = count_perread_np(list(codes), 4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spectrum_pallas_no_cross_read_windows(rng):
+    """Full-length reads sit adjacent after flattening; the separator
+    column must stop windows from crossing read boundaries."""
+    codes = rng.integers(0, 4, size=(16, 64)).astype(np.int8)  # no -1 pads
+    got = np.asarray(spectrum_pallas(jnp.asarray(codes), 3))
+    want = spectrum_np(list(codes), 3)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_perread_pallas_odd_batch(rng):
+    """Batch not divisible by read_block: padding rows must count zero."""
+    codes = _batch(rng, 9, 77)
+    got = np.asarray(count_perread_pallas(jnp.asarray(codes), 5, read_block=4))
+    want = count_perread_np(list(codes), 5)
+    np.testing.assert_array_equal(got, want)
