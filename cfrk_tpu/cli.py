@@ -1,0 +1,198 @@
+"""Command-line interface.
+
+Drop-in compatible with the reference binary's positional contract
+(``cfrk <dataset.fasta> <out.cfrk> <k> [nt] [chunkSize]``, reference
+``src/main.cu:239-250``) while adding what the reference's Swift/K
+workflow layer provided (many files per run, reference
+``swift/cfrk.swf:14-20``) and what it lacked (modes, canonical counting,
+spectrum output, named flags, metrics).
+
+Compatibility notes:
+* ``nt`` (host copy threads, reference default 12) is accepted and
+  ignored — XLA's async dispatch replaces the pthread copy pool.
+* ``chunkSize`` (reference default 8192) maps to the device batch size.
+* multiple inputs + ``--out-dir`` subsumes one whole Swift/K run:
+  ``python -m cfrk_tpu a.fasta b.fasta --out-dir out/ -k 8``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+__all__ = ["main", "build_parser"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cfrk-tpu",
+        description="TPU-native k-mer counting (reference-compatible .cfrk output)",
+    )
+    p.add_argument(
+        "paths",
+        nargs="+",
+        help=(
+            "FASTA file(s), optionally gzipped; reference-style trailing "
+            "positionals <out.cfrk> <k> [nt] [chunkSize] are also accepted"
+        ),
+    )
+    p.add_argument("-k", type=int, default=None, help="k-mer length")
+    p.add_argument("-o", "--output", default=None, help="output path (single input)")
+    p.add_argument("--out-dir", default=None, help="output directory (many inputs)")
+    p.add_argument(
+        "--mode",
+        choices=["perread", "spectrum", "sparse"],
+        default="perread",
+        help=(
+            "per-read dense histograms (.cfrk), one global dense spectrum, "
+            "or a sparse distinct-kmer spectrum for large k (16..31)"
+        ),
+    )
+    p.add_argument("--canonical", action="store_true", help="strand-neutral k-mers")
+    p.add_argument(
+        "--impl",
+        default="auto",
+        choices=["auto", "compare", "matmul", "scatter", "pallas"],
+        help="kernel implementation (auto picks per backend/k)",
+    )
+    p.add_argument("--batch-size", type=int, default=8192, help="reads per device batch")
+    p.add_argument("--max-len", type=int, default=None, help="pad reads to this length")
+    p.add_argument(
+        "--spectrum-format",
+        choices=["cfrk", "tsv", "npy"],
+        default="cfrk",
+        help="spectrum output format (cfrk = single dense row)",
+    )
+    p.add_argument("--stats", action="store_true", help="print a JSON stats line to stderr")
+    return p
+
+
+_FASTA_EXTS = (".fasta", ".fa", ".fna", ".gz")
+
+
+def _split_reference_positionals(args) -> None:
+    """Split ``paths`` into inputs + reference-style trailing positionals
+    ``<out> <k> [nt] [chunkSize]`` (the reference CLI is entirely
+    positional, ``src/main.cu:239-250``, so existing scripts can swap
+    binaries).  The first path is always an input; later paths count as
+    inputs while they look like FASTA files.
+    """
+    paths = list(args.paths)
+    args.inputs = [paths.pop(0)]
+    while paths and paths[0].endswith(_FASTA_EXTS):
+        args.inputs.append(paths.pop(0))
+    if paths and args.output is None and not paths[0].isdigit():
+        args.output = paths.pop(0)
+    if paths and args.k is None:
+        args.k = int(paths.pop(0))
+    if paths:
+        paths.pop(0)  # nt: host copy threads — obsolete, ignored
+    if paths:
+        args.batch_size = int(paths.pop(0))  # chunkSize
+    if paths:
+        raise SystemExit(f"unexpected extra positional arguments: {paths}")
+
+
+def _out_path(inp: str, out_dir: str, mode: str) -> str:
+    base = os.path.basename(inp)
+    for ext in (".gz", ".fasta", ".fa", ".fna"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    suffix = {"perread": ".cfrk", "spectrum": ".spectrum", "sparse": ".kmers.tsv"}[mode]
+    return os.path.join(out_dir, base + suffix)
+
+
+def _write_spectrum(path: str, table: np.ndarray, fmt: str) -> None:
+    if fmt == "npy":
+        np.save(path, table)
+    elif fmt == "tsv":
+        with open(path, "w") as f:
+            for i, c in enumerate(table):
+                f.write(f"{i}\t{int(c)}\n")
+    else:  # cfrk: one dense row, exact reference cell format
+        from .format import format_file_bytes
+
+        with open(path, "wb") as f:
+            f.write(format_file_bytes(table[None, :]))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _split_reference_positionals(args)
+    if args.k is None:
+        raise SystemExit("k is required (positional or -k)")
+    if len(args.inputs) > 1 and not args.out_dir:
+        raise SystemExit("multiple inputs require --out-dir")
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+
+    from .format import CfrkWriter
+    from .pipeline.count import count_file, sparse_spectrum_file, spectrum_file
+
+    total_reads = 0
+    t0 = time.perf_counter()
+    for inp in args.inputs:
+        out = (
+            args.output
+            if (args.output and len(args.inputs) == 1)
+            else _out_path(inp, args.out_dir or ".", args.mode)
+        )
+        if args.mode == "perread":
+            counts = count_file(
+                inp,
+                args.k,
+                canonical=args.canonical,
+                impl=args.impl,
+                batch_size=args.batch_size,
+                max_len=args.max_len,
+            )
+            total_reads += counts.shape[0]
+            with CfrkWriter(out) as w:
+                w.write_batch(counts)
+        elif args.mode == "sparse":
+            from .ops.sparse import decode_key
+
+            table = sparse_spectrum_file(
+                inp,
+                args.k,
+                canonical=args.canonical,
+                batch_size=args.batch_size,
+                max_len=args.max_len,
+            )
+            with open(out, "w") as f:
+                for key in sorted(table):
+                    f.write(f"{decode_key(key, args.k)}\t{table[key]}\n")
+        else:
+            table = spectrum_file(
+                inp,
+                args.k,
+                canonical=args.canonical,
+                impl=args.impl,
+                batch_size=args.batch_size,
+                max_len=args.max_len,
+            )
+            _write_spectrum(out, table, args.spectrum_format)
+    if args.stats:
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "files": len(args.inputs),
+                    "reads": total_reads,
+                    "k": args.k,
+                    "mode": args.mode,
+                    "wall_s": round(dt, 3),
+                }
+            ),
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

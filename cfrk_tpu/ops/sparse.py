@@ -1,0 +1,158 @@
+"""Sparse k-mer spectra for large k (dense 4**k tables impossible).
+
+The reference simply aborted when the dense table exceeded device memory
+(reference ``src/kmer_main.cu:51-56``).  For k up to 31 this module
+represents each k-mer as a ``(hi, lo)`` pair of uint32 words:
+
+    hi = first k-15 bases (<= 16 bases = 32 bits),
+    lo = last 15 bases  (30 bits),
+
+and counts distinct k-mers by SORT + RUN-LENGTH-ENCODE — the TPU-native
+equivalent of a hash table.  TPUs have no efficient random scatter, but
+``lax.sort`` (bitonic, multi-operand lexicographic) runs entirely
+on-chip; run boundaries then segment the sorted key stream into counts.
+This is the "sharded hash table" design of BASELINE.json config 4, with
+sorting playing the hash-bucket role (see parallel/bucket.py for the
+all_to_all device sharding).
+
+Invalid windows (N bases / padding / short reads) carry the sentinel
+``lo = 0xFFFFFFFF`` — unreachable for real windows (lo < 2**30) — and
+sort to the end, so compaction is a static-shape prefix selection.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "MAX_SPARSE_K",
+    "LO_BASES",
+    "INVALID_SENTINEL",
+    "kmer_keys",
+    "sparse_spectrum",
+    "merge_sorted_spectra",
+    "decode_key",
+]
+
+MAX_SPARSE_K = 31
+LO_BASES = 15
+INVALID_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _horner_u32(views):
+    acc = views[0].astype(jnp.uint32)
+    for v in views[1:]:
+        acc = (acc << jnp.uint32(2)) | v.astype(jnp.uint32)
+    return acc
+
+
+@partial(jax.jit, static_argnums=(1, 2), inline=True)
+def kmer_keys(codes: jax.Array, k: int, canonical: bool = False):
+    """All window keys of a padded batch.
+
+    codes: [..., L] int8 → (hi, lo) uint32 arrays of shape [..., L-k+1].
+    Invalid windows have lo == INVALID_SENTINEL (and hi == sentinel too,
+    so sorting by (hi, lo) still pushes them last).
+    """
+    if not 1 <= k <= MAX_SPARSE_K:
+        raise ValueError(f"k must be in [1, {MAX_SPARSE_K}]")
+    length = codes.shape[-1]
+    w = length - k + 1
+    if w <= 0:
+        raise ValueError(f"read length {length} < k={k}")
+    kh = max(k - LO_BASES, 0)  # leading bases in hi (0 for k <= 15)
+
+    c = codes.astype(jnp.int32)
+    views = [jax.lax.slice_in_dim(c, i, i + w, axis=-1) for i in range(k)]
+    valid = views[0] >= 0
+    for v in views[1:]:
+        valid &= v >= 0
+    clamped = [jnp.maximum(v, 0) for v in views]
+
+    def pack(vs):
+        z = jnp.zeros(views[0].shape, dtype=jnp.uint32)
+        return _horner_u32(vs) if vs else z
+
+    hi, lo = pack(clamped[:kh]), pack(clamped[kh:])
+    if canonical:
+        rviews = [3 - v for v in reversed(clamped)]
+        rc_hi, rc_lo = pack(rviews[:kh]), pack(rviews[kh:])
+        fwd_smaller = (hi < rc_hi) | ((hi == rc_hi) & (lo <= rc_lo))
+        hi = jnp.where(fwd_smaller, hi, rc_hi)
+        lo = jnp.where(fwd_smaller, lo, rc_lo)
+    hi = jnp.where(valid, hi, INVALID_SENTINEL)
+    lo = jnp.where(valid, lo, INVALID_SENTINEL)
+    return hi, lo
+
+
+@jax.jit
+def _rle(hi: jax.Array, lo: jax.Array):
+    """Run-length-encode a SORTED key stream.
+
+    Returns (uhi, ulo, counts) of the same length: position i holds a
+    unique key and its count iff it is the first element of its run;
+    other positions carry the sentinel and count 0.  Invalid keys
+    (sentinel) always get count 0.
+    """
+    n = hi.shape[0]
+    first = jnp.ones((n,), dtype=bool).at[1:].set(
+        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    )
+    is_real = lo != INVALID_SENTINEL
+    first &= is_real
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # Count of a run starting at i = (first boundary index > i) - i, where
+    # a boundary is any run start or invalid element.  suffix_min[i] gives
+    # the first boundary index >= i; shift by one for "strictly after".
+    boundary_pos = jnp.where(first | ~is_real, pos, n)
+    suffix_min = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(boundary_pos))
+    )
+    nxt_after = jnp.concatenate([suffix_min[1:], jnp.array([n], jnp.int32)])
+    counts = jnp.where(first, nxt_after - pos, 0).astype(jnp.int32)
+    uhi = jnp.where(first, hi, INVALID_SENTINEL)
+    ulo = jnp.where(first, lo, INVALID_SENTINEL)
+    return uhi, ulo, counts
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def sparse_spectrum(codes: jax.Array, k: int, canonical: bool = False):
+    """Distinct-k-mer counts of a batch, sort-based.
+
+    codes: [B, L] int8 → (hi, lo, counts), each [B*(L-k+1)], sorted by
+    key with unique keys at run starts (see _rle).  Static shapes: the
+    caller compacts/merges on host or feeds the sorted stream onward.
+    """
+    hi, lo = kmer_keys(codes, k, canonical)
+    hi, lo = hi.reshape(-1), lo.reshape(-1)
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    return _rle(hi, lo)
+
+
+def merge_sorted_spectra(parts):
+    """Host-side merge of per-batch sparse spectra into a dict.
+
+    parts: iterable of (hi, lo, counts) NumPy triples from
+    :func:`sparse_spectrum`.  Returns {int_kmer_code: count} with the
+    full k-mer code = hi * 4**LO_BASES + lo.
+    """
+    import numpy as np
+
+    out: dict = {}
+    for hi, lo, counts in parts:
+        mask = counts > 0
+        keys = (hi[mask].astype(np.uint64) << np.uint64(2 * LO_BASES)) | lo[
+            mask
+        ].astype(np.uint64)
+        for key, cnt in zip(keys.tolist(), counts[mask].tolist()):
+            out[key] = out.get(key, 0) + cnt
+    return out
+
+
+def decode_key(key: int, k: int) -> str:
+    """Integer k-mer code → base string (for output/debugging)."""
+    bases = "ACGT"
+    return "".join(bases[(key >> (2 * (k - 1 - i))) & 3] for i in range(k))

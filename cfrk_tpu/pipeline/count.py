@@ -23,7 +23,13 @@ from ..ops.perread import count_perread
 from ..ops.spectrum import spectrum as spectrum_op
 from .batch import iter_batches, round_up
 
-__all__ = ["count_reads", "count_file", "spectrum_file", "write_cfrk"]
+__all__ = [
+    "count_reads",
+    "count_file",
+    "spectrum_file",
+    "sparse_spectrum_file",
+    "write_cfrk",
+]
 
 
 def _plan_shapes(reads: Sequence[np.ndarray], k: int, batch_size: int | None,
@@ -93,6 +99,32 @@ def spectrum_file(
             dtype=np.int64,
         )
     return total
+
+
+def sparse_spectrum_file(
+    path,
+    k: int,
+    *,
+    canonical: bool = False,
+    batch_size: int | None = 8192,
+    max_len: int | None = None,
+) -> dict:
+    """Sparse spectrum of a FASTA file for large k (16..31).
+
+    Returns {int_kmer_code: count}.  Device side sorts + run-length
+    encodes per batch (ops/sparse.py); batches merge on host.
+    """
+    from ..ops.sparse import merge_sorted_spectra, sparse_spectrum
+
+    reads = read_fasta_encoded(path)
+    if not reads:
+        return {}
+    bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+    parts = []
+    for batch in iter_batches(reads, bs, ml):
+        hi, lo, counts = sparse_spectrum(jax.numpy.asarray(batch.codes), k, canonical)
+        parts.append((np.asarray(hi), np.asarray(lo), np.asarray(counts)))
+    return merge_sorted_spectra(parts)
 
 
 def write_cfrk(path, counts: np.ndarray) -> None:

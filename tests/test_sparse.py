@@ -1,0 +1,115 @@
+"""Sparse (large-k) counting: sort + RLE and all_to_all bucket routing.
+
+NumPy oracle: collect window substrings as Python ints and Counter them.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfrk_tpu.ops.reference import canonical_indices_np, window_indices_np
+from cfrk_tpu.ops.sparse import (
+    decode_key,
+    kmer_keys,
+    merge_sorted_spectra,
+    sparse_spectrum,
+)
+from cfrk_tpu.parallel.bucket import sparse_spectrum_sharded
+from cfrk_tpu.parallel.seqpar import make_seq_mesh
+
+
+def _oracle(codes, k, canonical):
+    """{kmer_code: count} over all reads (int codes, invalid excluded)."""
+    out = {}
+    fn = canonical_indices_np if canonical else window_indices_np
+    for row in codes:
+        for v in fn(row, k):
+            if v >= 0:
+                out[int(v)] = out.get(int(v), 0) + 1
+    return out
+
+
+def _batch(rng, b, l, p_invalid=0.03):
+    codes = rng.integers(0, 4, size=(b, l)).astype(np.int8)
+    codes[rng.random(codes.shape) < p_invalid] = -1
+    return codes
+
+
+@pytest.mark.parametrize("k", [3, 15, 16, 31])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_sparse_spectrum_matches_oracle(rng, k, canonical):
+    codes = _batch(rng, 6, 64)
+    parts = [tuple(np.asarray(x) for x in sparse_spectrum(jnp.asarray(codes), k, canonical))]
+    got = merge_sorted_spectra(parts)
+    want = _oracle(codes, k, canonical)
+    assert got == want
+
+
+def test_kmer_keys_sentinel(rng):
+    codes = np.full((2, 40), -1, dtype=np.int8)
+    hi, lo = kmer_keys(jnp.asarray(codes), 31)
+    assert (np.asarray(lo) == 0xFFFFFFFF).all()
+
+
+def test_sparse_spectrum_multibatch_merge(rng):
+    k = 21
+    b1, b2 = _batch(rng, 4, 50), _batch(rng, 3, 80)
+    parts = [
+        tuple(np.asarray(x) for x in sparse_spectrum(jnp.asarray(b, ), k))
+        for b in (b1, b2)
+    ]
+    got = merge_sorted_spectra(parts)
+    want = _oracle(np.concatenate([b1, b2], axis=0) if False else list(b1) + list(b2), k, False)
+    assert got == want
+
+
+def test_decode_key_roundtrip():
+    # ACGT... pattern: code of "ACG" = 0*16 + 1*4 + 2 = 6
+    assert decode_key(6, 3) == "ACG"
+    assert decode_key(0, 5) == "AAAAA"
+
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < N_DEV:
+        pytest.skip(f"need {N_DEV} devices")
+    return make_seq_mesh(devs[:N_DEV])
+
+
+@pytest.mark.parametrize("k,canonical", [(8, False), (21, False), (31, True)])
+def test_sparse_sharded_matches_oracle(rng, mesh, k, canonical):
+    codes = _batch(rng, 2 * N_DEV, 96)
+    hi, lo, counts, overflowed = sparse_spectrum_sharded(
+        jnp.asarray(codes), k, mesh, canonical=canonical
+    )
+    assert not np.asarray(overflowed).any()
+    got = merge_sorted_spectra(
+        [(np.asarray(hi), np.asarray(lo), np.asarray(counts))]
+    )
+    want = _oracle(codes, k, canonical)
+    assert got == want
+
+
+def test_sparse_sharded_globally_sorted(rng, mesh):
+    """Concatenated per-device outputs must be one sorted key stream."""
+    codes = _batch(rng, 2 * N_DEV, 96)
+    hi, lo, counts, _ = sparse_spectrum_sharded(jnp.asarray(codes), 21, mesh)
+    hi, lo, counts = np.asarray(hi), np.asarray(lo), np.asarray(counts)
+    mask = counts > 0
+    full = (hi[mask].astype(np.uint64) << np.uint64(30)) | lo[mask].astype(np.uint64)
+    assert (np.diff(full.astype(np.int64)) > 0).all()
+
+
+def test_sparse_sharded_overflow_flag(rng, mesh):
+    """Pathological skew (all-identical reads) must trip the overflow flag
+    rather than silently undercount."""
+    codes = np.tile(np.arange(4, dtype=np.int8).repeat(24)[None, :96], (2 * N_DEV, 1))
+    hi, lo, counts, overflowed = sparse_spectrum_sharded(
+        jnp.asarray(codes), 21, mesh, slack=0.05
+    )
+    assert np.asarray(overflowed).any()
