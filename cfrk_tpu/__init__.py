@@ -24,6 +24,8 @@ from .ops.perread import count_perread
 from .ops.spectrum import spectrum
 from .pipeline.batch import ReadBatch, iter_batches, pad_reads
 from .pipeline.count import count_file, spectrum_file, write_cfrk
+from .pipeline.stream import stream_count_file, stream_spectrum_file
+from .runtime import RunMetrics, StreamCheckpoint, run_workflow
 from .version import __version__
 
 __all__ = [
@@ -45,4 +47,9 @@ __all__ = [
     "count_file",
     "spectrum_file",
     "write_cfrk",
+    "stream_count_file",
+    "stream_spectrum_file",
+    "RunMetrics",
+    "StreamCheckpoint",
+    "run_workflow",
 ]

@@ -69,6 +69,54 @@ def build_parser() -> argparse.ArgumentParser:
         help="spectrum output format (cfrk = single dense row)",
     )
     p.add_argument("--stats", action="store_true", help="print a JSON stats line to stderr")
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help=(
+            "constant-memory streaming driver with checkpoint/resume "
+            "(for inputs too large to hold in memory)"
+        ),
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume a checkpointed --stream run (implies --stream)",
+    )
+    p.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=1,
+        metavar="N",
+        help="checkpoint every N batches in --stream mode",
+    )
+    p.add_argument(
+        "--max-parallel-tasks",
+        type=int,
+        default=2,
+        metavar="N",
+        help=(
+            "concurrent file tasks for multi-input runs "
+            "(Swift/K maxParallelTasks analog; default 2 as in swift.conf)"
+        ),
+    )
+    p.add_argument(
+        "--retries",
+        type=int,
+        default=0,
+        metavar="N",
+        help="per-file retry count (Swift/K executionRetries analog)",
+    )
+    p.add_argument(
+        "--no-lazy-errors",
+        action="store_true",
+        help="abort the whole run on the first file failure",
+    )
+    p.add_argument(
+        "--provenance",
+        default=None,
+        metavar="PATH",
+        help="append per-task JSONL provenance records (durations, errors)",
+    )
     return p
 
 
@@ -134,6 +182,52 @@ def main(argv=None) -> int:
     from .format import CfrkWriter
     from .pipeline.count import count_file, sparse_spectrum_file, spectrum_file
 
+    if args.resume:
+        args.stream = True
+
+    if len(args.inputs) > 1:
+        # Multi-file run: the Swift/K workflow layer analog
+        # (reference swift/cfrk.swf:14-20), with retries + provenance.
+        from .runtime.workflow import count_one_factory, run_workflow
+
+        pairs = [
+            (inp, _out_path(inp, args.out_dir, args.mode))
+            for inp in args.inputs
+        ]
+        result = run_workflow(
+            pairs,
+            count_one_factory(
+                args.k,
+                mode=args.mode,
+                canonical=args.canonical,
+                impl=args.impl,
+                batch_size=args.batch_size,
+                stream=args.stream,
+                spectrum_format=args.spectrum_format,
+            ),
+            max_parallel_tasks=args.max_parallel_tasks,
+            retries=args.retries,
+            lazy_errors=not args.no_lazy_errors,
+            provenance_path=args.provenance,
+        )
+        if args.stats:
+            print(
+                json.dumps(
+                    {
+                        "files": len(result.tasks),
+                        "failed": len(result.failed),
+                        "reads": sum(t.reads for t in result.tasks),
+                        "k": args.k,
+                        "mode": args.mode,
+                        "wall_s": round(result.wall_s, 3),
+                    }
+                ),
+                file=sys.stderr,
+            )
+        for t in result.failed:
+            print(f"FAILED {t.input}: {t.error}", file=sys.stderr)
+        return 0 if result.ok else 1
+
     total_reads = 0
     t0 = time.perf_counter()
     for inp in args.inputs:
@@ -142,6 +236,29 @@ def main(argv=None) -> int:
             if (args.output and len(args.inputs) == 1)
             else _out_path(inp, args.out_dir or ".", args.mode)
         )
+        if args.stream and args.mode in ("perread", "spectrum"):
+            from .pipeline.stream import stream_count_file, stream_spectrum_file
+
+            if args.mode == "perread":
+                m = stream_count_file(
+                    inp, out, args.k,
+                    canonical=args.canonical, impl=args.impl,
+                    batch_size=args.batch_size, resume=args.resume,
+                    checkpoint_every=args.checkpoint_every,
+                )
+            else:
+                table, m = stream_spectrum_file(
+                    inp, args.k,
+                    canonical=args.canonical, impl=args.impl,
+                    batch_size=args.batch_size, out_path=out,
+                    resume=args.resume,
+                    checkpoint_every=max(args.checkpoint_every, 1),
+                )
+                _write_spectrum(out, table, args.spectrum_format)
+            total_reads += m.reads
+            if args.stats:
+                print(m.json_line(), file=sys.stderr)
+            continue
         if args.mode == "perread":
             counts = count_file(
                 inp,

@@ -79,21 +79,27 @@ class CfrkWriter:
     a newline *before* every row except the first, none at the end.
     """
 
-    def __init__(self, f: IO[bytes] | str):
+    def __init__(self, f: IO[bytes] | str, *, continuing: bool = False):
+        """``continuing=True`` resumes mid-file: rows already exist, so a
+        newline is emitted before the next row (used by checkpoint resume)."""
         if isinstance(f, str):
             self._f: IO[bytes] = open(f, "wb")
             self._owns = True
         else:
             self._f = f
             self._owns = False
-        self._first = True
+        self._first = not continuing
 
     def write_batch(self, counts: np.ndarray) -> None:
-        for row in format_rows(counts):
-            if not self._first:
-                self._f.write(b"\n")
-            self._f.write(row)
-            self._first = False
+        counts = np.asarray(counts)
+        if counts.shape[0] == 0:
+            return
+        # The native C++ formatter (byte-identical, tests/test_native.py)
+        # is ~10x faster than the NumPy string kernels; fall back silently.
+        from .io.native import format_rows_bytes
+
+        self._f.write(format_rows_bytes(counts, first=self._first))
+        self._first = False
 
     def close(self) -> None:
         if self._owns:

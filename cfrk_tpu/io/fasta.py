@@ -34,6 +34,7 @@ __all__ = [
     "encode_seq",
     "decode_codes",
     "iter_fasta",
+    "iter_fasta_encoded",
     "read_fasta",
     "read_fasta_encoded",
 ]
@@ -106,6 +107,19 @@ def read_fasta(path) -> tuple[list[bytes], list[bytes]]:
     return headers, seqs
 
 
+def iter_fasta_encoded(path) -> Iterator[np.ndarray]:
+    """Stream encoded records one at a time (constant memory)."""
+    for _, s in iter_fasta(path):
+        yield encode_seq(s)
+
+
 def read_fasta_encoded(path) -> list[np.ndarray]:
-    """Read and encode all records into a ragged list of int8 code arrays."""
-    return [encode_seq(s) for _, s in iter_fasta(path)]
+    """Read and encode all records into a ragged list of int8 code arrays.
+
+    Dispatches to the native C++ parser when built (byte-identical,
+    pinned by tests/test_native.py)."""
+    from .native import HAVE_NATIVE, read_fasta_encoded_native
+
+    if HAVE_NATIVE:
+        return read_fasta_encoded_native(path)
+    return list(iter_fasta_encoded(path))

@@ -1,0 +1,71 @@
+"""Native (C++) host ingest + output formatting, with pure-Python fallback.
+
+``parse_encode_bytes`` / ``format_rows_bytes`` dispatch to the compiled
+``_fastaio`` extension when present (build: ``python setup.py build_ext
+--inplace`` at the repo root) and otherwise to the NumPy implementations
+in ``cfrk_tpu.io.fasta`` / ``cfrk_tpu.format``.  Both paths are pinned
+byte-identical by tests/test_native.py.
+
+This mirrors the split in the reference, whose ingest and writer were
+plain C (``src/fastaIO.h``, ``src/main.cu:26-62``) while the compute
+core was device code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "HAVE_NATIVE",
+    "parse_encode_bytes",
+    "read_fasta_encoded_native",
+    "format_rows_bytes",
+]
+
+try:
+    from . import _fastaio  # type: ignore[attr-defined]
+
+    HAVE_NATIVE = True
+except ImportError:  # extension not built — pure-Python fallback
+    _fastaio = None
+    HAVE_NATIVE = False
+
+
+def parse_encode_bytes(data: bytes) -> list[np.ndarray]:
+    """Parse a raw (already-decompressed) FASTA buffer into encoded reads."""
+    if _fastaio is not None:
+        codes_b, lens_b = _fastaio.parse_encode(data)
+        codes = np.frombuffer(codes_b, dtype=np.int8)
+        lengths = np.frombuffer(lens_b, dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        return [
+            codes[offsets[i] : offsets[i + 1]] for i in range(len(lengths))
+        ]
+    import io as _io
+
+    from ..fasta import encode_seq, iter_fasta
+
+    return [encode_seq(s) for _, s in iter_fasta(_io.BytesIO(data))]
+
+
+def read_fasta_encoded_native(path) -> list[np.ndarray]:
+    """Read + encode a FASTA file (gzip ok) through the native parser."""
+    from ..fasta import _open_maybe_gzip
+
+    with _open_maybe_gzip(path) as f:
+        return parse_encode_bytes(f.read())
+
+
+def format_rows_bytes(counts: np.ndarray, *, first: bool = True) -> bytes:
+    """Format a ``[n, 4**k]`` count block as `.cfrk` bytes.
+
+    ``first=False`` prefixes a newline (continuation of a started file).
+    """
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    if _fastaio is not None:
+        n_rows, n_cols = counts.shape
+        return _fastaio.format_rows(counts.tobytes(), n_rows, n_cols, first)
+    from ...format import format_rows
+
+    body = b"\n".join(format_rows(counts))
+    return body if first else b"\n" + body

@@ -1,0 +1,185 @@
+/* Native host-side ingest + output formatting for cfrk_tpu.
+ *
+ * TPU-native replacement of the reference's C host layer:
+ *   - FASTA parse + 2-bit encode + flatten: reference src/fastaIO.h:24-71
+ *     (ReadFasta, getline loop), :123-139 (encode LUT), :74-102
+ *     (ProcessData flatten).  One pass over the raw buffer, no
+ *     subprocesses (the reference shelled out to `grep -c ">"`,
+ *     src/fastaIO.h:12-22), no per-line allocations.
+ *   - .cfrk row formatting: reference src/main.cu:26-62 (PrintFreq).
+ *     Dense "idx:count " cells; a hand-rolled u32→ascii emitter avoids
+ *     printf overhead (the reference called fprintf per cell).
+ *
+ * Exposed as a plain CPython extension (no pybind11 in the image; the
+ * CPython C API is the stable, dependency-free binding path).
+ * Byte-for-byte agreement with the pure-Python implementations in
+ * cfrk_tpu/io/fasta.py and cfrk_tpu/format.py is pinned by
+ * tests/test_native.py.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+/* byte -> 2-bit code, -1 for anything not ACGTacgt (identical to the
+ * Python ENCODE_LUT and to reference src/fastaIO.h:123-139). */
+struct EncodeLut {
+  int8_t t[256];
+  EncodeLut() {
+    std::memset(t, -1, sizeof(t));
+    t[(unsigned char)'A'] = t[(unsigned char)'a'] = 0;
+    t[(unsigned char)'C'] = t[(unsigned char)'c'] = 1;
+    t[(unsigned char)'G'] = t[(unsigned char)'g'] = 2;
+    t[(unsigned char)'T'] = t[(unsigned char)'t'] = 3;
+  }
+};
+const EncodeLut kLut;
+
+/* parse_encode(data: bytes) -> (codes: bytes, lengths: bytes)
+ *
+ * codes   = all records' int8 codes concatenated (no separators);
+ * lengths = int64 little-endian per-record lengths, len(records) * 8 bytes.
+ * Headers are dropped (per-read output is positional); multi-line records
+ * are concatenated without interior newlines; blank lines are skipped;
+ * \r\n line endings are handled.
+ */
+PyObject* parse_encode(PyObject*, PyObject* arg) {
+  Py_buffer view;
+  if (PyObject_GetBuffer(arg, &view, PyBUF_SIMPLE) != 0) return nullptr;
+  const unsigned char* p = (const unsigned char*)view.buf;
+  const Py_ssize_t n = view.len;
+
+  std::vector<int8_t> codes;
+  std::vector<int64_t> lengths;
+  codes.reserve((size_t)n);
+  bool in_record = false;
+  int64_t cur_len = 0;
+
+  Py_BEGIN_ALLOW_THREADS
+  Py_ssize_t i = 0;
+  while (i < n) {
+    /* line = [i, eol) */
+    Py_ssize_t eol = i;
+    while (eol < n && p[eol] != '\n') eol++;
+    Py_ssize_t end = eol;
+    if (end > i && p[end - 1] == '\r') end--;
+    if (end > i) {
+      if (p[i] == '>') {
+        if (in_record) lengths.push_back(cur_len);
+        in_record = true;
+        cur_len = 0;
+      } else if (in_record) {
+        for (Py_ssize_t j = i; j < end; j++)
+          codes.push_back(kLut.t[p[j]]);
+        cur_len += end - i;
+      }
+    }
+    i = eol + 1;
+  }
+  if (in_record) lengths.push_back(cur_len);
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&view);
+  PyObject* codes_b =
+      PyBytes_FromStringAndSize((const char*)codes.data(), (Py_ssize_t)codes.size());
+  if (!codes_b) return nullptr;
+  PyObject* lens_b = PyBytes_FromStringAndSize(
+      (const char*)lengths.data(), (Py_ssize_t)(lengths.size() * sizeof(int64_t)));
+  if (!lens_b) {
+    Py_DECREF(codes_b);
+    return nullptr;
+  }
+  PyObject* out = PyTuple_Pack(2, codes_b, lens_b);
+  Py_DECREF(codes_b);
+  Py_DECREF(lens_b);
+  return out;
+}
+
+/* Emit a non-negative integer as ascii into out; returns new end. */
+inline char* emit_u64(char* out, uint64_t v) {
+  char tmp[20];
+  int len = 0;
+  do {
+    tmp[len++] = (char)('0' + v % 10);
+    v /= 10;
+  } while (v);
+  for (int j = len - 1; j >= 0; j--) *out++ = tmp[j];
+  return out;
+}
+
+/* format_rows(counts: bytes/int32-LE, n_rows, n_cols, first) -> bytes
+ *
+ * The exact .cfrk byte contract (reference src/main.cu:26-62 + goldens):
+ * every row is "idx:count " for ALL idx in [0, n_cols), joined by "\n"
+ * with no trailing newline; `first=False` prefixes a "\n" (streaming
+ * continuation of an already-started file).
+ */
+PyObject* format_rows(PyObject*, PyObject* args) {
+  Py_buffer view;
+  Py_ssize_t n_rows, n_cols;
+  int first;
+  if (!PyArg_ParseTuple(args, "y*nnp", &view, &n_rows, &n_cols, &first))
+    return nullptr;
+  if ((Py_ssize_t)(n_rows * n_cols * sizeof(int32_t)) != view.len) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "counts buffer size mismatch");
+    return nullptr;
+  }
+  const int32_t* c = (const int32_t*)view.buf;
+
+  std::vector<char> out;
+  /* "idx:" ≤ 11 chars + count ≤ 10 + space + newline */
+  out.reserve((size_t)n_rows * (size_t)n_cols * 8 + 64);
+
+  Py_BEGIN_ALLOW_THREADS
+  /* Precompute "idx:" prefixes once per call — shared by every row. */
+  std::vector<char> prefixes;
+  std::vector<uint32_t> pref_off(n_cols + 1, 0);
+  {
+    char buf[24];
+    for (Py_ssize_t j = 0; j < n_cols; j++) {
+      char* e = emit_u64(buf, (uint64_t)j);
+      *e++ = ':';
+      pref_off[j + 1] = pref_off[j] + (uint32_t)(e - buf);
+      prefixes.insert(prefixes.end(), buf, e);
+    }
+  }
+  char num[24];
+  for (Py_ssize_t r = 0; r < n_rows; r++) {
+    if (r > 0 || !first) out.push_back('\n');
+    const int32_t* row = c + r * n_cols;
+    for (Py_ssize_t j = 0; j < n_cols; j++) {
+      out.insert(out.end(), prefixes.begin() + pref_off[j],
+                 prefixes.begin() + pref_off[j + 1]);
+      char* e = emit_u64(num, (uint64_t)(uint32_t)row[j]);
+      *e++ = ' ';
+      out.insert(out.end(), num, e);
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&view);
+  return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
+}
+
+PyMethodDef kMethods[] = {
+    {"parse_encode", parse_encode, METH_O,
+     "parse_encode(fasta_bytes) -> (codes_int8_bytes, lengths_int64le_bytes)"},
+    {"format_rows", format_rows, METH_VARARGS,
+     "format_rows(counts_int32le, n_rows, n_cols, first) -> cfrk bytes"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef kModule = {
+    PyModuleDef_HEAD_INIT, "_fastaio",
+    "Native FASTA ingest + .cfrk formatting", -1, kMethods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__fastaio(void) { return PyModule_Create(&kModule); }

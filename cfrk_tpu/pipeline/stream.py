@@ -1,0 +1,240 @@
+"""Constant-memory streaming driver: FASTA of any size → `.cfrk` / spectrum.
+
+The in-memory driver (pipeline/count.py) holds every read; this one holds
+at most a few batches, for assembly-scale runs (BASELINE.json config 5,
+≥100M reads).  It is the TPU-native replacement for the reference's
+chunk machinery (``src/main.cu:160-230``: SelectChunk + pthread fan-out +
+per-thread streams), restructured around XLA's execution model:
+
+* **one compiled executable per shape bucket** — each batch is padded to
+  a geometric length bucket (128·2^j), so a whole run touches only a
+  handful of shapes and every batch after the first reuses a cached
+  executable (the reference re-derived grid configs per chunk,
+  ``src/kmer_main.cu:66-97``);
+* **parse/compute overlap** — a background thread parses and packs the
+  next batches into a bounded queue while the device runs (the
+  reference used 12 OpenMP host threads for chunk copies,
+  ``src/main.cu:186-190``; here one thread suffices because packing is
+  NumPy-vectorised and XLA's dispatch is async);
+* **bounded device queue** — results are materialised two batches behind
+  enqueue, keeping the device busy without unbounded live buffers
+  (replaces per-thread CUDA default streams, ``src/Makefile:3``);
+* **checkpoint/resume** after every flushed batch (runtime/checkpoint.py)
+  — absent from the reference, whose restart unit was a whole shard.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from ..format import CfrkWriter
+from ..io.fasta import iter_fasta_encoded
+from ..ops.perread import count_perread
+from ..ops.spectrum import spectrum as spectrum_op
+from ..runtime.checkpoint import StreamCheckpoint, checkpoint_path
+from ..runtime.metrics import RunMetrics
+from .batch import ReadBatch, pad_reads
+
+__all__ = ["stream_batches", "stream_count_file", "stream_spectrum_file"]
+
+_SENTINEL = None
+
+
+def _len_bucket(n: int, base: int = 128) -> int:
+    """Smallest 128·2^j ≥ n: bounds the set of compiled shapes to O(log L)."""
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
+def stream_batches(
+    path,
+    k: int,
+    batch_size: int,
+    *,
+    skip_reads: int = 0,
+    len_base: int = 128,
+) -> Iterator[ReadBatch]:
+    """Stream fixed-shape batches from a FASTA file, preserving read order.
+
+    Each batch is padded to the geometric length bucket of its longest
+    read.  ``skip_reads`` drops that many leading records (checkpoint
+    resume re-streams the input — correct for gzip, costs only parse
+    time, which is overlapped).
+    """
+    buf: list[np.ndarray] = []
+    for i, codes in enumerate(iter_fasta_encoded(path)):
+        if i < skip_reads:
+            continue
+        buf.append(codes)
+        if len(buf) == batch_size:
+            longest = max(max(len(r) for r in buf), k)
+            yield pad_reads(buf, batch_size, _len_bucket(longest, len_base))
+            buf = []
+    if buf:
+        longest = max(max(len(r) for r in buf), k)
+        # Tail batch: keep the full batch_size shape so it hits the same
+        # compiled executable as every other batch of its length bucket.
+        yield pad_reads(buf, batch_size, _len_bucket(longest, len_base))
+
+
+def _batch_feeder(gen: Iterator[ReadBatch], q: queue.Queue, err: list) -> None:
+    try:
+        for b in gen:
+            q.put(b)
+    except BaseException as e:  # surface parser errors in the consumer
+        err.append(e)
+    finally:
+        q.put(_SENTINEL)
+
+
+def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]:
+    """Run ``gen`` in a background thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    err: list = []
+    t = threading.Thread(target=_batch_feeder, args=(gen, q, err), daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def stream_count_file(
+    path,
+    out_path,
+    k: int,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+    batch_size: int = 8192,
+    resume: bool = False,
+    checkpoint_every: int = 1,
+    metrics: RunMetrics | None = None,
+) -> RunMetrics:
+    """Stream a FASTA file into a `.cfrk` file with bounded memory.
+
+    Checkpoints after every ``checkpoint_every`` flushed batches; with
+    ``resume=True`` a matching checkpoint restarts the run where it
+    stopped.  The checkpoint sidecar is removed on successful completion.
+    """
+    m = metrics or RunMetrics(k=k, mode="perread")
+    fp = StreamCheckpoint.fingerprint_of(path, k, "perread", canonical)
+    cpath = checkpoint_path(out_path)
+
+    ckpt = StreamCheckpoint(fingerprint=fp)
+    if resume and os.path.exists(cpath):
+        prev = StreamCheckpoint.load(cpath)
+        if prev.matches(fp):
+            ckpt = prev
+
+    mode = "r+b" if (ckpt.reads_done and os.path.exists(out_path)) else "wb"
+    with open(out_path, mode) as f:
+        if ckpt.reads_done:
+            f.truncate(ckpt.out_bytes)  # drop any torn tail
+            f.seek(ckpt.out_bytes)
+        w = CfrkWriter(f, continuing=ckpt.reads_done > 0)
+
+        gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
+        pending: list[tuple[int, jax.Array]] = []
+        since_ckpt = 0
+
+        def drain_one() -> None:
+            nonlocal since_ckpt
+            n, dev_counts = pending.pop(0)
+            with m.stage("materialize"):
+                counts = np.asarray(dev_counts)[:n]
+            with m.stage("write"):
+                w.write_batch(counts)
+            ckpt.reads_done += n
+            since_ckpt += 1
+            if since_ckpt >= checkpoint_every:
+                with m.stage("checkpoint"):
+                    f.flush()
+                    ckpt.out_bytes = f.tell()
+                    ckpt.save(cpath)
+                since_ckpt = 0
+
+        for batch in _prefetched(gen):
+            with m.stage("dispatch"):
+                dev = count_perread(
+                    jax.numpy.asarray(batch.codes), k,
+                    canonical=canonical, impl=impl,
+                )
+            pending.append((batch.n_reads, dev))
+            m.batches += 1
+            m.reads += batch.n_reads
+            m.bases += int(batch.lengths.sum())
+            if len(pending) > 2:
+                drain_one()
+        while pending:
+            drain_one()
+
+    if os.path.exists(cpath):
+        ckpt.cleanup(cpath)
+    return m
+
+
+def stream_spectrum_file(
+    path,
+    k: int,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+    batch_size: int = 8192,
+    out_path=None,
+    resume: bool = False,
+    checkpoint_every: int = 16,
+    metrics: RunMetrics | None = None,
+) -> tuple[np.ndarray, RunMetrics]:
+    """Stream a FASTA file into one global dense spectrum [4**k] int64.
+
+    The accumulator lives on device (int64 add per batch) and is pulled to
+    host only at checkpoints and at the end.  ``out_path`` is only used to
+    place the checkpoint sidecar; pass the eventual output path.
+    """
+    m = metrics or RunMetrics(k=k, mode="spectrum")
+    fp = StreamCheckpoint.fingerprint_of(path, k, "spectrum", canonical)
+    cpath = checkpoint_path(out_path) if out_path else None
+
+    ckpt = StreamCheckpoint(fingerprint=fp)
+    total = np.zeros(4**k, dtype=np.int64)
+    if resume and cpath and os.path.exists(cpath):
+        prev = StreamCheckpoint.load(cpath)
+        if prev.matches(fp):
+            ckpt = prev
+            total = ckpt.load_spectrum()
+
+    gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
+    since_ckpt = 0
+    for batch in _prefetched(gen):
+        with m.stage("dispatch"):
+            part = spectrum_op(
+                jax.numpy.asarray(batch.codes), k, canonical=canonical, impl=impl
+            )
+        with m.stage("materialize"):
+            total += np.asarray(part, dtype=np.int64)
+        m.batches += 1
+        m.reads += batch.n_reads
+        m.bases += int(batch.lengths.sum())
+        ckpt.reads_done += batch.n_reads
+        since_ckpt += 1
+        if cpath and since_ckpt >= checkpoint_every:
+            with m.stage("checkpoint"):
+                ckpt.save_spectrum(cpath, total)
+                ckpt.save(cpath)
+            since_ckpt = 0
+
+    if cpath and os.path.exists(cpath):
+        ckpt.cleanup(cpath)
+    return total, m

@@ -1,0 +1,91 @@
+"""Checkpoint / resume for streaming counting runs.
+
+The reference has NO checkpointing — its restart granularity is a whole
+FASTA shard re-run through Swift/K (``swift/swift.conf:137``
+``executionRetries=0``; SURVEY.md §5).  For assembly-scale streaming runs
+(≥100M reads, BASELINE.json config 5) that is hours of lost work, so the
+streaming driver checkpoints after every flushed batch:
+
+* the checkpoint is a small JSON sidecar written atomically
+  (tmp + ``os.replace``), holding the run config fingerprint, the number
+  of reads fully written, and the exact output byte offset;
+* resume validates the fingerprint, truncates the output file to the
+  recorded offset (dropping any torn tail from a mid-batch crash), and
+  skips the already-processed reads while re-streaming the input;
+* spectrum-mode runs additionally persist the partial accumulator as
+  ``.npy`` next to the checkpoint.
+
+Input re-streaming (rather than seeking) keeps resume correct for gzip
+inputs and costs only parse time, which is overlapped anyway.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+__all__ = ["StreamCheckpoint", "checkpoint_path"]
+
+
+def checkpoint_path(out_path: str | os.PathLike) -> str:
+    return str(out_path) + ".ckpt.json"
+
+
+@dataclasses.dataclass
+class StreamCheckpoint:
+    """State of a partially-completed streaming run."""
+
+    fingerprint: dict
+    reads_done: int = 0
+    out_bytes: int = 0
+    spectrum_path: str | None = None
+
+    @staticmethod
+    def fingerprint_of(input_path, k: int, mode: str, canonical: bool) -> dict:
+        st = os.stat(input_path)
+        return {
+            "input": os.path.abspath(str(input_path)),
+            "input_size": st.st_size,
+            "input_mtime": int(st.st_mtime),
+            "k": k,
+            "mode": mode,
+            "canonical": bool(canonical),
+        }
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dataclasses.asdict(self), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    @staticmethod
+    def load(path: str) -> "StreamCheckpoint":
+        with open(path) as f:
+            return StreamCheckpoint(**json.load(f))
+
+    def matches(self, fingerprint: dict) -> bool:
+        return self.fingerprint == fingerprint
+
+    # -- spectrum accumulator sidecar ------------------------------------
+    def save_spectrum(self, ckpt_path: str, table: np.ndarray) -> None:
+        spath = ckpt_path + ".spectrum.npy"
+        tmp = spath + ".tmp.npy"
+        np.save(tmp, table)
+        os.replace(tmp, spath)
+        self.spectrum_path = spath
+
+    def load_spectrum(self) -> np.ndarray:
+        if not self.spectrum_path:
+            raise ValueError("checkpoint has no spectrum accumulator")
+        return np.load(self.spectrum_path)
+
+    def cleanup(self, ckpt_path: str) -> None:
+        """Remove checkpoint files after a successful run."""
+        for p in (ckpt_path, self.spectrum_path):
+            if p and os.path.exists(p):
+                os.remove(p)

@@ -1,0 +1,89 @@
+"""Per-stage timing and throughput metrics.
+
+The reference had no in-process observability at all: its wall-clock
+hooks are commented out (reference ``src/main.cu:259-268,302-306``) and
+the only measurement tooling was the Swift provenance sqlite queried for
+per-shard durations (``swift/query.sh:3``).  BASELINE.json demands
+bases/sec/chip and per-stage breakdowns, so this module makes them
+first-class: every pipeline stage records into a :class:`RunMetrics`
+that can be emitted as one JSON line.
+
+Device time is measured by bracketing with ``block_until_ready`` only at
+batch granularity, so XLA's async dispatch (host parse overlapping device
+compute) is preserved; the "device" stage therefore reports *exposed*
+device time, which is the number that matters for throughput.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from contextlib import contextmanager
+
+__all__ = ["RunMetrics", "StageTimer"]
+
+
+@dataclasses.dataclass
+class RunMetrics:
+    """Counters + per-stage wall times for one counting run."""
+
+    reads: int = 0
+    bases: int = 0
+    batches: int = 0
+    k: int = 0
+    mode: str = ""
+    stages: dict = dataclasses.field(default_factory=dict)
+    _t0: float = dataclasses.field(default_factory=time.perf_counter)
+
+    @contextmanager
+    def stage(self, name: str):
+        """Accumulate wall time under ``stages[name]``."""
+        t = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stages[name] = self.stages.get(name, 0.0) + (
+                time.perf_counter() - t
+            )
+
+    @property
+    def wall_s(self) -> float:
+        return time.perf_counter() - self._t0
+
+    @property
+    def bases_per_sec(self) -> float:
+        w = self.wall_s
+        return self.bases / w if w > 0 else 0.0
+
+    def to_dict(self) -> dict:
+        return {
+            "reads": self.reads,
+            "bases": self.bases,
+            "batches": self.batches,
+            "k": self.k,
+            "mode": self.mode,
+            "wall_s": round(self.wall_s, 4),
+            "bases_per_sec": round(self.bases_per_sec, 1),
+            "stages_s": {n: round(t, 4) for n, t in sorted(self.stages.items())},
+        }
+
+    def json_line(self) -> str:
+        return json.dumps(self.to_dict())
+
+
+class StageTimer:
+    """Standalone accumulating timer (for call sites without a RunMetrics)."""
+
+    def __init__(self) -> None:
+        self.total = 0.0
+        self.count = 0
+
+    @contextmanager
+    def __call__(self):
+        t = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.total += time.perf_counter() - t
+            self.count += 1

@@ -1,0 +1,216 @@
+"""Multi-file workflow orchestration — the Swift/K layer, TPU-native.
+
+The reference scaled out by fanning independent `cfrk` processes over
+FASTA shards with a Swift/K script (``swift/cfrk.swf:14-20``) configured
+for ``maxParallelTasks=2``, ``executionRetries=0``, ``lazyErrors=true``
+(``swift/swift.conf:27,137,41``), and measured runs only through Swift's
+provenance sqlite (``swift/provenance.sh``, ``swift/query.sh:3`` —
+``select script_run_id, duration``).
+
+Here one process owns the TPU chip, so file-level parallelism is a
+thread pool: device work naturally serialises on the XLA stream while
+host parse/format/write of other files overlaps it.  Each task gets
+Swift-style retries and lazy-error semantics, and every attempt is
+appended to a JSONL provenance log with its duration — the sqlite
+analog, queryable via :func:`query_provenance`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+
+__all__ = [
+    "WorkflowTask",
+    "WorkflowResult",
+    "run_workflow",
+    "query_provenance",
+]
+
+
+@dataclasses.dataclass
+class WorkflowTask:
+    """One input→output unit (a Swift/K ``app CFRK`` invocation analog)."""
+
+    input: str
+    output: str
+    ok: bool = False
+    attempts: int = 0
+    duration_s: float = 0.0
+    reads: int = 0
+    error: str | None = None
+
+
+@dataclasses.dataclass
+class WorkflowResult:
+    tasks: list
+    wall_s: float
+
+    @property
+    def ok(self) -> bool:
+        return all(t.ok for t in self.tasks)
+
+    @property
+    def failed(self) -> list:
+        return [t for t in self.tasks if not t.ok]
+
+
+class _Provenance:
+    """Append-only JSONL provenance log (thread-safe)."""
+
+    def __init__(self, path: str | None):
+        self._path = path
+        self._lock = threading.Lock()
+
+    def record(self, task: WorkflowTask, attempt: int, ok: bool,
+               duration_s: float, error: str | None) -> None:
+        if not self._path:
+            return
+        line = json.dumps({
+            "ts": time.time(),
+            "input": task.input,
+            "output": task.output,
+            "attempt": attempt,
+            "ok": ok,
+            "duration_s": round(duration_s, 4),
+            "error": error,
+        })
+        with self._lock:
+            with open(self._path, "a") as f:
+                f.write(line + "\n")
+
+
+def query_provenance(path: str) -> list[dict]:
+    """All recorded attempts with durations (``swift/query.sh:3`` analog)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+def run_workflow(
+    pairs: list[tuple[str, str]],
+    count_one,
+    *,
+    max_parallel_tasks: int = 2,
+    retries: int = 0,
+    lazy_errors: bool = True,
+    provenance_path: str | None = None,
+) -> WorkflowResult:
+    """Run ``count_one(input, output) -> n_reads`` over many file pairs.
+
+    max_parallel_tasks: concurrent tasks (Swift/K ``maxParallelTasks``).
+    retries:            re-attempts per failed task (``executionRetries``).
+    lazy_errors:        keep going after failures, report at the end
+                        (``lazyErrors``); False raises on first failure.
+    provenance_path:    JSONL log of every attempt with duration.
+    """
+    prov = _Provenance(provenance_path)
+    tasks = [WorkflowTask(input=str(i), output=str(o)) for i, o in pairs]
+    t_start = time.perf_counter()
+    abort = threading.Event()
+
+    def run_task(task: WorkflowTask) -> None:
+        for attempt in range(retries + 1):
+            if abort.is_set():
+                task.error = "aborted"
+                return
+            task.attempts = attempt + 1
+            t0 = time.perf_counter()
+            try:
+                task.reads = int(count_one(task.input, task.output) or 0)
+                task.duration_s = time.perf_counter() - t0
+                task.ok = True
+                prov.record(task, attempt, True, task.duration_s, None)
+                return
+            except Exception:
+                dt = time.perf_counter() - t0
+                task.duration_s = dt
+                task.error = traceback.format_exc(limit=8)
+                prov.record(task, attempt, False, dt, task.error)
+        if not lazy_errors:
+            abort.set()
+
+    with ThreadPoolExecutor(max_workers=max(1, max_parallel_tasks)) as ex:
+        list(ex.map(run_task, tasks))
+
+    result = WorkflowResult(tasks=tasks, wall_s=time.perf_counter() - t_start)
+    if not lazy_errors and not result.ok:
+        first = result.failed[0]
+        raise RuntimeError(
+            f"workflow task failed ({first.input}):\n{first.error}"
+        )
+    return result
+
+
+def count_one_factory(
+    k: int,
+    *,
+    mode: str = "perread",
+    canonical: bool = False,
+    impl: str = "auto",
+    batch_size: int = 8192,
+    stream: bool = False,
+    spectrum_format: str = "cfrk",
+):
+    """Build a ``count_one(input, output)`` callable for :func:`run_workflow`
+    from CLI-level options (shared by the CLI and programmatic users)."""
+
+    def count_one(inp: str, out: str) -> int:
+        if mode == "perread":
+            if stream:
+                from ..pipeline.stream import stream_count_file
+
+                m = stream_count_file(
+                    inp, out, k, canonical=canonical, impl=impl,
+                    batch_size=batch_size,
+                )
+                return m.reads
+            from ..format import CfrkWriter
+            from ..pipeline.count import count_file
+
+            counts = count_file(
+                inp, k, canonical=canonical, impl=impl, batch_size=batch_size
+            )
+            with CfrkWriter(out) as w:
+                w.write_batch(counts)
+            return counts.shape[0]
+        if mode == "sparse":
+            from ..ops.sparse import decode_key
+            from ..pipeline.count import sparse_spectrum_file
+
+            table = sparse_spectrum_file(
+                inp, k, canonical=canonical, batch_size=batch_size
+            )
+            with open(out, "w") as f:
+                for key in sorted(table):
+                    f.write(f"{decode_key(key, k)}\t{table[key]}\n")
+            return len(table)
+        # spectrum
+        if stream:
+            from ..pipeline.stream import stream_spectrum_file
+
+            table, m = stream_spectrum_file(
+                inp, k, canonical=canonical, impl=impl,
+                batch_size=batch_size, out_path=out,
+            )
+            n = m.reads
+        else:
+            from ..pipeline.count import spectrum_file
+
+            table = spectrum_file(
+                inp, k, canonical=canonical, impl=impl, batch_size=batch_size
+            )
+            n = -1
+        from ..cli import _write_spectrum
+
+        _write_spectrum(out, table, spectrum_format)
+        return n
+
+    return count_one

@@ -1,0 +1,218 @@
+"""Streaming driver: equality with the in-memory path, checkpoint/resume,
+shape-bucket reuse, and byte-exact golden parity through the stream path."""
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from cfrk_tpu.format import parse_cfrk
+from cfrk_tpu.io.fasta import decode_codes
+from cfrk_tpu.pipeline.count import count_reads, spectrum_file
+from cfrk_tpu.pipeline.stream import (
+    _len_bucket,
+    stream_batches,
+    stream_count_file,
+    stream_spectrum_file,
+)
+from cfrk_tpu.runtime.checkpoint import StreamCheckpoint, checkpoint_path
+
+DATA = Path(__file__).parent / "data"
+MANIFEST = json.loads((DATA / "goldens.json").read_text())
+
+
+def _write_fasta(path, reads):
+    with open(path, "wb") as f:
+        for i, codes in enumerate(reads):
+            f.write(b">r%d\n" % i)
+            f.write(decode_codes(np.asarray(codes, dtype=np.int8)) + b"\n")
+
+
+def _random_reads(n, rng, lo=20, hi=300, n_frac=0.02):
+    reads = []
+    for _ in range(n):
+        ln = int(rng.integers(lo, hi))
+        r = rng.integers(0, 4, size=ln).astype(np.int8)
+        r[rng.random(ln) < n_frac] = -1
+        reads.append(r)
+    return reads
+
+
+def test_len_bucket_geometric():
+    assert _len_bucket(1) == 128
+    assert _len_bucket(128) == 128
+    assert _len_bucket(129) == 256
+    assert _len_bucket(1000) == 1024
+
+
+def test_stream_batches_order_and_shapes(tmp_path):
+    rng = np.random.default_rng(0)
+    reads = _random_reads(25, rng)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    batches = list(stream_batches(fasta, k=4, batch_size=8))
+    assert [b.n_reads for b in batches] == [8, 8, 8, 1]
+    # Every batch keeps the full batch_size rows (executable reuse).
+    assert all(b.codes.shape[0] == 8 for b in batches)
+    # Order is preserved across batches.
+    flat = [
+        b.codes[i, : b.lengths[i]]
+        for b in batches
+        for i in range(b.n_reads)
+    ]
+    for got, want in zip(flat, reads):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_stream_count_matches_inmemory(tmp_path):
+    rng = np.random.default_rng(1)
+    reads = _random_reads(40, rng)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.cfrk"
+    _write_fasta(fasta, reads)
+    k = 4
+    m = stream_count_file(fasta, out, k, batch_size=16)
+    assert m.reads == 40 and m.batches == 3
+    got = parse_cfrk(out.read_bytes())
+    want = count_reads(reads, k)
+    np.testing.assert_array_equal(got, want)
+    # Checkpoint sidecar removed on success.
+    assert not os.path.exists(checkpoint_path(out))
+
+
+def test_stream_golden_byte_exact(tmp_path):
+    """The stream path reproduces the reference goldens byte-for-byte."""
+    name, meta = sorted(MANIFEST["files"].items())[1]  # seq2: 710 reads
+    out = tmp_path / "g.cfrk"
+    stream_count_file(DATA / name, out, MANIFEST["k"], batch_size=128)
+    assert hashlib.sha256(out.read_bytes()).hexdigest() == meta["sha256"]
+
+
+def test_stream_resume_midway(tmp_path):
+    """Kill after a prefix of batches; resume completes identically."""
+    rng = np.random.default_rng(2)
+    reads = _random_reads(50, rng)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.cfrk"
+    _write_fasta(fasta, reads)
+    k = 3
+
+    # Simulate an interrupted run: stream only the first 2 batches by hand.
+    full = tmp_path / "full.cfrk"
+    stream_count_file(fasta, full, k, batch_size=16)
+    want = full.read_bytes()
+
+    from cfrk_tpu.format import CfrkWriter
+    from cfrk_tpu.pipeline.count import count_reads as _cr
+
+    prefix_reads = reads[:32]
+    with open(out, "wb") as f:
+        w = CfrkWriter(f)
+        w.write_batch(_cr(prefix_reads, k, batch_size=16))
+        f.flush()
+        nbytes = f.tell()
+        # Torn tail: garbage after the checkpointed offset must be dropped.
+        f.write(b"GARBAGE")
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(fasta, k, "perread", False),
+        reads_done=32,
+        out_bytes=nbytes,
+    )
+    ckpt.save(checkpoint_path(out))
+
+    m = stream_count_file(fasta, out, k, batch_size=16, resume=True)
+    assert m.reads == 18  # only the remaining reads were processed
+    assert out.read_bytes() == want
+    assert not os.path.exists(checkpoint_path(out))
+
+
+def test_stream_resume_rejects_stale_checkpoint(tmp_path):
+    """A checkpoint for a different config restarts from scratch."""
+    rng = np.random.default_rng(3)
+    reads = _random_reads(10, rng)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.cfrk"
+    _write_fasta(fasta, reads)
+    stale = StreamCheckpoint(
+        fingerprint={"input": "other", "k": 9, "mode": "perread",
+                     "canonical": False, "input_size": 0, "input_mtime": 0},
+        reads_done=5,
+        out_bytes=123,
+    )
+    stale.save(checkpoint_path(out))
+    m = stream_count_file(fasta, out, 3, batch_size=4, resume=True)
+    assert m.reads == 10  # full run, stale checkpoint ignored
+    got = parse_cfrk(out.read_bytes())
+    np.testing.assert_array_equal(got, count_reads(reads, 3))
+
+
+def test_stream_spectrum_matches_inmemory(tmp_path):
+    rng = np.random.default_rng(4)
+    reads = _random_reads(30, rng)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    k = 5
+    table, m = stream_spectrum_file(fasta, k, batch_size=8)
+    want = spectrum_file(fasta, k)
+    np.testing.assert_array_equal(table, want)
+    assert m.reads == 30
+
+
+def test_stream_spectrum_resume(tmp_path):
+    rng = np.random.default_rng(5)
+    reads = _random_reads(24, rng)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.spectrum"
+    _write_fasta(fasta, reads)
+    k = 4
+    want, _ = stream_spectrum_file(fasta, k, batch_size=8)
+
+    # Interrupted run: accumulator for the first 2 of 3 batches.
+    from cfrk_tpu.pipeline.count import count_reads as _cr
+
+    acc = _cr(reads[:16], k).sum(axis=0).astype(np.int64)
+    cpath = checkpoint_path(out)
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(fasta, k, "spectrum", False),
+        reads_done=16,
+    )
+    ckpt.save_spectrum(cpath, acc)
+    ckpt.save(cpath)
+
+    table, m = stream_spectrum_file(
+        fasta, k, batch_size=8, out_path=out, resume=True
+    )
+    assert m.reads == 8
+    np.testing.assert_array_equal(table, want)
+
+
+def test_metrics_json_line(tmp_path):
+    rng = np.random.default_rng(6)
+    reads = _random_reads(5, rng)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.cfrk"
+    _write_fasta(fasta, reads)
+    m = stream_count_file(fasta, out, 2, batch_size=4)
+    d = json.loads(m.json_line())
+    assert d["reads"] == 5
+    assert d["bases"] == sum(len(r) for r in reads)
+    assert d["bases_per_sec"] > 0
+    assert "dispatch" in d["stages_s"] and "write" in d["stages_s"]
+
+
+def test_cli_stream_flag(tmp_path):
+    rng = np.random.default_rng(7)
+    reads = _random_reads(12, rng)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.cfrk"
+    _write_fasta(fasta, reads)
+    from cfrk_tpu.cli import main
+
+    rc = main([str(fasta), "-k", "3", "-o", str(out), "--stream",
+               "--batch-size", "4"])
+    assert rc == 0
+    got = parse_cfrk(out.read_bytes())
+    np.testing.assert_array_equal(got, count_reads(reads, 3))

@@ -1,0 +1,101 @@
+"""Scaling-efficiency harness (BASELINE.json: "scaling eff. @ N hosts").
+
+Weak-scaling sweep of the sharded per-read and global-spectrum paths:
+for each device count n in a doubling ladder, run a fixed per-device
+workload over an n-device (dp) mesh and report reads/s plus parallel
+efficiency vs n=1.
+
+On real multi-chip hardware this measures true ICI scaling.  On a single
+host it can still exercise the full SPMD code path via the virtual CPU
+mesh (run with XLA_FLAGS=--xla_force_host_platform_device_count=8); the
+efficiency numbers are then compile-path validation, not performance —
+all virtual devices share the same cores.
+
+Usage:
+    python tools/scaling_bench.py [--k 8] [--reads-per-device 2048]
+        [--read-len 150] [--mode perread|spectrum] [--cpu]
+
+Prints one JSON line per mesh size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--reads-per-device", type=int, default=2048)
+    ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--mode", choices=["perread", "spectrum"], default="perread")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the virtual CPU mesh (8 devices)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from cfrk_tpu.parallel import (
+        count_perread_sharded,
+        make_mesh,
+        shard_batch,
+        spectrum_sharded,
+    )
+
+    devices = jax.devices()
+    ladder = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+    rng = np.random.default_rng(0)
+    base = None
+
+    for n in ladder:
+        mesh = make_mesh(devices[:n])
+        b = args.reads_per_device * n
+        codes = rng.integers(0, 4, size=(b, args.read_len)).astype(np.int8)
+        batch = shard_batch(jax.numpy.asarray(codes), mesh)
+
+        def step(batch=batch, mesh=mesh):
+            if args.mode == "perread":
+                out = count_perread_sharded(batch, args.k, mesh)
+            else:
+                out = spectrum_sharded(batch, args.k, mesh)
+            # Scalar fetch = honest sync (see bench.py measurement notes).
+            return int(jax.numpy.sum(out & 3))
+
+        step()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            checksum = step()
+        dt = (time.perf_counter() - t0) / args.steps
+        reads_per_s = b / dt
+        if base is None:
+            base = reads_per_s
+        eff = reads_per_s / (base * n)
+        print(json.dumps({
+            "devices": n,
+            "mode": args.mode,
+            "k": args.k,
+            "reads": b,
+            "reads_per_s": round(reads_per_s, 1),
+            "efficiency_vs_1dev": round(eff, 4),
+            "checksum": checksum,
+        }))
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
