@@ -1,0 +1,26 @@
+# Convenience targets (the reference built with src/Makefile; here the
+# native extension is optional and everything else is pure Python).
+
+PY ?= python
+
+.PHONY: all ext test test-fast bench scaling clean
+
+all: ext
+
+ext:
+	$(PY) setup.py build_ext --inplace
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -k "not pallas"
+
+bench:
+	$(PY) bench.py
+
+scaling:
+	$(PY) tools/scaling_bench.py --cpu
+
+clean:
+	rm -rf build cfrk_tpu/io/native/*.so __pycache__ .pytest_cache

@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--canonical", action="store_true", help="strand-neutral k-mers")
     p.add_argument(
+        "--nonzero",
+        action="store_true",
+        help=(
+            "per-read rows list only nonzero idx:count cells (the "
+            "reference's commented-out zero filter, src/main.cu:51-56)"
+        ),
+    )
+    p.add_argument(
         "--impl",
         default="auto",
         choices=["auto", "compare", "matmul", "scatter", "pallas"],
@@ -117,6 +125,15 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="PATH",
         help="append per-task JSONL provenance records (durations, errors)",
     )
+    p.add_argument(
+        "--config",
+        default=None,
+        metavar="PATH",
+        help=(
+            "JSON config supplying flag defaults (argv wins); cfrk.json "
+            "in the cwd is auto-discovered — the swift.conf analog"
+        ),
+    )
     return p
 
 
@@ -170,7 +187,11 @@ def _write_spectrum(path: str, table: np.ndarray, fmt: str) -> None:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    from .runtime.config import apply_config, load_config
+
+    apply_config(args, load_config(args.config), parser)
     _split_reference_positionals(args)
     if args.k is None:
         raise SystemExit("k is required (positional or -k)")
@@ -245,6 +266,7 @@ def main(argv=None) -> int:
                     canonical=args.canonical, impl=args.impl,
                     batch_size=args.batch_size, resume=args.resume,
                     checkpoint_every=args.checkpoint_every,
+                    nonzero=args.nonzero,
                 )
             else:
                 table, m = stream_spectrum_file(
@@ -269,7 +291,7 @@ def main(argv=None) -> int:
                 max_len=args.max_len,
             )
             total_reads += counts.shape[0]
-            with CfrkWriter(out) as w:
+            with CfrkWriter(out, nonzero=args.nonzero) as w:
                 w.write_batch(counts)
         elif args.mode == "sparse":
             from .ops.sparse import decode_key

@@ -26,7 +26,13 @@ from typing import IO, Iterable
 
 import numpy as np
 
-__all__ = ["format_rows", "format_file_bytes", "CfrkWriter", "parse_cfrk"]
+__all__ = [
+    "format_rows",
+    "format_rows_nonzero",
+    "format_file_bytes",
+    "CfrkWriter",
+    "parse_cfrk",
+]
 
 
 def _format_row_py(row: np.ndarray) -> bytes:
@@ -71,6 +77,26 @@ def format_file_bytes(counts: np.ndarray) -> bytes:
     return b"\n".join(format_rows(counts))
 
 
+def format_rows_nonzero(counts: np.ndarray) -> list[bytes]:
+    """Row bytes listing only NONZERO ``idx:count`` cells.
+
+    The reference's writer had exactly this zero-filtering written but
+    commented out (reference ``src/main.cu:51-56``) — the dense format won
+    for its golden tests, but at k=8 a 150 bp read fills < 0.3% of its
+    65,536 bins, so the sparse rows are ~100x smaller.  Cell and row
+    separators match the dense format (trailing space, ``\\n``-joined).
+    An empty row (no k-mers) is an empty byte string.
+    """
+    counts = np.asarray(counts)
+    out = []
+    for row in counts:
+        (nz,) = np.nonzero(row)
+        out.append(
+            ("".join(f"{i}:{int(row[i])} " for i in nz)).encode("ascii")
+        )
+    return out
+
+
 class CfrkWriter:
     """Streaming `.cfrk` writer.
 
@@ -79,9 +105,17 @@ class CfrkWriter:
     a newline *before* every row except the first, none at the end.
     """
 
-    def __init__(self, f: IO[bytes] | str, *, continuing: bool = False):
+    def __init__(
+        self,
+        f: IO[bytes] | str,
+        *,
+        continuing: bool = False,
+        nonzero: bool = False,
+    ):
         """``continuing=True`` resumes mid-file: rows already exist, so a
-        newline is emitted before the next row (used by checkpoint resume)."""
+        newline is emitted before the next row (used by checkpoint resume).
+        ``nonzero=True`` writes only nonzero cells per row (the reference's
+        commented-out zero-filtering, ``src/main.cu:51-56``)."""
         if isinstance(f, str):
             self._f: IO[bytes] = open(f, "wb")
             self._owns = True
@@ -89,10 +123,18 @@ class CfrkWriter:
             self._f = f
             self._owns = False
         self._first = not continuing
+        self._nonzero = nonzero
 
     def write_batch(self, counts: np.ndarray) -> None:
         counts = np.asarray(counts)
         if counts.shape[0] == 0:
+            return
+        if self._nonzero:
+            for row in format_rows_nonzero(counts):
+                if not self._first:
+                    self._f.write(b"\n")
+                self._f.write(row)
+                self._first = False
             return
         # The native C++ formatter (byte-identical, tests/test_native.py)
         # is ~10x faster than the NumPy string kernels; fall back silently.

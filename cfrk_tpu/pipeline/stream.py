@@ -120,6 +120,7 @@ def stream_count_file(
     batch_size: int = 8192,
     resume: bool = False,
     checkpoint_every: int = 1,
+    nonzero: bool = False,
     metrics: RunMetrics | None = None,
 ) -> RunMetrics:
     """Stream a FASTA file into a `.cfrk` file with bounded memory.
@@ -129,7 +130,9 @@ def stream_count_file(
     stopped.  The checkpoint sidecar is removed on successful completion.
     """
     m = metrics or RunMetrics(k=k, mode="perread")
-    fp = StreamCheckpoint.fingerprint_of(path, k, "perread", canonical)
+    fp = StreamCheckpoint.fingerprint_of(
+        path, k, "perread-nonzero" if nonzero else "perread", canonical
+    )
     cpath = checkpoint_path(out_path)
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -143,7 +146,7 @@ def stream_count_file(
         if ckpt.reads_done:
             f.truncate(ckpt.out_bytes)  # drop any torn tail
             f.seek(ckpt.out_bytes)
-        w = CfrkWriter(f, continuing=ckpt.reads_done > 0)
+        w = CfrkWriter(f, continuing=ckpt.reads_done > 0, nonzero=nonzero)
 
         gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
         pending: list[tuple[int, jax.Array]] = []

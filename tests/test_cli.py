@@ -89,3 +89,45 @@ def test_sparse_mode(fasta, tmp_path):
     want_rows = {decode_key(kk, 21): c for kk, c in want.items()}
     got_rows = {kmer: int(c) for kmer, c in rows}
     assert got_rows == want_rows
+
+
+def test_config_file_defaults_and_argv_override(tmp_path, monkeypatch):
+    """cfrk.json supplies defaults (swift.conf analog); argv wins."""
+    import json as _json
+
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.format import parse_cfrk
+    from cfrk_tpu.io.fasta import decode_codes
+
+    rng = np.random.default_rng(0)
+    reads = [rng.integers(0, 4, size=30).astype(np.int8) for _ in range(5)]
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        for i, codes in enumerate(reads):
+            f.write(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({"k": 3, "batch-size": 2}))
+    out = tmp_path / "o.cfrk"
+    rc = main([str(fasta), "-o", str(out), "--config", str(cfg)])
+    assert rc == 0
+    assert parse_cfrk(out.read_bytes()).shape == (5, 64)  # k from config
+
+    out2 = tmp_path / "o2.cfrk"
+    rc = main([str(fasta), "-o", str(out2), "-k", "2", "--config", str(cfg)])
+    assert rc == 0
+    assert parse_cfrk(out2.read_bytes()).shape == (5, 16)  # argv k wins
+
+
+def test_config_unknown_key_fails(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from cfrk_tpu.cli import main
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({"no-such-flag": 1}))
+    with _pytest.raises(SystemExit, match="unknown config key"):
+        main(["x.fasta", "-k", "2", "--config", str(cfg)])

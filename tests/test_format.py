@@ -76,3 +76,24 @@ def test_golden_fragment():
         format_file_bytes(counts)
         == b"0:7 1:6 2:10 3:8 4:4 5:5 6:14 7:5 8:12 9:15 10:18 11:15 12:8 13:3 14:17 15:3 "
     )
+
+
+def test_format_rows_nonzero():
+    import numpy as np
+
+    from cfrk_tpu.format import format_rows_nonzero
+
+    counts = np.array([[0, 3, 0, 1], [0, 0, 0, 0], [7, 0, 0, 0]])
+    assert format_rows_nonzero(counts) == [b"1:3 3:1 ", b"", b"0:7 "]
+
+
+def test_cfrk_writer_nonzero(tmp_path):
+    import numpy as np
+
+    from cfrk_tpu.format import CfrkWriter
+
+    counts = np.array([[0, 2, 0, 0], [1, 0, 0, 5]], dtype=np.int32)
+    p = tmp_path / "nz.cfrk"
+    with CfrkWriter(str(p), nonzero=True) as w:
+        w.write_batch(counts)
+    assert p.read_bytes() == b"1:2 \n0:1 3:5 "
