@@ -17,13 +17,17 @@ HBM traffic per input base), so the roofline is HBM bandwidth, not MXU
 flops; the model charges one write of the count matrix (the kernel) plus
 one read (the checksum that forces materialisation).
 
-Measurement notes: the run is ONE jitted lax.scan over batches; each
-step's [B, 4**k] count matrix feeds a non-algebraically-foldable
-checksum (sum of counts & 3) so no step can be fused away, and the timed
-section ends by fetching the scalar to host.  This is required on
-tunneled-TPU setups where ``block_until_ready`` returns before remote
-execution finishes and bulk D2H is slow; a scalar fetch is an honest
-end-to-end sync.
+Measurement notes (tunneled-TPU constraints):
+* steps are dispatched from a Python loop — NOT one jitted lax.scan —
+  because only the inner kernel's compile (~4 min through the remote
+  Mosaic tunnel) fits the bench budget; jitting a 64-step scan around it
+  more than doubles remote compile time and blows the timeout.  Async
+  dispatch still pipelines the steps back-to-back on device.
+* every step feeds a non-algebraically-foldable checksum (sum of
+  counts & 3) accumulated ON DEVICE, so no step can be elided and no
+  per-step D2H happens; the timed section ends with a single scalar
+  fetch, which is an honest end-to-end sync (``block_until_ready``
+  returns early under the axon tunnel and bulk D2H is ~5 MB/s).
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ K = 8
 READ_LEN = 150
 BATCH = 8192
 N_BATCHES = 64
-DISTINCT = 4  # distinct input batches cycled through the scan
+DISTINCT = 4  # distinct input batches cycled through the loop
 
 
 def _chip_specs(platform: str) -> dict:
@@ -60,7 +64,17 @@ def speed_of_light_bases_per_s(platform: str, batch: int, read_len: int, k: int)
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # Persistent compilation cache (helps on setups where it applies; the
+    # remote-compile tunnel bypasses it, hence the loop structure below).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import jax.numpy as jnp
 
     from cfrk_tpu.ops.perread import count_perread
@@ -72,24 +86,24 @@ def main() -> None:
     impl = "pallas" if on_tpu else "auto"
 
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(
-        rng.integers(0, 4, size=(DISTINCT, batch, READ_LEN)).astype(np.int8)
-    )
+    xs = [
+        jnp.asarray(rng.integers(0, 4, size=(batch, READ_LEN)).astype(np.int8))
+        for _ in range(DISTINCT)
+    ]
 
-    def run(xs):
-        def body(chk, i):
-            counts = count_perread(xs[i % DISTINCT], K, impl=impl)
-            # Non-foldable checksum: forces every step's counts into HBM.
-            return chk + jnp.sum(counts & 3), ()
+    count = jax.jit(lambda x: count_perread(x, K, impl=impl))
+    accum = jax.jit(lambda c, counts: c + jnp.sum(counts & 3))
 
-        chk, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_batches))
-        return chk
+    def run() -> int:
+        chk = jnp.int32(0)
+        for i in range(n_batches):
+            chk = accum(chk, count(xs[i % DISTINCT]))
+        return int(chk)  # single scalar fetch = end-to-end sync
 
-    fn = jax.jit(run)
-    _ = int(fn(xs))  # compile + warm up + verify sync path
+    _ = run()  # compile both jits + warm up the dispatch path
 
     t0 = time.perf_counter()
-    checksum = int(fn(xs))
+    checksum = run()
     dt = time.perf_counter() - t0
 
     bases = n_batches * batch * READ_LEN

@@ -34,6 +34,8 @@ __all__ = [
     "encode_seq",
     "decode_codes",
     "iter_fasta",
+    "iter_fastq",
+    "iter_reads",
     "iter_fasta_encoded",
     "read_fasta",
     "read_fasta_encoded",
@@ -107,9 +109,70 @@ def read_fasta(path) -> tuple[list[bytes], list[bytes]]:
     return headers, seqs
 
 
+def iter_fastq(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[bytes, bytes]]:
+    """Yield ``(header, sequence)`` from a (4-line-record) FASTQ file.
+
+    Quality lines are skipped.  FASTQ is a capability the reference never
+    had (FASTA only, ``src/fastaIO.h:24-71``); metagenomic read sets are
+    usually FASTQ, so ingest sniffs the format (see :func:`iter_reads`).
+    """
+    if isinstance(path_or_file, (str, os.PathLike)):
+        f: IO[bytes] = _open_maybe_gzip(path_or_file)
+        owns = True
+    else:
+        f, owns = path_or_file, False
+    try:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                return
+            hdr = hdr.rstrip(b"\r\n")
+            if not hdr:
+                continue
+            if not hdr.startswith(b"@"):
+                raise ValueError(f"malformed FASTQ header: {hdr[:40]!r}")
+            seq = f.readline().rstrip(b"\r\n")
+            plus = f.readline()
+            if not plus.startswith(b"+"):
+                raise ValueError("malformed FASTQ record: missing '+' line")
+            qual = f.readline()
+            if len(qual.rstrip(b"\r\n")) != len(seq):
+                raise ValueError("malformed FASTQ record: quality length mismatch")
+            yield hdr[1:], seq
+    finally:
+        if owns:
+            f.close()
+
+
+def iter_reads(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[bytes, bytes]]:
+    """Yield ``(header, sequence)`` from FASTA or FASTQ, sniffed by the
+    first byte (``>`` vs ``@``); gzip handled transparently for paths."""
+    if isinstance(path_or_file, (str, os.PathLike)):
+        f: IO[bytes] = _open_maybe_gzip(path_or_file)
+        owns = True
+    else:
+        f, owns = path_or_file, False
+    try:
+        if hasattr(f, "peek"):
+            first = f.peek(1)[:1]
+        else:
+            pos = f.tell()
+            first = f.read(1)
+            f.seek(pos)
+        if first == b"@":
+            yield from iter_fastq(f)
+        else:
+            yield from iter_fasta(f)
+    finally:
+        if owns:
+            f.close()
+
+
 def iter_fasta_encoded(path) -> Iterator[np.ndarray]:
-    """Stream encoded records one at a time (constant memory)."""
-    for _, s in iter_fasta(path):
+    """Stream encoded records one at a time (constant memory).
+
+    Accepts FASTA or FASTQ (sniffed), plain or gzipped."""
+    for _, s in iter_reads(path):
         yield encode_seq(s)
 
 

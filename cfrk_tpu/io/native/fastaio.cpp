@@ -44,8 +44,10 @@ const EncodeLut kLut;
  *
  * codes   = all records' int8 codes concatenated (no separators);
  * lengths = int64 little-endian per-record lengths, len(records) * 8 bytes.
- * Headers are dropped (per-read output is positional); multi-line records
- * are concatenated without interior newlines; blank lines are skipped;
+ * Format is sniffed from the first non-blank byte: '>' = FASTA,
+ * '@' = FASTQ (4-line records, quality skipped).  Headers are dropped
+ * (per-read output is positional); multi-line FASTA records are
+ * concatenated without interior newlines; blank lines are skipped;
  * \r\n line endings are handled.
  */
 PyObject* parse_encode(PyObject*, PyObject* arg) {
@@ -61,7 +63,12 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
   int64_t cur_len = 0;
 
   Py_BEGIN_ALLOW_THREADS
-  Py_ssize_t i = 0;
+  Py_ssize_t sniff = 0;
+  while (sniff < n && (p[sniff] == '\n' || p[sniff] == '\r')) sniff++;
+  const bool fastq = sniff < n && p[sniff] == '@';
+
+  Py_ssize_t i = sniff;
+  int fq_line = 0; /* 0=header 1=seq 2=plus 3=qual */
   while (i < n) {
     /* line = [i, eol) */
     Py_ssize_t eol = i;
@@ -69,7 +76,15 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
     Py_ssize_t end = eol;
     if (end > i && p[end - 1] == '\r') end--;
     if (end > i) {
-      if (p[i] == '>') {
+      if (fastq) {
+        if (fq_line == 1) {
+          int64_t len = 0;
+          for (Py_ssize_t j = i; j < end; j++) codes.push_back(kLut.t[p[j]]);
+          len = end - i;
+          lengths.push_back(len);
+        }
+        fq_line = (fq_line + 1) & 3;
+      } else if (p[i] == '>') {
         if (in_record) lengths.push_back(cur_len);
         in_record = true;
         cur_len = 0;
@@ -81,7 +96,7 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
     }
     i = eol + 1;
   }
-  if (in_record) lengths.push_back(cur_len);
+  if (!fastq && in_record) lengths.push_back(cur_len);
   Py_END_ALLOW_THREADS
 
   PyBuffer_Release(&view);

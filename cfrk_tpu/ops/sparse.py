@@ -137,19 +137,28 @@ def merge_sorted_spectra(parts):
 
     parts: iterable of (hi, lo, counts) NumPy triples from
     :func:`sparse_spectrum`.  Returns {int_kmer_code: count} with the
-    full k-mer code = hi * 4**LO_BASES + lo.
+    full k-mer code = hi * 4**LO_BASES + lo.  Vectorised: one
+    np.unique-based reduction over all batches rather than a Python
+    loop per key.
     """
     import numpy as np
 
-    out: dict = {}
+    key_parts, cnt_parts = [], []
     for hi, lo, counts in parts:
         mask = counts > 0
         keys = (hi[mask].astype(np.uint64) << np.uint64(2 * LO_BASES)) | lo[
             mask
         ].astype(np.uint64)
-        for key, cnt in zip(keys.tolist(), counts[mask].tolist()):
-            out[key] = out.get(key, 0) + cnt
-    return out
+        key_parts.append(keys)
+        cnt_parts.append(counts[mask].astype(np.int64))
+    if not key_parts:
+        return {}
+    all_keys = np.concatenate(key_parts)
+    all_counts = np.concatenate(cnt_parts)
+    uniq, inv = np.unique(all_keys, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, all_counts)
+    return dict(zip(uniq.tolist(), sums.tolist()))
 
 
 def decode_key(key: int, k: int) -> str:

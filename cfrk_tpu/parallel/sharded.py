@@ -20,7 +20,7 @@ collectives, overlapping them with compute where possible.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -43,9 +43,15 @@ def shard_batch(codes, mesh: Mesh):
     return jax.device_put(codes, batch_sharding(mesh))
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _count_perread_jit(codes, k: int, canonical: bool, impl: str):
-    return count_perread(codes, k, canonical=canonical, impl=impl)
+@lru_cache(maxsize=None)
+def _perread_sharded_fn(mesh: Mesh, k: int, canonical: bool, impl: str):
+    """One cached jit wrapper per (mesh, config): repeated streaming calls
+    reuse the traced/compiled executable instead of re-jitting."""
+    return jax.jit(
+        partial(count_perread, k=k, canonical=canonical, impl=impl),
+        in_shardings=batch_sharding(mesh),
+        out_shardings=NamedSharding(mesh, P((DP_AXIS, TP_AXIS), None)),
+    )
 
 
 def count_perread_sharded(
@@ -62,28 +68,11 @@ def count_perread_sharded(
     Returns [B, 4**k] int32 sharded the same way.  Data-parallel per-read
     counting requires no cross-chip communication at all.
     """
-    fn = jax.jit(
-        partial(count_perread, k=k, canonical=canonical, impl=impl),
-        in_shardings=batch_sharding(mesh),
-        out_shardings=NamedSharding(mesh, P((DP_AXIS, TP_AXIS), None)),
-    )
-    return fn(codes)
+    return _perread_sharded_fn(mesh, k, canonical, impl)(codes)
 
 
-def spectrum_sharded(
-    codes: jax.Array,
-    k: int,
-    mesh: Mesh,
-    *,
-    canonical: bool = False,
-    impl: str = "auto",
-) -> jax.Array:
-    """Global spectrum over all reads on a (dp, tp) mesh.
-
-    Returns the [4**k] int32 table sharded bins-over-tp (replicated over
-    dp).  Local per-chip dense tables are merged with ``psum`` over dp and
-    ``psum_scatter`` over tp.
-    """
+@lru_cache(maxsize=None)
+def _spectrum_sharded_fn(mesh: Mesh, k: int, canonical: bool, impl: str):
     tp = mesh.shape[TP_AXIS]
     four_k = 4**k
     if four_k % tp:
@@ -104,7 +93,7 @@ def spectrum_sharded(
             tbl = jax.lax.psum(tbl, (DP_AXIS, TP_AXIS))
         return tbl
 
-    fn = jax.jit(
+    return jax.jit(
         shard_map(
             local,
             mesh=mesh,
@@ -112,4 +101,20 @@ def spectrum_sharded(
             out_specs=P(TP_AXIS) if tp > 1 else P(),
         )
     )
-    return fn(codes)
+
+
+def spectrum_sharded(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Global spectrum over all reads on a (dp, tp) mesh.
+
+    Returns the [4**k] int32 table sharded bins-over-tp (replicated over
+    dp).  Local per-chip dense tables are merged with ``psum`` over dp and
+    ``psum_scatter`` over tp.
+    """
+    return _spectrum_sharded_fn(mesh, k, canonical, impl)(codes)

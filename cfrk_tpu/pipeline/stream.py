@@ -110,6 +110,28 @@ def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]
         yield item
 
 
+def _make_dispatch(k, canonical, impl, mesh, mode):
+    """Batch → device-counts callable, single-device or mesh-sharded."""
+    if mesh is None:
+        if mode == "perread":
+            return lambda arr: count_perread(arr, k, canonical=canonical, impl=impl)
+        return lambda arr: spectrum_op(arr, k, canonical=canonical, impl=impl)
+    from ..parallel.sharded import count_perread_sharded, spectrum_sharded
+
+    if mode == "perread":
+        return lambda arr: count_perread_sharded(
+            arr, k, mesh, canonical=canonical, impl=impl
+        )
+    return lambda arr: spectrum_sharded(arr, k, mesh, canonical=canonical, impl=impl)
+
+
+def _check_mesh_batch(mesh, batch_size: int) -> None:
+    if mesh is not None and batch_size % mesh.size:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {mesh.size}"
+        )
+
+
 def stream_count_file(
     path,
     out_path,
@@ -121,6 +143,7 @@ def stream_count_file(
     resume: bool = False,
     checkpoint_every: int = 1,
     nonzero: bool = False,
+    mesh=None,
     metrics: RunMetrics | None = None,
 ) -> RunMetrics:
     """Stream a FASTA file into a `.cfrk` file with bounded memory.
@@ -128,7 +151,11 @@ def stream_count_file(
     Checkpoints after every ``checkpoint_every`` flushed batches; with
     ``resume=True`` a matching checkpoint restarts the run where it
     stopped.  The checkpoint sidecar is removed on successful completion.
+    With ``mesh`` given, each batch is sharded rows-over-devices
+    (zero-collective data parallelism; batch_size must divide evenly).
     """
+    _check_mesh_batch(mesh, batch_size)
+    dispatch = _make_dispatch(k, canonical, impl, mesh, "perread")
     m = metrics or RunMetrics(k=k, mode="perread")
     fp = StreamCheckpoint.fingerprint_of(
         path, k, "perread-nonzero" if nonzero else "perread", canonical
@@ -170,10 +197,7 @@ def stream_count_file(
 
         for batch in _prefetched(gen):
             with m.stage("dispatch"):
-                dev = count_perread(
-                    jax.numpy.asarray(batch.codes), k,
-                    canonical=canonical, impl=impl,
-                )
+                dev = dispatch(jax.numpy.asarray(batch.codes))
             pending.append((batch.n_reads, dev))
             m.batches += 1
             m.reads += batch.n_reads
@@ -198,14 +222,18 @@ def stream_spectrum_file(
     out_path=None,
     resume: bool = False,
     checkpoint_every: int = 16,
+    mesh=None,
     metrics: RunMetrics | None = None,
 ) -> tuple[np.ndarray, RunMetrics]:
     """Stream a FASTA file into one global dense spectrum [4**k] int64.
 
-    The accumulator lives on device (int64 add per batch) and is pulled to
-    host only at checkpoints and at the end.  ``out_path`` is only used to
-    place the checkpoint sidecar; pass the eventual output path.
+    Per-batch tables are pulled to host and accumulated in int64.
+    ``out_path`` is only used to place the checkpoint sidecar; pass the
+    eventual output path.  With ``mesh``, each batch's table is computed
+    sharded (psum/psum_scatter merge) before the host accumulate.
     """
+    _check_mesh_batch(mesh, batch_size)
+    dispatch = _make_dispatch(k, canonical, impl, mesh, "spectrum")
     m = metrics or RunMetrics(k=k, mode="spectrum")
     fp = StreamCheckpoint.fingerprint_of(path, k, "spectrum", canonical)
     cpath = checkpoint_path(out_path) if out_path else None
@@ -222,9 +250,7 @@ def stream_spectrum_file(
     since_ckpt = 0
     for batch in _prefetched(gen):
         with m.stage("dispatch"):
-            part = spectrum_op(
-                jax.numpy.asarray(batch.codes), k, canonical=canonical, impl=impl
-            )
+            part = dispatch(jax.numpy.asarray(batch.codes))
         with m.stage("materialize"):
             total += np.asarray(part, dtype=np.int64)
         m.batches += 1

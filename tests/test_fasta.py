@@ -83,3 +83,60 @@ def test_read_fasta_encoded(tmp_path):
     assert len(reads) == 1
     assert reads[0].tolist() == [0, 1, 2, -1]
     assert reads[0].dtype == np.int8
+
+
+def test_iter_fastq_and_sniffing(tmp_path):
+    import gzip as _gzip
+
+    import numpy as np
+
+    from cfrk_tpu.io.fasta import iter_fastq, iter_reads, read_fasta_encoded
+
+    fq = (
+        b"@r0 desc\nACGT\n+\nIIII\n"
+        b"@r1\nNNGCA\n+anything\n!!!!!\n"
+    )
+    p = tmp_path / "r.fastq"
+    p.write_bytes(fq)
+    recs = list(iter_fastq(p))
+    assert recs == [(b"r0 desc", b"ACGT"), (b"r1", b"NNGCA")]
+    # sniffed dispatch, plain + gzip
+    assert list(iter_reads(p)) == recs
+    gz = tmp_path / "r.fastq.gz"
+    gz.write_bytes(_gzip.compress(fq))
+    assert list(iter_reads(gz)) == recs
+    # encoded through the top-level reader (native or fallback)
+    reads = read_fasta_encoded(gz)
+    np.testing.assert_array_equal(reads[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(reads[1], [-1, -1, 2, 1, 0])
+
+
+def test_fastq_malformed_raises(tmp_path):
+    import pytest as _pytest
+
+    from cfrk_tpu.io.fasta import iter_fastq
+
+    p = tmp_path / "bad.fastq"
+    p.write_bytes(b"@r0\nACGT\nOOPS\nIIII\n")
+    with _pytest.raises(ValueError, match="missing"):
+        list(iter_fastq(p))
+
+
+def test_native_fastq_matches_python(tmp_path):
+    import numpy as np
+
+    from cfrk_tpu.io.fasta import encode_seq, iter_fastq
+    from cfrk_tpu.io.native import parse_encode_bytes
+
+    rng = np.random.default_rng(0)
+    blob = []
+    seqs = []
+    for i in range(50):
+        s = bytes(bytearray(b"ACGTN"[c] for c in rng.integers(0, 5, 40)))
+        seqs.append(s)
+        blob.append(b"@r%d\n" % i + s + b"\n+\n" + b"I" * len(s) + b"\n")
+    data = b"".join(blob)
+    got = parse_encode_bytes(data)
+    assert len(got) == 50
+    for g, s in zip(got, seqs):
+        np.testing.assert_array_equal(g, encode_seq(s))

@@ -216,3 +216,47 @@ def test_cli_stream_flag(tmp_path):
     assert rc == 0
     got = parse_cfrk(out.read_bytes())
     np.testing.assert_array_equal(got, count_reads(reads, 3))
+
+
+def test_stream_count_with_mesh(tmp_path):
+    """Mesh-sharded streaming equals the single-device path bit-for-bit."""
+    import jax
+
+    from cfrk_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(8)
+    reads = _random_reads(40, rng)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    mesh = make_mesh(jax.devices())
+    out_m = tmp_path / "m.cfrk"
+    out_s = tmp_path / "s.cfrk"
+    stream_count_file(fasta, out_m, 4, batch_size=16, mesh=mesh)
+    stream_count_file(fasta, out_s, 4, batch_size=16)
+    assert out_m.read_bytes() == out_s.read_bytes()
+
+
+def test_stream_spectrum_with_mesh(tmp_path):
+    import jax
+
+    from cfrk_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(9)
+    reads = _random_reads(32, rng)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    mesh = make_mesh(jax.devices(), tp=2)
+    table_m, _ = stream_spectrum_file(fasta, 4, batch_size=16, mesh=mesh)
+    table_s, _ = stream_spectrum_file(fasta, 4, batch_size=16)
+    np.testing.assert_array_equal(np.asarray(table_m), table_s)
+
+
+def test_stream_mesh_batch_divisibility(tmp_path):
+    import jax
+    import pytest as _pytest
+
+    from cfrk_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices())
+    with _pytest.raises(ValueError, match="not divisible"):
+        stream_count_file("x.fasta", "y.cfrk", 4, batch_size=9, mesh=mesh)
