@@ -18,16 +18,17 @@ flops; the model charges one write of the count matrix (the kernel) plus
 one read (the checksum that forces materialisation).
 
 Measurement notes (tunneled-TPU constraints):
-* steps are dispatched from a Python loop — NOT one jitted lax.scan —
-  because only the inner kernel's compile (~4 min through the remote
-  Mosaic tunnel) fits the bench budget; jitting a 64-step scan around it
-  more than doubles remote compile time and blows the timeout.  Async
-  dispatch still pipelines the steps back-to-back on device.
+* the bare jitted kernel is compiled FIRST (~4 min through the remote
+  Mosaic tunnel); only then is the 64-step ``lax.scan`` wrapper jitted —
+  with the kernel already in the in-process Mosaic cache the scan
+  compiles in seconds, whereas jitting the scan cold blows the bench
+  timeout.  The timed run is the scan: back-to-back device steps with no
+  host dispatch in the loop.
 * every step feeds a non-algebraically-foldable checksum (sum of
-  counts & 3) accumulated ON DEVICE, so no step can be elided and no
-  per-step D2H happens; the timed section ends with a single scalar
-  fetch, which is an honest end-to-end sync (``block_until_ready``
-  returns early under the axon tunnel and bulk D2H is ~5 MB/s).
+  counts & 3), so no step can be elided; the timed section ends with a
+  single scalar fetch, which is an honest end-to-end sync
+  (``block_until_ready`` returns early under the axon tunnel and bulk
+  D2H is ~5 MB/s).
 """
 
 from __future__ import annotations
@@ -86,24 +87,28 @@ def main() -> None:
     impl = "pallas" if on_tpu else "auto"
 
     rng = np.random.default_rng(0)
-    xs = [
-        jnp.asarray(rng.integers(0, 4, size=(batch, READ_LEN)).astype(np.int8))
-        for _ in range(DISTINCT)
-    ]
+    xs = jnp.asarray(
+        rng.integers(0, 4, size=(DISTINCT, batch, READ_LEN)).astype(np.int8)
+    )
 
     count = jax.jit(lambda x: count_perread(x, K, impl=impl))
-    accum = jax.jit(lambda c, counts: c + jnp.sum(counts & 3))
+    # Stage 1: compile the bare kernel (primes the in-process Mosaic cache).
+    _ = int(jnp.sum(count(xs[0]) & 3))
 
-    def run() -> int:
-        chk = jnp.int32(0)
-        for i in range(n_batches):
-            chk = accum(chk, count(xs[i % DISTINCT]))
-        return int(chk)  # single scalar fetch = end-to-end sync
+    # Stage 2: the scan wrapper now compiles fast and runs with zero host
+    # dispatch between steps.
+    def run(xs):
+        def body(chk, i):
+            return chk + jnp.sum(count(xs[i % DISTINCT]) & 3), ()
 
-    _ = run()  # compile both jits + warm up the dispatch path
+        chk, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_batches))
+        return chk
+
+    fn = jax.jit(run)
+    _ = int(fn(xs))  # compile scan + warm up
 
     t0 = time.perf_counter()
-    checksum = run()
+    checksum = int(fn(xs))
     dt = time.perf_counter() - t0
 
     bases = n_batches * batch * READ_LEN

@@ -21,6 +21,7 @@ from .format import CfrkWriter, format_file_bytes, parse_cfrk
 from .io.fasta import encode_seq, iter_fasta, read_fasta, read_fasta_encoded
 from .ops.encode import window_components, window_indices
 from .ops.perread import count_perread
+from .ops.perread_sparse import count_perread_sparse
 from .ops.spectrum import spectrum
 from .pipeline.batch import ReadBatch, iter_batches, pad_reads
 from .pipeline.count import count_file, spectrum_file, write_cfrk
@@ -40,6 +41,7 @@ __all__ = [
     "window_components",
     "window_indices",
     "count_perread",
+    "count_perread_sparse",
     "spectrum",
     "ReadBatch",
     "iter_batches",

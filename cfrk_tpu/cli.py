@@ -282,6 +282,23 @@ def main(argv=None) -> int:
                 print(m.json_line(), file=sys.stderr)
             continue
         if args.mode == "perread":
+            if args.k > 8:
+                # Dense per-read rows are impossible past k=8 (4**k bins
+                # per read); the sort-based sparse path needs --nonzero.
+                if not args.nonzero:
+                    raise SystemExit(
+                        f"per-read k={args.k} > 8 requires --nonzero "
+                        "(dense 4**k rows would be gigabytes per read)"
+                    )
+                from .pipeline.count import count_file_sparse_rows
+
+                total_reads += count_file_sparse_rows(
+                    inp, out, args.k,
+                    canonical=args.canonical,
+                    batch_size=args.batch_size,
+                    max_len=args.max_len,
+                )
+                continue
             counts = count_file(
                 inp,
                 args.k,

@@ -29,6 +29,7 @@ import numpy as np
 __all__ = [
     "format_rows",
     "format_rows_nonzero",
+    "format_rows_pairs",
     "format_file_bytes",
     "CfrkWriter",
     "parse_cfrk",
@@ -97,6 +98,27 @@ def format_rows_nonzero(counts: np.ndarray) -> list[bytes]:
     return out
 
 
+def format_rows_pairs(idx: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """Row bytes from per-read (idx, counts) pair matrices.
+
+    idx/counts: [B, W]; cells with count 0 are skipped (they carry the
+    sparse sentinel).  Rows must already be ascending in idx — the
+    sort-based sparse ops emit them that way — producing the same cell
+    format as :func:`format_rows_nonzero`.
+    """
+    idx = np.asarray(idx)
+    counts = np.asarray(counts)
+    out = []
+    for row_idx, row_cnt in zip(idx, counts):
+        (nz,) = np.nonzero(row_cnt)
+        out.append(
+            (
+                "".join(f"{int(row_idx[j])}:{int(row_cnt[j])} " for j in nz)
+            ).encode("ascii")
+        )
+    return out
+
+
 class CfrkWriter:
     """Streaming `.cfrk` writer.
 
@@ -142,6 +164,16 @@ class CfrkWriter:
 
         self._f.write(format_rows_bytes(counts, first=self._first))
         self._first = False
+
+    def write_pairs(self, idx: np.ndarray, counts: np.ndarray) -> None:
+        """Write sparse per-read rows from (idx, counts) pair matrices
+        (see :func:`format_rows_pairs`; used for 8 < k <= 15 where dense
+        rows are impossible)."""
+        for row in format_rows_pairs(idx, counts):
+            if not self._first:
+                self._f.write(b"\n")
+            self._f.write(row)
+            self._first = False
 
     def close(self) -> None:
         if self._owns:

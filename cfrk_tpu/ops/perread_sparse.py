@@ -1,0 +1,60 @@
+"""Sparse per-read k-mer counting for 8 < k <= 15 (sort-based).
+
+A dense per-read table at k=15 would be 4**15 = 1 GiB *per read*; the
+reference simply refused such configurations with a device-OOM exit
+(reference ``src/kmer_main.cu:51-56``).  Since a read of length L holds
+at most L-k+1 distinct k-mers, the per-read result is naturally sparse:
+sort each read's window indices and run-length encode, entirely
+on-device with static shapes (``lax.sort`` along the window axis — the
+same sort-as-hash-table design as ops/sparse.py, but per row).
+
+Output pairs rows with the ``--nonzero`` `.cfrk` row format (ascending
+``idx:count`` cells), which is exactly what sorted RLE produces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .encode import window_indices
+
+__all__ = ["count_perread_sparse", "MAX_SPARSE_PERREAD_K"]
+
+MAX_SPARSE_PERREAD_K = 15
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def count_perread_sparse(codes: jax.Array, k: int, canonical: bool = False):
+    """Per-read sparse histograms.
+
+    codes: [B, L] int8 → (idx, counts), both [B, W] int32 with
+    W = L-k+1.  Each row is sorted ascending; position j holds a distinct
+    k-mer index and its count iff it is the first element of its run;
+    all other positions hold the sentinel ``4**k`` with count 0.
+    """
+    if not 1 <= k <= MAX_SPARSE_PERREAD_K:
+        raise ValueError(f"k must be in [1, {MAX_SPARSE_PERREAD_K}]")
+    sent = jnp.int32(4**k)
+    idx = window_indices(codes, k, canonical)  # [B, W], -1 invalid
+    x = jnp.where(idx < 0, sent, idx)
+    x = jax.lax.sort(x, dimension=-1)
+
+    b, w = x.shape
+    first = jnp.ones((b, w), dtype=bool).at[:, 1:].set(x[:, 1:] != x[:, :-1])
+    is_real = x != sent
+    first &= is_real
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    boundary = jnp.where(first | ~is_real, pos, w)
+    suffix_min = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(boundary, -1), axis=-1),
+        -1,
+    )
+    nxt_after = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((b, 1), w, jnp.int32)], axis=-1
+    )
+    counts = jnp.where(first, nxt_after - pos, 0).astype(jnp.int32)
+    idx_out = jnp.where(first, x, sent)
+    return idx_out, counts

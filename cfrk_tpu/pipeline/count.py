@@ -26,6 +26,7 @@ from .batch import iter_batches, round_up
 __all__ = [
     "count_reads",
     "count_file",
+    "count_file_sparse_rows",
     "spectrum_file",
     "sparse_spectrum_file",
     "write_cfrk",
@@ -125,6 +126,41 @@ def sparse_spectrum_file(
         hi, lo, counts = sparse_spectrum(jax.numpy.asarray(batch.codes), k, canonical)
         parts.append((np.asarray(hi), np.asarray(lo), np.asarray(counts)))
     return merge_sorted_spectra(parts)
+
+
+def count_file_sparse_rows(
+    path,
+    out_path,
+    k: int,
+    *,
+    canonical: bool = False,
+    batch_size: int | None = 8192,
+    max_len: int | None = None,
+) -> int:
+    """Per-read SPARSE rows for 8 < k <= 15, streamed straight to disk.
+
+    Dense [n_reads, 4**k] materialisation is impossible at these k
+    (the reference OOM-exited, ``src/kmer_main.cu:51-56``); rows use the
+    nonzero ``idx:count`` format.  Returns the number of reads written.
+    """
+    from ..ops.perread_sparse import count_perread_sparse
+
+    reads = read_fasta_encoded(path)
+    n_written = 0
+    with CfrkWriter(out_path) as w:
+        if not reads:
+            return 0
+        bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+        for batch in iter_batches(reads, bs, ml):
+            idx, counts = count_perread_sparse(
+                jax.numpy.asarray(batch.codes), k, canonical
+            )
+            w.write_pairs(
+                np.asarray(idx)[: batch.n_reads],
+                np.asarray(counts)[: batch.n_reads],
+            )
+            n_written += batch.n_reads
+    return n_written
 
 
 def write_cfrk(path, counts: np.ndarray) -> None:

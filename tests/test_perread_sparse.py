@@ -1,0 +1,83 @@
+"""Sparse per-read counting (8 < k <= 15): agreement with the dense path
+at small k, with a NumPy oracle at large k, and the CLI route."""
+
+import numpy as np
+import pytest
+
+from cfrk_tpu.format import format_rows_nonzero, format_rows_pairs
+from cfrk_tpu.io.fasta import decode_codes
+from cfrk_tpu.ops.perread import count_perread
+from cfrk_tpu.ops.perread_sparse import count_perread_sparse
+
+
+def _random_codes(b, l, rng, n_frac=0.03):
+    codes = rng.integers(0, 4, size=(b, l)).astype(np.int8)
+    codes[rng.random(codes.shape) < n_frac] = -1
+    return codes
+
+
+@pytest.mark.parametrize("k", [2, 4, 7])
+def test_sparse_rows_equal_dense_nonzero(k):
+    rng = np.random.default_rng(0)
+    codes = _random_codes(12, 80, rng)
+    idx, counts = count_perread_sparse(codes, k)
+    dense = np.asarray(count_perread(codes, k))
+    assert format_rows_pairs(idx, counts) == format_rows_nonzero(dense)
+
+
+def test_sparse_large_k_numpy_oracle():
+    k = 12
+    rng = np.random.default_rng(1)
+    codes = _random_codes(6, 200, rng)
+    idx, counts = count_perread_sparse(codes, k)
+    idx, counts = np.asarray(idx), np.asarray(counts)
+    for r in range(codes.shape[0]):
+        want: dict = {}
+        row = codes[r]
+        for p in range(len(row) - k + 1):
+            win = row[p : p + k]
+            if (win < 0).any():
+                continue
+            key = 0
+            for c in win:
+                key = key * 4 + int(c)
+            want[key] = want.get(key, 0) + 1
+        got = {
+            int(i): int(c)
+            for i, c in zip(idx[r], counts[r])
+            if c > 0
+        }
+        assert got == want
+
+
+def test_sparse_canonical_matches_dense():
+    k = 6
+    rng = np.random.default_rng(2)
+    codes = _random_codes(8, 60, rng)
+    idx, counts = count_perread_sparse(codes, k, True)
+    dense = np.asarray(count_perread(codes, k, canonical=True))
+    assert format_rows_pairs(idx, counts) == format_rows_nonzero(dense)
+
+
+def test_cli_large_k_requires_nonzero(tmp_path):
+    from cfrk_tpu.cli import main
+
+    rng = np.random.default_rng(3)
+    reads = [rng.integers(0, 4, size=50).astype(np.int8) for _ in range(4)]
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        for i, codes in enumerate(reads):
+            f.write(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    out = tmp_path / "o.cfrk"
+    with pytest.raises(SystemExit, match="requires --nonzero"):
+        main([str(fasta), "-k", "11", "-o", str(out)])
+    rc = main([str(fasta), "-k", "11", "-o", str(out), "--nonzero"])
+    assert rc == 0
+    rows = out.read_bytes().split(b"\n")
+    assert len(rows) == 4
+    # Each 50 bp read has 40 windows, all unique with high probability.
+    for row in rows:
+        cells = [c for c in row.split(b" ") if c]
+        assert 1 <= len(cells) <= 40
+        total = sum(int(c.split(b":")[1]) for c in cells)
+        assert total == 40
