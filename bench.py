@@ -93,13 +93,14 @@ def main() -> None:
 
     count = jax.jit(lambda x: count_perread(x, K, impl=impl))
     # Stage 1: compile the bare kernel (primes the in-process Mosaic cache).
-    _ = int(jnp.sum(count(xs[0]) & 3))
+    _ = int(jnp.sum(count(xs[0]) & 3, dtype=jnp.int32))
 
     # Stage 2: the scan wrapper now compiles fast and runs with zero host
     # dispatch between steps.
     def run(xs):
         def body(chk, i):
-            return chk + jnp.sum(count(xs[i % DISTINCT]) & 3), ()
+            counts = count(xs[i % DISTINCT])
+            return chk + jnp.sum(counts & 3, dtype=jnp.int32), ()
 
         chk, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_batches))
         return chk

@@ -34,8 +34,16 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native k-mer counting (reference-compatible .cfrk output)",
     )
     p.add_argument(
+        "--list-devices",
+        action="store_true",
+        help=(
+            "print the visible accelerator devices and exit (the "
+            "reference's DeviceInfo dump, src/main.cu:64-81)"
+        ),
+    )
+    p.add_argument(
         "paths",
-        nargs="+",
+        nargs="*",
         help=(
             "FASTA file(s), optionally gzipped; reference-style trailing "
             "positionals <out.cfrk> <k> [nt] [chunkSize] are also accepted"
@@ -189,6 +197,23 @@ def _write_spectrum(path: str, table: np.ndarray, fmt: str) -> None:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.list_devices:
+        import jax
+
+        for d in jax.devices():
+            mem = getattr(d, "memory_stats", lambda: None)()
+            line = {
+                "id": d.id,
+                "platform": d.platform,
+                "kind": getattr(d, "device_kind", "?"),
+                "process": getattr(d, "process_index", 0),
+            }
+            if mem:
+                line["bytes_limit"] = mem.get("bytes_limit")
+            print(json.dumps(line))
+        return 0
+    if not args.paths:
+        parser.error("the following arguments are required: paths")
     from .runtime.config import apply_config, load_config
 
     apply_config(args, load_config(args.config), parser)

@@ -76,7 +76,13 @@ def count_perread_pallas(
     window_block: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Dense per-read histograms: codes [B, L] int8 → [B, 4**k] int32."""
+    """Dense per-read histograms: codes [B, L] int8 → [B, 4**k] int32.
+
+    The kernel always emits int32: an int16 VMEM output block made the
+    remote Mosaic compile pathologically slow (>9 min vs ~4 min), so
+    narrow outputs are converted AFTER the kernel (see ops/perread.py) —
+    that keeps the D2H win at an extra cheap HBM pass.
+    """
     if codes.ndim != 2:
         raise ValueError(f"codes must be [B, L], got {codes.shape}")
     b, length = codes.shape

@@ -75,12 +75,19 @@ def count_perread(
     canonical: bool = False,
     impl: str = "auto",
     acc_dtype=None,
+    out_dtype=None,
 ) -> jax.Array:
-    """Dense per-read histograms: codes [B, L] int8 → counts [B, 4**k] int32.
+    """Dense per-read histograms: codes [B, L] int8 → counts [B, 4**k].
 
     impl: 'auto' | 'compare' | 'matmul' | 'pallas'.
     acc_dtype: matmul operand dtype (default bfloat16 on TPU, float32 else).
+    out_dtype: int32 (default) or int16 — int16 halves the dominant HBM
+        write traffic and is safe when windows/read < 2**15 (counts are
+        bounded by the window count).
     """
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else jnp.int32
+    if out_dtype == jnp.int16 and codes.shape[-1] - k + 1 >= 2**15:
+        raise ValueError("int16 counts unsafe for >= 2**15 windows/read")
     if k > MAX_PERREAD_K:
         raise ValueError(
             f"per-read dense counting supports k <= {MAX_PERREAD_K} "
@@ -98,14 +105,18 @@ def count_perread(
         else:
             impl = "matmul"
     if impl == "compare":
-        return _count_compare(codes, k, canonical)
+        return _count_compare(codes, k, canonical).astype(out_dtype)
     if impl == "matmul":
         if acc_dtype is None:
             platform = jax.default_backend()
             acc_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
-        return _count_matmul(codes, k, canonical, acc_dtype)
+        return _count_matmul(codes, k, canonical, acc_dtype).astype(out_dtype)
     if impl == "pallas":
         from .pallas.perread import count_perread_pallas
 
-        return count_perread_pallas(codes, k, canonical=canonical)
+        # int16 conversion happens outside the kernel: an int16 VMEM
+        # output block blew the remote Mosaic compile budget.
+        return count_perread_pallas(codes, k, canonical=canonical).astype(
+            out_dtype
+        )
     raise ValueError(f"unknown impl {impl!r}")

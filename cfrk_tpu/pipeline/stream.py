@@ -112,9 +112,19 @@ def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]
 
 def _make_dispatch(k, canonical, impl, mesh, mode):
     """Batch → device-counts callable, single-device or mesh-sharded."""
+    import jax.numpy as jnp
+
+    def _odt(arr):
+        # int16 counts halve HBM write + D2H traffic; safe whenever the
+        # per-read window count stays below 2**15 (counts are bounded by
+        # it).  Values are exact either way (tests/test_pallas.py).
+        return jnp.int16 if arr.shape[1] - k + 1 < 2**15 else jnp.int32
+
     if mesh is None:
         if mode == "perread":
-            return lambda arr: count_perread(arr, k, canonical=canonical, impl=impl)
+            return lambda arr: count_perread(
+                arr, k, canonical=canonical, impl=impl, out_dtype=_odt(arr)
+            )
         return lambda arr: spectrum_op(arr, k, canonical=canonical, impl=impl)
     from ..parallel.sharded import count_perread_sharded, spectrum_sharded
 

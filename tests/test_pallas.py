@@ -68,3 +68,34 @@ def test_perread_pallas_odd_batch(rng):
     got = np.asarray(count_perread_pallas(jnp.asarray(codes), 5, read_block=4))
     want = count_perread_np(list(codes), 5)
     np.testing.assert_array_equal(got, want)
+
+
+def test_perread_int16_output_parity():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=(16, 100)).astype(np.int8)
+    codes[rng.random(codes.shape) < 0.02] = -1
+    for impl in ("compare", "matmul", "pallas"):
+        k = 3 if impl == "compare" else 5
+        c32 = np.asarray(count_perread(codes, k, impl=impl))
+        c16 = np.asarray(
+            count_perread(codes, k, impl=impl, out_dtype=jnp.int16)
+        )
+        assert c16.dtype == np.int16
+        np.testing.assert_array_equal(c16.astype(np.int32), c32)
+
+
+def test_perread_int16_overflow_guard():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    from cfrk_tpu.ops.perread import count_perread
+
+    codes = np.zeros((1, 2**15 + 8), dtype=np.int8)
+    with _pytest.raises(ValueError, match="int16 counts unsafe"):
+        count_perread(codes, 2, out_dtype=jnp.int16)
