@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--impl",
         default="auto",
-        choices=["auto", "compare", "matmul", "scatter", "pallas"],
+        choices=["auto", "compare", "matmul", "scatter", "pallas", "host"],
         help="kernel implementation (auto picks per backend/k)",
     )
     p.add_argument("--batch-size", type=int, default=8192, help="reads per device batch")

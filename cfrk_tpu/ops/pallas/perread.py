@@ -34,10 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import prep_indices, split_k
 
-__all__ = ["count_perread_pallas"]
+__all__ = ["count_perread_pallas", "unpack_counts"]
 
 
-def _perread_kernel(idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb: int):
+def _perread_kernel(
+    idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb: int, packed: bool
+):
     t = pl.program_id(1)
     nt = pl.num_programs(1)
 
@@ -61,11 +63,21 @@ def _perread_kernel(idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb:
 
     @pl.when(t == nt - 1)
     def _emit():
-        out_ref[...] = acc_ref[...].astype(jnp.int32)
+        if packed:
+            # Two reads per int32: read j in bits 31..16, read j+rb/2 in
+            # bits 15..0 (values < 2**15, so the sign bit stays clear).
+            a = acc_ref[...].astype(jnp.int32)
+            half = rb // 2
+            out_ref[0] = (a[:half] << 16) | a[half:]
+        else:
+            out_ref[...] = acc_ref[...].astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "canonical", "read_block", "window_block", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "canonical", "read_block", "window_block", "interpret", "packed"
+    ),
 )
 def count_perread_pallas(
     codes: jax.Array,
@@ -75,13 +87,17 @@ def count_perread_pallas(
     read_block: int = 8,
     window_block: int = 512,
     interpret: bool | None = None,
+    packed: bool = False,
 ) -> jax.Array:
     """Dense per-read histograms: codes [B, L] int8 → [B, 4**k] int32.
 
-    The kernel always emits int32: an int16 VMEM output block made the
-    remote Mosaic compile pathologically slow (>9 min vs ~4 min), so
-    narrow outputs are converted AFTER the kernel (see ops/perread.py) —
-    that keeps the D2H win at an extra cheap HBM pass.
+    ``packed=True`` (requires windows/read < 2**15) packs TWO reads'
+    counts per int32 — read pair (j, j+rb/2) of each read block as
+    (hi16 << 16) | lo16 — halving the dominant HBM write and any D2H
+    that keeps the packed layout.  Returns [n_blocks, rb/2, fh, fl]
+    int32; unpack with :func:`unpack_counts`.  (A plain int16 VMEM
+    output block made the remote Mosaic compile pathologically slow,
+    >9 min vs ~4 min; int32 bit-packing avoids that path entirely.)
     """
     if codes.ndim != 2:
         raise ValueError(f"codes must be [B, L], got {codes.shape}")
@@ -91,6 +107,8 @@ def count_perread_pallas(
         raise ValueError(f"read length {length} < k={k}")
     if k > 8:
         raise ValueError("per-read dense counting supports k <= 8")
+    if packed and w >= 2**15:
+        raise ValueError("packed counts unsafe for >= 2**15 windows/read")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     kh, kl = split_k(k)
@@ -105,7 +123,20 @@ def count_perread_pallas(
     bb = codes.shape[0]
     idx, n_tiles = prep_indices(codes, k, canonical, wt, rb)
 
-    kernel = functools.partial(_perread_kernel, kl=kl, fh=fh, fl=fl, rb=rb)
+    kernel = functools.partial(
+        _perread_kernel, kl=kl, fh=fh, fl=fl, rb=rb, packed=packed
+    )
+    if packed:
+        out_specs = pl.BlockSpec(
+            (1, rb // 2, fh, fl), lambda i, t: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((bb // rb, rb // 2, fh, fl), jnp.int32)
+    else:
+        out_specs = pl.BlockSpec(
+            (rb, fh, fl), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((bb, fh, fl), jnp.int32)
     out = pl.pallas_call(
         kernel,
         grid=(bb // rb, n_tiles),
@@ -114,11 +145,28 @@ def count_perread_pallas(
                 (1, wt, rb), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (rb, fh, fl), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bb, fh, fl), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((rb, fh, fl), jnp.float32)],
         interpret=interpret,
     )(idx)
+    if packed:
+        return out  # [n_blocks, rb/2, fh, fl]; see unpack_counts
     return out[:b].reshape(b, fh * fl)
+
+
+def unpack_counts(packed, n_reads: int):
+    """Unpack the packed kernel output back to [n_reads, 4**k] int32.
+
+    Works on NumPy arrays (host side, after a halved D2H) or jax arrays.
+    packed: [n_blocks, rb/2, fh, fl] — block j rows hold read j in the
+    high 16 bits and read j + rb/2 in the low 16 bits.
+    """
+    import numpy as np
+
+    xp = np if isinstance(packed, np.ndarray) else jnp
+    nb, half, fh, fl = packed.shape
+    hi = (packed >> 16) & 0x7FFF
+    lo = packed & 0xFFFF
+    counts = xp.concatenate([hi, lo], axis=1)  # [nb, rb, fh, fl]
+    return counts.reshape(nb * 2 * half, fh * fl)[:n_reads].astype(xp.int32)

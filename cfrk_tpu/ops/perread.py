@@ -43,6 +43,19 @@ def _count_compare(codes: jax.Array, k: int, canonical: bool) -> jax.Array:
     return jnp.sum(eq, axis=-2, dtype=jnp.int32)
 
 
+@partial(jax.jit, static_argnums=(1, 2), inline=True)
+def _count_scatter(codes: jax.Array, k: int, canonical: bool) -> jax.Array:
+    """Scatter-add path: fast off-TPU (XLA CPU scatters are cheap; the
+    one-hot matmul is pathologically slow there), exact everywhere.
+    Invalid windows redirect to column 4**k and are dropped."""
+    idx = window_indices(codes, k, canonical)  # [B, W], -1 invalid
+    b, w = idx.shape
+    flat = jnp.where(idx < 0, 4**k, idx)
+    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, w))
+    counts = jnp.zeros((b, 4**k), dtype=jnp.int32)
+    return counts.at[rows, flat].add(1, mode="drop")
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3), inline=True)
 def _count_matmul(codes: jax.Array, k: int, canonical: bool, acc_dtype) -> jax.Array:
     """MXU path: batched one-hot outer-product matmul over windows."""
@@ -98,7 +111,13 @@ def count_perread(
     if impl == "auto":
         if 4**k <= 64:
             impl = "compare"
-        elif k >= 5 and jax.default_backend() == "tpu":
+        elif jax.default_backend() != "tpu":
+            # Off-TPU every XLA formulation of this op is slow (CPU
+            # scatter serialises; the one-hot matmul is worse).  Outside
+            # a trace, count on host via bincount; inside one (sharded
+            # CPU test paths), fall back to the traceable scatter.
+            impl = "scatter" if isinstance(codes, jax.core.Tracer) else "host"
+        elif k >= 5:
             # The fused Pallas kernel writes counts to HBM exactly once;
             # the XLA einsum materialises one-hots + f32 output (~6x traffic).
             impl = "pallas"
@@ -106,6 +125,20 @@ def count_perread(
             impl = "matmul"
     if impl == "compare":
         return _count_compare(codes, k, canonical).astype(out_dtype)
+    if impl == "scatter":
+        return _count_scatter(codes, k, canonical).astype(out_dtype)
+    if impl == "host":
+        import numpy as np
+
+        # Window updates (B*W) are orders of magnitude fewer than bins
+        # (B*4**k), so indexed add beats bincount's giant allocation.
+        idx = np.asarray(window_indices(codes, k, canonical))
+        b, w = idx.shape
+        rows = np.broadcast_to(np.arange(b, dtype=np.int32)[:, None], (b, w))
+        valid = idx >= 0
+        counts = np.zeros((b, 4**k), dtype=out_dtype)
+        np.add.at(counts, (rows[valid], idx[valid]), 1)
+        return jnp.asarray(counts)
     if impl == "matmul":
         if acc_dtype is None:
             platform = jax.default_backend()

@@ -24,7 +24,7 @@ processes (reference ``swift/cfrk.swf:14-20``).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -52,22 +52,8 @@ def _bucket_of(hi: jax.Array, lo: jax.Array, k: int, n_dev: int) -> jax.Array:
     return jnp.minimum(b, n_dev - 1)
 
 
-def sparse_spectrum_sharded(
-    codes: jax.Array,
-    k: int,
-    mesh: Mesh,
-    *,
-    canonical: bool = False,
-    slack: float = 2.0,
-):
-    """Global sparse spectrum on a 1-axis mesh via all_to_all routing.
-
-    codes: [B, L] int8, B divisible by the mesh size.  Returns
-    (hi, lo, counts, overflowed): the first three sharded over the mesh
-    axis (concatenated = globally sorted unique k-mers with counts),
-    ``overflowed`` a per-device bool (True = bucket box overflow, counts
-    incomplete — retry with higher slack).
-    """
+@lru_cache(maxsize=None)
+def _sparse_sharded_fn(mesh: Mesh, k: int, canonical: bool, slack: float):
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
 
@@ -122,7 +108,7 @@ def sparse_spectrum_sharded(
         uhi, ulo, counts = _rle(hi, lo)
         return uhi, ulo, counts, overflowed[None]
 
-    fn = jax.jit(
+    return jax.jit(
         shard_map(
             local,
             mesh=mesh,
@@ -130,4 +116,22 @@ def sparse_spectrum_sharded(
             out_specs=(P(axis), P(axis), P(axis), P(axis)),
         )
     )
-    return fn(codes)
+
+
+def sparse_spectrum_sharded(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+    slack: float = 2.0,
+):
+    """Global sparse spectrum on a 1-axis mesh via all_to_all routing.
+
+    codes: [B, L] int8, B divisible by the mesh size.  Returns
+    (hi, lo, counts, overflowed): the first three sharded over the mesh
+    axis (concatenated = globally sorted unique k-mers with counts),
+    ``overflowed`` a per-device bool (True = bucket box overflow, counts
+    incomplete — retry with higher slack).
+    """
+    return _sparse_sharded_fn(mesh, k, canonical, slack)(codes)

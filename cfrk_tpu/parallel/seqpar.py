@@ -19,7 +19,7 @@ in long-context attention.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,21 @@ def _halo_extend(codes_blk: jax.Array, k: int) -> jax.Array:
     return jnp.concatenate([codes_blk, halo], axis=-1)
 
 
+@lru_cache(maxsize=None)
+def _seqpar_fn(mesh: Mesh, k: int, canonical: bool, impl: str, mode: str):
+    """Cached jit wrapper per (mesh, config) — streaming calls reuse it."""
+    op = count_perread if mode == "perread" else spectrum
+
+    def local(codes_blk):
+        ext = _halo_extend(codes_blk, k) if k > 1 else codes_blk
+        part = op(ext, k, canonical=canonical, impl=impl)
+        return jax.lax.psum(part, SP_AXIS)
+
+    return jax.jit(
+        shard_map(local, mesh=mesh, in_specs=P(None, SP_AXIS), out_specs=P())
+    )
+
+
 def count_perread_seqpar(
     codes: jax.Array,
     k: int,
@@ -72,16 +87,7 @@ def count_perread_seqpar(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-
-    def local(codes_blk):
-        ext = _halo_extend(codes_blk, k) if k > 1 else codes_blk
-        part = count_perread(ext, k, canonical=canonical, impl=impl)
-        return jax.lax.psum(part, SP_AXIS)
-
-    fn = jax.jit(
-        shard_map(local, mesh=mesh, in_specs=P(None, SP_AXIS), out_specs=P())
-    )
-    return fn(codes)
+    return _seqpar_fn(mesh, k, canonical, impl, "perread")(codes)
 
 
 def spectrum_seqpar(
@@ -93,13 +99,4 @@ def spectrum_seqpar(
     impl: str = "auto",
 ) -> jax.Array:
     """Global spectrum with the position axis sharded over ``sp``."""
-
-    def local(codes_blk):
-        ext = _halo_extend(codes_blk, k) if k > 1 else codes_blk
-        part = spectrum(ext, k, canonical=canonical, impl=impl)
-        return jax.lax.psum(part, SP_AXIS)
-
-    fn = jax.jit(
-        shard_map(local, mesh=mesh, in_specs=P(None, SP_AXIS), out_specs=P())
-    )
-    return fn(codes)
+    return _seqpar_fn(mesh, k, canonical, impl, "spectrum")(codes)

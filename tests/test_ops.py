@@ -124,3 +124,21 @@ def test_spectrum_equals_perread_sum(rng):
 def test_all_invalid_read():
     batch = pad_reads([np.full(50, -1, dtype=np.int8)], max_len=128)
     assert np.asarray(count_perread(jnp.asarray(batch.codes), 2)).sum() == 0
+
+
+def test_perread_scatter_and_host_impl_parity():
+    import numpy as np
+
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=(10, 60)).astype(np.int8)
+    codes[rng.random(codes.shape) < 0.05] = -1
+    for k in (4, 6):
+        want = np.asarray(count_perread(codes, k, impl="matmul"))
+        for impl in ("scatter", "host"):
+            got = np.asarray(count_perread(codes, k, impl=impl))
+            np.testing.assert_array_equal(got, want, err_msg=impl)
+        got_c = np.asarray(count_perread(codes, k, impl="host", canonical=True))
+        want_c = np.asarray(count_perread(codes, k, impl="matmul", canonical=True))
+        np.testing.assert_array_equal(got_c, want_c)

@@ -99,3 +99,30 @@ def test_perread_int16_overflow_guard():
     codes = np.zeros((1, 2**15 + 8), dtype=np.int8)
     with _pytest.raises(ValueError, match="int16 counts unsafe"):
         count_perread(codes, 2, out_dtype=jnp.int16)
+
+
+def test_perread_packed_output_parity():
+    import numpy as np
+
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, unpack_counts
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(1)
+    for b in (16, 13):  # multiple of read_block and a padded case
+        codes = rng.integers(0, 4, size=(b, 90)).astype(np.int8)
+        codes[rng.random(codes.shape) < 0.03] = -1
+        want = np.asarray(count_perread(codes, 5, impl="matmul"))
+        packed = np.asarray(count_perread_pallas(codes, 5, packed=True))
+        got = np.asarray(unpack_counts(packed, b))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_perread_packed_window_guard():
+    import numpy as np
+    import pytest as _pytest
+
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas
+
+    codes = np.zeros((8, 2**15 + 16), dtype=np.int8)
+    with _pytest.raises(ValueError, match="packed counts unsafe"):
+        count_perread_pallas(codes, 2, packed=True)
