@@ -134,6 +134,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="append per-task JSONL provenance records (durations, errors)",
     )
     p.add_argument(
+        "--distributed",
+        action="store_true",
+        help=(
+            "initialise jax.distributed (multi-host pod slice) and deal "
+            "multi-file inputs across hosts round-robin"
+        ),
+    )
+    p.add_argument(
         "--config",
         default=None,
         metavar="PATH",
@@ -230,6 +238,13 @@ def main(argv=None) -> int:
 
     if args.resume:
         args.stream = True
+
+    if args.distributed:
+        from .parallel.distributed import host_shard, maybe_initialize_distributed
+
+        maybe_initialize_distributed(force=True)
+        if len(args.inputs) > 1:
+            args.inputs = host_shard(args.inputs)
 
     if len(args.inputs) > 1:
         # Multi-file run: the Swift/K workflow layer analog

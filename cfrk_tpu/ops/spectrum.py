@@ -21,6 +21,7 @@ mesh); k > 15 uses bucket routing (parallel/bucket.py).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -72,6 +73,11 @@ def spectrum(
     acc_dtype=None,
 ) -> jax.Array:
     """Global dense spectrum: codes [..., L] int8 → counts [4**k] int32."""
+    n_windows = math.prod(codes.shape[:-1]) * max(codes.shape[-1] - k + 1, 0)
+    if n_windows >= 2**24 and impl in ("auto", "matmul", "pallas"):
+        # f32 accumulation is exact only below 2**24; a degenerate batch
+        # (all one k-mer) could exceed it.  Scatter accumulates in int32.
+        impl = "scatter"
     if k > MAX_DENSE_SPECTRUM_K:
         raise ValueError(
             f"dense spectrum supports k <= {MAX_DENSE_SPECTRUM_K}; "

@@ -142,3 +142,19 @@ def test_perread_scatter_and_host_impl_parity():
         got_c = np.asarray(count_perread(codes, k, impl="host", canonical=True))
         want_c = np.asarray(count_perread(codes, k, impl="matmul", canonical=True))
         np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_spectrum_huge_window_count_falls_back_to_int32_accum():
+    """A batch with >= 2**24 windows must not use f32 accumulation."""
+    import numpy as np
+
+    from cfrk_tpu.ops.spectrum import spectrum
+
+    # 2**24 windows of the SAME k-mer: f32 would stick at 2**24.
+    n = 2**24 + 17
+    # One giant all-A read: windows = n - k + 1.
+    k = 4
+    codes = np.zeros((1, n + k - 1), dtype=np.int8)
+    table = np.asarray(spectrum(codes, k))
+    assert table[0] == n
+    assert table[1:].sum() == 0

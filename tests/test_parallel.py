@@ -77,3 +77,21 @@ def test_seqpar_canonical(devices, rng):
     got = count_perread_seqpar(jnp.asarray(codes), 3, mesh, canonical=True)
     want = count_perread_np(list(codes), 3, canonical=True)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_host_shard_deals_round_robin():
+    from cfrk_tpu.parallel.distributed import host_shard
+
+    paths = [f"f{i}.fasta" for i in range(7)]
+    shards = [host_shard(paths, pi, 3) for pi in range(3)]
+    assert shards[0] == ["f0.fasta", "f3.fasta", "f6.fasta"]
+    assert shards[1] == ["f1.fasta", "f4.fasta"]
+    assert sorted(sum(shards, [])) == sorted(paths)
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    from cfrk_tpu.parallel.distributed import maybe_initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert maybe_initialize_distributed() is False
