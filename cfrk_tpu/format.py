@@ -169,11 +169,13 @@ class CfrkWriter:
         """Write sparse per-read rows from (idx, counts) pair matrices
         (see :func:`format_rows_pairs`; used for 8 < k <= 15 where dense
         rows are impossible)."""
-        for row in format_rows_pairs(idx, counts):
-            if not self._first:
-                self._f.write(b"\n")
-            self._f.write(row)
-            self._first = False
+        idx = np.asarray(idx)
+        if idx.shape[0] == 0:
+            return
+        from .io.native import format_pairs_bytes
+
+        self._f.write(format_pairs_bytes(idx, counts, first=self._first))
+        self._first = False
 
     def close(self) -> None:
         if self._owns:

@@ -20,6 +20,7 @@ __all__ = [
     "parse_encode_bytes",
     "read_fasta_encoded_native",
     "format_rows_bytes",
+    "format_pairs_bytes",
 ]
 
 try:
@@ -54,6 +55,26 @@ def read_fasta_encoded_native(path) -> list[np.ndarray]:
 
     with _open_maybe_gzip(path) as f:
         return parse_encode_bytes(f.read())
+
+
+def format_pairs_bytes(
+    idx: np.ndarray, counts: np.ndarray, *, first: bool = True
+) -> bytes:
+    """Format sparse per-read (idx, counts) pair rows as `.cfrk` bytes
+    (cells with count <= 0 skipped; see format.format_rows_pairs)."""
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    if idx.shape != counts.shape or idx.ndim != 2:
+        raise ValueError("idx/counts must be equal-shape 2-D")
+    if _fastaio is not None:
+        n_rows, n_cols = idx.shape
+        return _fastaio.format_pairs(
+            idx.tobytes(), counts.tobytes(), n_rows, n_cols, first
+        )
+    from ...format import format_rows_pairs
+
+    body = b"\n".join(format_rows_pairs(idx, counts))
+    return body if first else b"\n" + body
 
 
 def format_rows_bytes(counts: np.ndarray, *, first: bool = True) -> bytes:

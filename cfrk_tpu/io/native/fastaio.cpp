@@ -182,11 +182,63 @@ PyObject* format_rows(PyObject*, PyObject* args) {
   return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
 }
 
+/* format_pairs(idx: bytes/int32-LE, counts: bytes/int32-LE, n_rows,
+ *              n_cols, first) -> bytes
+ *
+ * Sparse per-read rows: cells "idx:count " only where count > 0 (rows
+ * may be empty).  Same separators as the dense format; `first=False`
+ * prefixes "\n".  Matches cfrk_tpu.format.format_rows_pairs.
+ */
+PyObject* format_pairs(PyObject*, PyObject* args) {
+  Py_buffer idx_view, cnt_view;
+  Py_ssize_t n_rows, n_cols;
+  int first;
+  if (!PyArg_ParseTuple(args, "y*y*nnp", &idx_view, &cnt_view, &n_rows,
+                        &n_cols, &first))
+    return nullptr;
+  const Py_ssize_t need = n_rows * n_cols * (Py_ssize_t)sizeof(int32_t);
+  if (idx_view.len != need || cnt_view.len != need) {
+    PyBuffer_Release(&idx_view);
+    PyBuffer_Release(&cnt_view);
+    PyErr_SetString(PyExc_ValueError, "pair buffer size mismatch");
+    return nullptr;
+  }
+  const int32_t* idx = (const int32_t*)idx_view.buf;
+  const int32_t* cnt = (const int32_t*)cnt_view.buf;
+
+  std::vector<char> out;
+  out.reserve((size_t)(n_rows * n_cols) * 4 + 64);
+
+  Py_BEGIN_ALLOW_THREADS
+  char num[24];
+  for (Py_ssize_t r = 0; r < n_rows; r++) {
+    if (r > 0 || !first) out.push_back('\n');
+    const int32_t* ri = idx + r * n_cols;
+    const int32_t* rc = cnt + r * n_cols;
+    for (Py_ssize_t j = 0; j < n_cols; j++) {
+      if (rc[j] <= 0) continue;
+      char* e = emit_u64(num, (uint64_t)(uint32_t)ri[j]);
+      *e++ = ':';
+      out.insert(out.end(), num, e);
+      e = emit_u64(num, (uint64_t)(uint32_t)rc[j]);
+      *e++ = ' ';
+      out.insert(out.end(), num, e);
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&idx_view);
+  PyBuffer_Release(&cnt_view);
+  return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
+}
+
 PyMethodDef kMethods[] = {
     {"parse_encode", parse_encode, METH_O,
      "parse_encode(fasta_bytes) -> (codes_int8_bytes, lengths_int64le_bytes)"},
     {"format_rows", format_rows, METH_VARARGS,
      "format_rows(counts_int32le, n_rows, n_cols, first) -> cfrk bytes"},
+    {"format_pairs", format_pairs, METH_VARARGS,
+     "format_pairs(idx_int32le, counts_int32le, n_rows, n_cols, first) -> bytes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -109,3 +109,17 @@ def test_native_parser_throughput_sanity():
     # Not a benchmark — just a regression guard that the native path is
     # not accidentally running the fallback.
     assert t_native < t_python * 2
+
+
+def test_format_pairs_bytes_matches_python():
+    import numpy as np
+
+    from cfrk_tpu.format import format_rows_pairs
+    from cfrk_tpu.io.native import format_pairs_bytes
+
+    rng = np.random.default_rng(0)
+    idx = np.sort(rng.integers(0, 1000, size=(9, 12)), axis=1).astype(np.int32)
+    counts = rng.integers(0, 4, size=(9, 12)).astype(np.int32)  # zeros mixed in
+    want = b"\n".join(format_rows_pairs(idx, counts))
+    assert format_pairs_bytes(idx, counts) == want
+    assert format_pairs_bytes(idx, counts, first=False) == b"\n" + want
