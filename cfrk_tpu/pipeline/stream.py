@@ -110,7 +110,7 @@ def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]
         yield item
 
 
-def _make_dispatch(k, canonical, impl, mesh, mode):
+def _make_dispatch(k, canonical, impl, mesh, mode, packed=False):
     """Batch → device-counts callable, single-device or mesh-sharded."""
     import jax.numpy as jnp
 
@@ -122,6 +122,15 @@ def _make_dispatch(k, canonical, impl, mesh, mode):
 
     if mesh is None:
         if mode == "perread":
+            if packed:
+                # Packed pair kernel: ~1.75x faster step and half the
+                # D2H; opt-in because its first Mosaic compile can take
+                # many minutes (ops/pallas/perread.py docstring).
+                from ..ops.pallas.perread import count_perread_pallas
+
+                return lambda arr: count_perread_pallas(
+                    arr, k, canonical=canonical, packed=True
+                )
             return lambda arr: count_perread(
                 arr, k, canonical=canonical, impl=impl, out_dtype=_odt(arr)
             )
@@ -154,6 +163,7 @@ def stream_count_file(
     checkpoint_every: int = 1,
     nonzero: bool = False,
     mesh=None,
+    packed: bool = False,
     metrics: RunMetrics | None = None,
 ) -> RunMetrics:
     """Stream a FASTA file into a `.cfrk` file with bounded memory.
@@ -163,9 +173,13 @@ def stream_count_file(
     stopped.  The checkpoint sidecar is removed on successful completion.
     With ``mesh`` given, each batch is sharded rows-over-devices
     (zero-collective data parallelism; batch_size must divide evenly).
+    ``packed=True`` (single-device, k <= 8) uses the packed-pair Pallas
+    kernel: half the D2H, unpacked on host.
     """
+    if packed and (mesh is not None or k > 8):
+        raise ValueError("packed mode is single-device and needs k <= 8")
     _check_mesh_batch(mesh, batch_size)
-    dispatch = _make_dispatch(k, canonical, impl, mesh, "perread")
+    dispatch = _make_dispatch(k, canonical, impl, mesh, "perread", packed)
     m = metrics or RunMetrics(k=k, mode="perread")
     fp = StreamCheckpoint.fingerprint_of(
         path, k, "perread-nonzero" if nonzero else "perread", canonical
@@ -193,7 +207,12 @@ def stream_count_file(
             nonlocal since_ckpt
             n, dev_counts = pending.pop(0)
             with m.stage("materialize"):
-                counts = np.asarray(dev_counts)[:n]
+                if packed:
+                    from ..ops.pallas.perread import unpack_counts
+
+                    counts = unpack_counts(np.asarray(dev_counts), n)
+                else:
+                    counts = np.asarray(dev_counts)[:n]
             with m.stage("write"):
                 w.write_batch(counts)
             ckpt.reads_done += n

@@ -260,3 +260,28 @@ def test_stream_mesh_batch_divisibility(tmp_path):
     mesh = make_mesh(jax.devices())
     with _pytest.raises(ValueError, match="not divisible"):
         stream_count_file("x.fasta", "y.cfrk", 4, batch_size=9, mesh=mesh)
+
+
+def test_stream_count_packed(tmp_path):
+    """Packed-pair kernel streaming equals the plain path byte-for-byte."""
+    rng = np.random.default_rng(10)
+    reads = _random_reads(40, rng, lo=30, hi=120)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    out_p = tmp_path / "p.cfrk"
+    out_s = tmp_path / "s.cfrk"
+    stream_count_file(fasta, out_p, 5, batch_size=16, packed=True)
+    stream_count_file(fasta, out_s, 5, batch_size=16)
+    assert out_p.read_bytes() == out_s.read_bytes()
+
+
+def test_stream_packed_rejects_mesh_and_large_k(tmp_path):
+    import jax
+    import pytest as _pytest
+
+    from cfrk_tpu.parallel import make_mesh
+
+    with _pytest.raises(ValueError, match="single-device"):
+        stream_count_file("x", "y", 9, packed=True)
+    with _pytest.raises(ValueError, match="single-device"):
+        stream_count_file("x", "y", 4, packed=True, mesh=make_mesh(jax.devices()))
