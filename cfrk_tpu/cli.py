@@ -106,6 +106,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint every N batches in --stream mode",
     )
     p.add_argument(
+        "--packed",
+        action="store_true",
+        help=(
+            "stream mode, k<=8: packed-pair Pallas kernel (half the "
+            "device-to-host traffic; first-ever compile can be slow)"
+        ),
+    )
+    p.add_argument(
         "--max-parallel-tasks",
         type=int,
         default=2,
@@ -306,7 +314,7 @@ def main(argv=None) -> int:
                     canonical=args.canonical, impl=args.impl,
                     batch_size=args.batch_size, resume=args.resume,
                     checkpoint_every=args.checkpoint_every,
-                    nonzero=args.nonzero,
+                    nonzero=args.nonzero, packed=args.packed,
                 )
             else:
                 table, m = stream_spectrum_file(
