@@ -97,12 +97,23 @@ def spectrum_file(
     if not reads:
         return total
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+    # Accumulate on device (int32), spilling to the host int64 total
+    # before any bin could overflow — avoids a full-table D2H per batch.
+    dev = None
+    windows = 0
+    limit = 2**31 - 2**27
     for batch in iter_batches(reads, bs, ml):
-        total += np.asarray(
-            spectrum_op(jax.numpy.asarray(batch.codes), k,
-                        canonical=canonical, impl=impl),
-            dtype=np.int64,
+        bw = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
+        if dev is not None and windows + bw >= limit:
+            total += np.asarray(dev, dtype=np.int64)
+            dev, windows = None, 0
+        part = spectrum_op(
+            jax.numpy.asarray(batch.codes), k, canonical=canonical, impl=impl
         )
+        dev = part if dev is None else dev + part
+        windows += bw
+    if dev is not None:
+        total += np.asarray(dev, dtype=np.int64)
     return total
 
 

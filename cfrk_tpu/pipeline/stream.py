@@ -256,10 +256,13 @@ def stream_spectrum_file(
 ) -> tuple[np.ndarray, RunMetrics]:
     """Stream a FASTA file into one global dense spectrum [4**k] int64.
 
-    Per-batch tables are pulled to host and accumulated in int64.
-    ``out_path`` is only used to place the checkpoint sidecar; pass the
-    eventual output path.  With ``mesh``, each batch's table is computed
-    sharded (psum/psum_scatter merge) before the host accumulate.
+    The accumulator lives ON DEVICE (int64 add per batch, enqueued
+    asynchronously) and is fetched to host only at checkpoints and at
+    the end — a 4**15 table is 4 GB, so per-batch host round-trips
+    would dominate the run.  ``out_path`` is only used to place the
+    checkpoint sidecar; pass the eventual output path.  With ``mesh``,
+    each batch's table is computed sharded (psum/psum_scatter merge)
+    before the device accumulate.
     """
     _check_mesh_batch(mesh, batch_size)
     dispatch = _make_dispatch(k, canonical, impl, mesh, "spectrum")
@@ -268,20 +271,40 @@ def stream_spectrum_file(
     cpath = checkpoint_path(out_path) if out_path else None
 
     ckpt = StreamCheckpoint(fingerprint=fp)
-    total = np.zeros(4**k, dtype=np.int64)
+    base = np.zeros(4**k, dtype=np.int64)
     if resume and cpath and os.path.exists(cpath):
         prev = StreamCheckpoint.load(cpath)
         if prev.matches(fp):
             ckpt = prev
-            total = ckpt.load_spectrum()
+            base = ckpt.load_spectrum()
+
+    # Device accumulator is int32 (device int64 needs the x64 flag);
+    # it spills into the host int64 base before the windows added since
+    # the last spill could overflow any single int32 bin.  With tp > 1
+    # the sharded table arrives bins-over-tp; accumulation keeps that
+    # layout and the spill's np.asarray gathers it.
+    total_dev = None
+    windows_since_spill = 0
+    SPILL_LIMIT = 2**31 - 2**27
+
+    def spill() -> None:
+        nonlocal base, total_dev, windows_since_spill
+        if total_dev is not None:
+            base = base + np.asarray(total_dev, dtype=np.int64).reshape(-1)
+            total_dev = None
+        windows_since_spill = 0
 
     gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
     since_ckpt = 0
     for batch in _prefetched(gen):
+        batch_windows = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
+        if windows_since_spill + batch_windows >= SPILL_LIMIT:
+            with m.stage("materialize"):
+                spill()
         with m.stage("dispatch"):
             part = dispatch(jax.numpy.asarray(batch.codes))
-        with m.stage("materialize"):
-            total += np.asarray(part, dtype=np.int64)
+            total_dev = part if total_dev is None else total_dev + part
+            windows_since_spill += batch_windows
         m.batches += 1
         m.reads += batch.n_reads
         m.bases += int(batch.lengths.sum())
@@ -289,10 +312,14 @@ def stream_spectrum_file(
         since_ckpt += 1
         if cpath and since_ckpt >= checkpoint_every:
             with m.stage("checkpoint"):
-                ckpt.save_spectrum(cpath, total)
+                spill()
+                ckpt.save_spectrum(cpath, base)
                 ckpt.save(cpath)
             since_ckpt = 0
 
+    with m.stage("materialize"):
+        spill()
+        total = base
     if cpath and os.path.exists(cpath):
         ckpt.cleanup(cpath)
     return total, m
