@@ -305,6 +305,23 @@ def main(argv=None) -> int:
             if (args.output and len(args.inputs) == 1)
             else _out_path(inp, args.out_dir or ".", args.mode)
         )
+        if args.stream and args.mode == "sparse":
+            from .ops.sparse import decode_key
+            from .pipeline.stream import stream_sparse_spectrum_file
+
+            keys, cnts, m = stream_sparse_spectrum_file(
+                inp, args.k,
+                canonical=args.canonical, batch_size=args.batch_size,
+                out_path=out, resume=args.resume,
+                checkpoint_every=max(args.checkpoint_every, 1),
+            )
+            with open(out, "w") as f:
+                for key, cnt in zip(keys.tolist(), cnts.tolist()):
+                    f.write(f"{decode_key(key, args.k)}\t{cnt}\n")
+            total_reads += m.reads
+            if args.stats:
+                print(m.json_line(), file=sys.stderr)
+            continue
         if args.stream and args.mode in ("perread", "spectrum"):
             from .pipeline.stream import stream_count_file, stream_spectrum_file
 

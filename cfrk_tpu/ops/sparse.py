@@ -34,6 +34,7 @@ __all__ = [
     "kmer_keys",
     "sparse_spectrum",
     "merge_sorted_spectra",
+    "SparseAccumulator",
     "decode_key",
 ]
 
@@ -159,6 +160,60 @@ def merge_sorted_spectra(parts):
     sums = np.zeros(len(uniq), dtype=np.int64)
     np.add.at(sums, inv, all_counts)
     return dict(zip(uniq.tolist(), sums.tolist()))
+
+
+class SparseAccumulator:
+    """Bounded-memory accumulator for sparse spectra across batches.
+
+    Holds one merged (keys, counts) pair of int64 arrays; incoming
+    batch triples are buffered and folded in with np.unique every
+    ``merge_every`` batches, so peak memory is O(distinct k-mers +
+    merge_every × batch windows) instead of O(all batches).
+    """
+
+    def __init__(self, merge_every: int = 32):
+        import numpy as np
+
+        self._np = np
+        self.keys = np.empty(0, dtype=np.uint64)
+        self.counts = np.empty(0, dtype=np.int64)
+        self._pending: list = []
+        self._merge_every = merge_every
+
+    def add(self, hi, lo, counts) -> None:
+        np = self._np
+        mask = counts > 0
+        keys = (hi[mask].astype(np.uint64) << np.uint64(2 * LO_BASES)) | lo[
+            mask
+        ].astype(np.uint64)
+        self._pending.append((keys, counts[mask].astype(np.int64)))
+        if len(self._pending) >= self._merge_every:
+            self._fold()
+
+    def _fold(self) -> None:
+        np = self._np
+        if not self._pending:
+            return
+        all_keys = np.concatenate([self.keys] + [k for k, _ in self._pending])
+        all_counts = np.concatenate(
+            [self.counts] + [c for _, c in self._pending]
+        )
+        self._pending = []
+        uniq, inv = np.unique(all_keys, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, all_counts)
+        self.keys, self.counts = uniq, sums
+
+    def result(self) -> dict:
+        """Final {int_kmer_code: count} dict (kept for API parity)."""
+        self._fold()
+        return dict(zip(self.keys.tolist(), self.counts.tolist()))
+
+    def result_arrays(self):
+        """Final (keys uint64, counts int64), sorted by key — the
+        scalable interface for large runs."""
+        self._fold()
+        return self.keys, self.counts
 
 
 def decode_key(key: int, k: int) -> str:

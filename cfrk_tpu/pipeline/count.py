@@ -130,17 +130,17 @@ def sparse_spectrum_file(
     Returns {int_kmer_code: count}.  Device side sorts + run-length
     encodes per batch (ops/sparse.py); batches merge on host.
     """
-    from ..ops.sparse import merge_sorted_spectra, sparse_spectrum
+    from ..ops.sparse import SparseAccumulator, sparse_spectrum
 
     reads = read_fasta_encoded(path)
     if not reads:
         return {}
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
-    parts = []
+    acc = SparseAccumulator()
     for batch in iter_batches(reads, bs, ml):
         hi, lo, counts = sparse_spectrum(jax.numpy.asarray(batch.codes), k, canonical)
-        parts.append((np.asarray(hi), np.asarray(lo), np.asarray(counts)))
-    return merge_sorted_spectra(parts)
+        acc.add(np.asarray(hi), np.asarray(lo), np.asarray(counts))
+    return acc.result()
 
 
 def count_file_sparse_rows(

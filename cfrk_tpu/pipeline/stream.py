@@ -41,7 +41,12 @@ from ..runtime.checkpoint import StreamCheckpoint, checkpoint_path
 from ..runtime.metrics import RunMetrics
 from .batch import ReadBatch, pad_reads
 
-__all__ = ["stream_batches", "stream_count_file", "stream_spectrum_file"]
+__all__ = [
+    "stream_batches",
+    "stream_count_file",
+    "stream_spectrum_file",
+    "stream_sparse_spectrum_file",
+]
 
 _SENTINEL = None
 
@@ -323,3 +328,63 @@ def stream_spectrum_file(
     if cpath and os.path.exists(cpath):
         ckpt.cleanup(cpath)
     return total, m
+
+
+def stream_sparse_spectrum_file(
+    path,
+    k: int,
+    *,
+    canonical: bool = False,
+    batch_size: int = 8192,
+    out_path=None,
+    resume: bool = False,
+    checkpoint_every: int = 64,
+    merge_every: int = 32,
+    metrics: RunMetrics | None = None,
+):
+    """Stream a FASTA file into a sparse spectrum for large k (16..31).
+
+    Returns (keys uint64 sorted, counts int64, metrics).  Bounded
+    memory: per-batch sorted triples fold into one merged (keys, counts)
+    pair every ``merge_every`` batches (ops/sparse.SparseAccumulator);
+    checkpoints persist the merged arrays as ``.npz``.
+    """
+    from ..ops.sparse import SparseAccumulator, sparse_spectrum
+
+    m = metrics or RunMetrics(k=k, mode="sparse")
+    fp = StreamCheckpoint.fingerprint_of(path, k, "sparse", canonical)
+    cpath = checkpoint_path(out_path) if out_path else None
+
+    ckpt = StreamCheckpoint(fingerprint=fp)
+    acc = SparseAccumulator(merge_every=merge_every)
+    if resume and cpath and os.path.exists(cpath):
+        prev = StreamCheckpoint.load(cpath)
+        if prev.matches(fp):
+            ckpt = prev
+            acc.keys, acc.counts = ckpt.load_sparse()
+
+    gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
+    since_ckpt = 0
+    for batch in _prefetched(gen):
+        with m.stage("dispatch"):
+            hi, lo, counts = sparse_spectrum(
+                jax.numpy.asarray(batch.codes), k, canonical
+            )
+        with m.stage("materialize"):
+            acc.add(np.asarray(hi), np.asarray(lo), np.asarray(counts))
+        m.batches += 1
+        m.reads += batch.n_reads
+        m.bases += int(batch.lengths.sum())
+        ckpt.reads_done += batch.n_reads
+        since_ckpt += 1
+        if cpath and since_ckpt >= checkpoint_every:
+            with m.stage("checkpoint"):
+                keys, cnts = acc.result_arrays()
+                ckpt.save_sparse(cpath, keys, cnts)
+                ckpt.save(cpath)
+            since_ckpt = 0
+
+    keys, counts = acc.result_arrays()
+    if cpath and os.path.exists(cpath):
+        ckpt.cleanup(cpath)
+    return keys, counts, m

@@ -84,6 +84,21 @@ class StreamCheckpoint:
             raise ValueError("checkpoint has no spectrum accumulator")
         return np.load(self.spectrum_path)
 
+    # -- sparse (keys, counts) sidecar -----------------------------------
+    def save_sparse(self, ckpt_path: str, keys: np.ndarray,
+                    counts: np.ndarray) -> None:
+        spath = ckpt_path + ".sparse.npz"
+        tmp = spath + ".tmp.npz"
+        np.savez(tmp, keys=keys, counts=counts)
+        os.replace(tmp, spath)
+        self.spectrum_path = spath
+
+    def load_sparse(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self.spectrum_path:
+            raise ValueError("checkpoint has no sparse accumulator")
+        with np.load(self.spectrum_path) as z:
+            return z["keys"], z["counts"]
+
     def cleanup(self, ckpt_path: str) -> None:
         """Remove checkpoint files after a successful run."""
         for p in (ckpt_path, self.spectrum_path):

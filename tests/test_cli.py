@@ -131,3 +131,28 @@ def test_config_unknown_key_fails(tmp_path):
     cfg.write_text(_json.dumps({"no-such-flag": 1}))
     with _pytest.raises(SystemExit, match="unknown config key"):
         main(["x.fasta", "-k", "2", "--config", str(cfg)])
+
+
+def test_cli_stream_sparse_mode(tmp_path):
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.io.fasta import decode_codes
+    from cfrk_tpu.pipeline.count import sparse_spectrum_file
+    from cfrk_tpu.ops.sparse import decode_key
+
+    rng = np.random.default_rng(5)
+    reads = [rng.integers(0, 4, size=60).astype(np.int8) for _ in range(10)]
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        for i, codes in enumerate(reads):
+            f.write(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    out = tmp_path / "o.kmers.tsv"
+    rc = main([str(fasta), "-k", "19", "--mode", "sparse", "--stream",
+               "-o", str(out), "--batch-size", "4"])
+    assert rc == 0
+    want = sparse_spectrum_file(str(fasta), 19)
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == len(want)
+    got = {kv.split("\t")[0]: int(kv.split("\t")[1]) for kv in lines}
+    assert got == {decode_key(key, 19): c for key, c in want.items()}

@@ -113,3 +113,27 @@ def test_sparse_sharded_overflow_flag(rng, mesh):
         jnp.asarray(codes), 21, mesh, slack=0.05
     )
     assert np.asarray(overflowed).any()
+
+
+def test_sparse_accumulator_matches_merge(rng):
+    import numpy as np
+
+    from cfrk_tpu.ops.sparse import (
+        SparseAccumulator,
+        merge_sorted_spectra,
+        sparse_spectrum,
+    )
+
+    parts = []
+    acc = SparseAccumulator(merge_every=2)  # force interior folds
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        codes = r.integers(0, 4, size=(6, 50)).astype(np.int8)
+        hi, lo, counts = sparse_spectrum(codes, 20, False)
+        trip = (np.asarray(hi), np.asarray(lo), np.asarray(counts))
+        parts.append(trip)
+        acc.add(*trip)
+    assert acc.result() == merge_sorted_spectra(parts)
+    keys, counts = acc.result_arrays()
+    assert list(keys) == sorted(keys)
+    assert counts.sum() == sum(merge_sorted_spectra(parts).values())

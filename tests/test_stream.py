@@ -285,3 +285,57 @@ def test_stream_packed_rejects_mesh_and_large_k(tmp_path):
         stream_count_file("x", "y", 9, packed=True)
     with _pytest.raises(ValueError, match="single-device"):
         stream_count_file("x", "y", 4, packed=True, mesh=make_mesh(jax.devices()))
+
+
+def test_stream_sparse_spectrum(tmp_path):
+    from cfrk_tpu.pipeline.count import sparse_spectrum_file
+    from cfrk_tpu.pipeline.stream import stream_sparse_spectrum_file
+
+    rng = np.random.default_rng(11)
+    reads = _random_reads(30, rng, lo=40, hi=90)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    keys, counts, m = stream_sparse_spectrum_file(
+        fasta, 21, batch_size=8, merge_every=2
+    )
+    want = sparse_spectrum_file(fasta, 21)
+    assert dict(zip(keys.tolist(), counts.tolist())) == want
+    assert m.reads == 30
+
+
+def test_stream_sparse_resume(tmp_path):
+    from cfrk_tpu.ops.sparse import SparseAccumulator, sparse_spectrum
+    from cfrk_tpu.pipeline.count import count_reads as _cr  # noqa: F401
+    from cfrk_tpu.pipeline.stream import (
+        stream_batches,
+        stream_sparse_spectrum_file,
+    )
+
+    rng = np.random.default_rng(12)
+    reads = _random_reads(24, rng, lo=40, hi=80)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.kmers"
+    _write_fasta(fasta, reads)
+    k = 17
+    keys_w, counts_w, _ = stream_sparse_spectrum_file(fasta, k, batch_size=8)
+
+    # Simulate an interrupted run after 2 of 3 batches.
+    acc = SparseAccumulator()
+    for batch in list(stream_batches(fasta, k, 8))[:2]:
+        hi, lo, c = sparse_spectrum(batch.codes, k, False)
+        acc.add(np.asarray(hi), np.asarray(lo), np.asarray(c))
+    pk, pc = acc.result_arrays()
+    cpath = checkpoint_path(out)
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(fasta, k, "sparse", False),
+        reads_done=16,
+    )
+    ckpt.save_sparse(cpath, pk, pc)
+    ckpt.save(cpath)
+
+    keys, counts, m = stream_sparse_spectrum_file(
+        fasta, k, batch_size=8, out_path=out, resume=True
+    )
+    assert m.reads == 8
+    np.testing.assert_array_equal(keys, keys_w)
+    np.testing.assert_array_equal(counts, counts_w)
