@@ -138,7 +138,9 @@ class CfrkWriter:
         newline is emitted before the next row (used by checkpoint resume).
         ``nonzero=True`` writes only nonzero cells per row (the reference's
         commented-out zero-filtering, ``src/main.cu:51-56``)."""
-        if isinstance(f, str):
+        import os as _os
+
+        if isinstance(f, (str, _os.PathLike)):
             self._f: IO[bytes] = open(f, "wb")
             self._owns = True
         else:

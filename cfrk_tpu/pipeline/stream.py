@@ -180,11 +180,28 @@ def stream_count_file(
     (zero-collective data parallelism; batch_size must divide evenly).
     ``packed=True`` (single-device, k <= 8) uses the packed-pair Pallas
     kernel: half the D2H, unpacked on host.
+
+    For 8 < k <= 15 the dense [B, 4**k] rows are impossible; the driver
+    switches to the sort-based sparse per-read op and requires
+    ``nonzero=True`` (rows list only present k-mers).
     """
     if packed and (mesh is not None or k > 8):
         raise ValueError("packed mode is single-device and needs k <= 8")
+    sparse_rows = k > 8
+    if sparse_rows:
+        if not nonzero:
+            raise ValueError(
+                f"per-read k={k} > 8 requires nonzero=True (dense 4**k "
+                "rows would be gigabytes per read)"
+            )
+        if mesh is not None:
+            raise ValueError("sparse per-read streaming is single-device")
+        from ..ops.perread_sparse import count_perread_sparse
+
+        dispatch = lambda arr: count_perread_sparse(arr, k, canonical)  # noqa: E731
+    else:
+        dispatch = _make_dispatch(k, canonical, impl, mesh, "perread", packed)
     _check_mesh_batch(mesh, batch_size)
-    dispatch = _make_dispatch(k, canonical, impl, mesh, "perread", packed)
     m = metrics or RunMetrics(k=k, mode="perread")
     fp = StreamCheckpoint.fingerprint_of(
         path, k, "perread-nonzero" if nonzero else "perread", canonical
@@ -212,14 +229,20 @@ def stream_count_file(
             nonlocal since_ckpt
             n, dev_counts = pending.pop(0)
             with m.stage("materialize"):
-                if packed:
+                if sparse_rows:
+                    idx, cnt = dev_counts
+                    pairs = (np.asarray(idx)[:n], np.asarray(cnt)[:n])
+                elif packed:
                     from ..ops.pallas.perread import unpack_counts
 
                     counts = unpack_counts(np.asarray(dev_counts), n)
                 else:
                     counts = np.asarray(dev_counts)[:n]
             with m.stage("write"):
-                w.write_batch(counts)
+                if sparse_rows:
+                    w.write_pairs(*pairs)
+                else:
+                    w.write_batch(counts)
             ckpt.reads_done += n
             since_ckpt += 1
             if since_ckpt >= checkpoint_every:

@@ -339,3 +339,26 @@ def test_stream_sparse_resume(tmp_path):
     assert m.reads == 8
     np.testing.assert_array_equal(keys, keys_w)
     np.testing.assert_array_equal(counts, counts_w)
+
+
+def test_stream_sparse_perread_rows(tmp_path):
+    """Streaming k>8 per-read sparse rows == in-memory sparse-row path."""
+    from cfrk_tpu.pipeline.count import count_file_sparse_rows
+
+    rng = np.random.default_rng(13)
+    reads = _random_reads(30, rng, lo=40, hi=120)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    out_s = tmp_path / "s.cfrk"
+    out_m = tmp_path / "m.cfrk"
+    m = stream_count_file(fasta, out_s, 11, batch_size=8, nonzero=True)
+    assert m.reads == 30
+    count_file_sparse_rows(fasta, out_m, 11, batch_size=8)
+    assert out_s.read_bytes() == out_m.read_bytes()
+
+
+def test_stream_sparse_perread_requires_nonzero(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires nonzero"):
+        stream_count_file("x.fasta", "y.cfrk", 9)
