@@ -61,12 +61,18 @@ def format_pairs_bytes(
     idx: np.ndarray, counts: np.ndarray, *, first: bool = True
 ) -> bytes:
     """Format sparse per-read (idx, counts) pair rows as `.cfrk` bytes
-    (cells with count <= 0 skipped; see format.format_rows_pairs)."""
-    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    (cells with count <= 0 skipped; see format.format_rows_pairs).
+
+    64-bit indices (k > 15 combined codes) take the Python path; the C
+    formatter is int32-only."""
+    idx = np.asarray(idx)
+    wide = idx.dtype.itemsize > 4
+    if not wide:
+        idx = np.ascontiguousarray(idx, dtype=np.int32)
     counts = np.ascontiguousarray(counts, dtype=np.int32)
     if idx.shape != counts.shape or idx.ndim != 2:
         raise ValueError("idx/counts must be equal-shape 2-D")
-    if _fastaio is not None:
+    if _fastaio is not None and not wide:
         n_rows, n_cols = idx.shape
         return _fastaio.format_pairs(
             idx.tobytes(), counts.tobytes(), n_rows, n_cols, first

@@ -68,8 +68,10 @@ def spectrum_pallas(
     w = length - k + 1
     if w <= 0:
         raise ValueError(f"read length {length} < k={k}")
-    if k > 8:
-        raise ValueError("pallas dense spectrum supports k <= 8")
+    if k > 10:
+        # The [4**ceil(k/2), 4**floor(k/2)] f32 accumulator must stay in
+        # VMEM: k=10 is 4 MB, k=11 would be 16 MB (on the ~16 MB limit).
+        raise ValueError("pallas dense spectrum supports k <= 10")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     kh, kl = split_k(k)

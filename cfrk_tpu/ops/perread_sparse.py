@@ -1,4 +1,4 @@
-"""Sparse per-read k-mer counting for 8 < k <= 15 (sort-based).
+"""Sparse per-read k-mer counting for 8 < k <= 31 (sort-based).
 
 A dense per-read table at k=15 would be 4**15 = 1 GiB *per read*; the
 reference simply refused such configurations with a device-OOM exit
@@ -21,7 +21,12 @@ import jax.numpy as jnp
 
 from .encode import window_indices
 
-__all__ = ["count_perread_sparse", "MAX_SPARSE_PERREAD_K"]
+__all__ = [
+    "count_perread_sparse",
+    "count_perread_sparse_large",
+    "pairs_to_host",
+    "MAX_SPARSE_PERREAD_K",
+]
 
 MAX_SPARSE_PERREAD_K = 15
 
@@ -58,3 +63,62 @@ def count_perread_sparse(codes: jax.Array, k: int, canonical: bool = False):
     counts = jnp.where(first, nxt_after - pos, 0).astype(jnp.int32)
     idx_out = jnp.where(first, x, sent)
     return idx_out, counts
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def count_perread_sparse_large(codes: jax.Array, k: int, canonical: bool = False):
+    """Per-read sparse histograms for large k (16..31).
+
+    codes: [B, L] int8 → (hi, lo, counts), each [B, W] int32/uint32 with
+    W = L-k+1.  Keys use the (hi, lo) split of ops/sparse.py (hi = first
+    k-15 bases, lo = last 15); rows are sorted lexicographically, RLE'd
+    as in :func:`count_perread_sparse`, invalid/run-tail positions carry
+    the uint32 sentinel with count 0.  The combined 2k-bit code is
+    ``hi * 4**15 + lo`` (fits uint64 for k <= 31).
+    """
+    from .sparse import INVALID_SENTINEL, kmer_keys
+
+    hi, lo = kmer_keys(codes, k, canonical)  # [B, W] uint32, sentinel invalid
+    hi, lo = jax.lax.sort((hi, lo), dimension=-1, num_keys=2)
+
+    b, w = hi.shape
+    first = jnp.ones((b, w), dtype=bool).at[:, 1:].set(
+        (hi[:, 1:] != hi[:, :-1]) | (lo[:, 1:] != lo[:, :-1])
+    )
+    is_real = lo != INVALID_SENTINEL
+    first &= is_real
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    boundary = jnp.where(first | ~is_real, pos, w)
+    suffix_min = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(boundary, -1), axis=-1),
+        -1,
+    )
+    nxt_after = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((b, 1), w, jnp.int32)], axis=-1
+    )
+    counts = jnp.where(first, nxt_after - pos, 0).astype(jnp.int32)
+    uhi = jnp.where(first, hi, INVALID_SENTINEL)
+    ulo = jnp.where(first, lo, INVALID_SENTINEL)
+    return uhi, ulo, counts
+
+
+def pairs_to_host(device_out, n_reads: int):
+    """Normalise a sparse per-read device result to host (idx, counts).
+
+    Accepts either the small-k (idx, counts) pair or the large-k
+    (hi, lo, counts) triple; for the latter the combined 64-bit code is
+    ``hi * 4**LO_BASES + lo`` (sentinel rows keep count 0 and are
+    skipped by the formatter).
+    """
+    import numpy as np
+
+    from .sparse import LO_BASES
+
+    if len(device_out) == 2:
+        idx, counts = device_out
+        return np.asarray(idx)[:n_reads], np.asarray(counts)[:n_reads]
+    hi, lo, counts = device_out
+    hi = np.asarray(hi)[:n_reads].astype(np.uint64)
+    lo = np.asarray(lo)[:n_reads].astype(np.uint64)
+    combined = (hi << np.uint64(2 * LO_BASES)) | lo
+    return combined, np.asarray(counts)[:n_reads]

@@ -152,13 +152,18 @@ def count_file_sparse_rows(
     batch_size: int | None = 8192,
     max_len: int | None = None,
 ) -> int:
-    """Per-read SPARSE rows for 8 < k <= 15, streamed straight to disk.
+    """Per-read SPARSE rows for 8 < k <= 31, streamed straight to disk.
 
     Dense [n_reads, 4**k] materialisation is impossible at these k
     (the reference OOM-exited, ``src/kmer_main.cu:51-56``); rows use the
-    nonzero ``idx:count`` format.  Returns the number of reads written.
+    nonzero ``idx:count`` format — for k > 15 the idx is the combined
+    64-bit code ``hi * 4**15 + lo``.  Returns the number of reads written.
     """
-    from ..ops.perread_sparse import count_perread_sparse
+    from ..ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+        pairs_to_host,
+    )
 
     reads = read_fasta_encoded(path)
     n_written = 0
@@ -167,13 +172,16 @@ def count_file_sparse_rows(
             return 0
         bs, ml = _plan_shapes(reads, k, batch_size, max_len)
         for batch in iter_batches(reads, bs, ml):
-            idx, counts = count_perread_sparse(
-                jax.numpy.asarray(batch.codes), k, canonical
-            )
-            w.write_pairs(
-                np.asarray(idx)[: batch.n_reads],
-                np.asarray(counts)[: batch.n_reads],
-            )
+            if k <= 15:
+                out = count_perread_sparse(
+                    jax.numpy.asarray(batch.codes), k, canonical
+                )
+            else:
+                out = count_perread_sparse_large(
+                    jax.numpy.asarray(batch.codes), k, canonical
+                )
+            idx, counts = pairs_to_host(out, batch.n_reads)
+            w.write_pairs(idx, counts)
             n_written += batch.n_reads
     return n_written
 

@@ -196,9 +196,15 @@ def stream_count_file(
             )
         if mesh is not None:
             raise ValueError("sparse per-read streaming is single-device")
-        from ..ops.perread_sparse import count_perread_sparse
+        from ..ops.perread_sparse import (
+            count_perread_sparse,
+            count_perread_sparse_large,
+        )
 
-        dispatch = lambda arr: count_perread_sparse(arr, k, canonical)  # noqa: E731
+        if k <= 15:
+            dispatch = lambda arr: count_perread_sparse(arr, k, canonical)  # noqa: E731
+        else:
+            dispatch = lambda arr: count_perread_sparse_large(arr, k, canonical)  # noqa: E731
     else:
         dispatch = _make_dispatch(k, canonical, impl, mesh, "perread", packed)
     _check_mesh_batch(mesh, batch_size)
@@ -230,8 +236,9 @@ def stream_count_file(
             n, dev_counts = pending.pop(0)
             with m.stage("materialize"):
                 if sparse_rows:
-                    idx, cnt = dev_counts
-                    pairs = (np.asarray(idx)[:n], np.asarray(cnt)[:n])
+                    from ..ops.perread_sparse import pairs_to_host
+
+                    pairs = pairs_to_host(dev_counts, n)
                 elif packed:
                     from ..ops.pallas.perread import unpack_counts
 

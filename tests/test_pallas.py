@@ -126,3 +126,16 @@ def test_perread_packed_window_guard():
     codes = np.zeros((8, 2**15 + 16), dtype=np.int8)
     with _pytest.raises(ValueError, match="packed counts unsafe"):
         count_perread_pallas(codes, 2, packed=True)
+
+
+def test_spectrum_pallas_k9_matches_scatter():
+    import numpy as np
+
+    from cfrk_tpu.ops.spectrum import spectrum
+
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, size=(12, 80)).astype(np.int8)
+    codes[rng.random(codes.shape) < 0.02] = -1
+    got = np.asarray(spectrum(codes, 9, impl="pallas"))
+    want = np.asarray(spectrum(codes, 9, impl="scatter"))
+    np.testing.assert_array_equal(got, want)

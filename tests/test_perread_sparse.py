@@ -81,3 +81,77 @@ def test_cli_large_k_requires_nonzero(tmp_path):
         assert 1 <= len(cells) <= 40
         total = sum(int(c.split(b":")[1]) for c in cells)
         assert total == 40
+
+
+def test_sparse_large_k_matches_oracle_k20():
+    import numpy as np
+
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse_large,
+        pairs_to_host,
+    )
+
+    k = 20
+    rng = np.random.default_rng(4)
+    codes = _random_codes(5, 120, rng)
+    out = count_perread_sparse_large(codes, k)
+    idx, counts = pairs_to_host(out, 5)
+    assert idx.dtype == np.uint64
+    for r in range(codes.shape[0]):
+        want: dict = {}
+        row = codes[r]
+        for p in range(len(row) - k + 1):
+            win = row[p : p + k]
+            if (win < 0).any():
+                continue
+            key = 0
+            for c in win:
+                key = key * 4 + int(c)
+            want[key] = want.get(key, 0) + 1
+        got = {
+            int(i): int(c) for i, c in zip(idx[r], counts[r]) if c > 0
+        }
+        assert got == want
+
+
+def test_large_small_k_agree_at_boundary():
+    """k=15 via both ops produces identical formatted rows."""
+    import numpy as np
+
+    from cfrk_tpu.format import format_rows_pairs
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+        pairs_to_host,
+    )
+
+    rng = np.random.default_rng(5)
+    codes = _random_codes(6, 100, rng)
+    a = pairs_to_host(count_perread_sparse(codes, 15), 6)
+    b = pairs_to_host(count_perread_sparse_large(codes, 15), 6)
+    assert format_rows_pairs(*a) == format_rows_pairs(*b)
+
+
+def test_cli_perread_k31(tmp_path):
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.io.fasta import decode_codes
+
+    rng = np.random.default_rng(6)
+    reads = [rng.integers(0, 4, size=64).astype(np.int8) for _ in range(3)]
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        for i, codes in enumerate(reads):
+            f.write(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    out = tmp_path / "o.cfrk"
+    rc = main([str(fasta), "-k", "31", "-o", str(out), "--nonzero"])
+    assert rc == 0
+    rows = out.read_bytes().split(b"\n")
+    assert len(rows) == 3
+    for row in rows:
+        cells = [c for c in row.split(b" ") if c]
+        total = sum(int(c.split(b":")[1]) for c in cells)
+        assert total == 64 - 31 + 1
+        # keys are 2k-bit codes, some certainly above 2**32
+        assert max(int(c.split(b":")[0]) for c in cells) > 2**32
