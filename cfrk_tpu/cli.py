@@ -86,6 +86,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--stats", action="store_true", help="print a JSON stats line to stderr")
     p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help=(
+            "capture a JAX/XLA profiler trace of the run into DIR "
+            "(view with TensorBoard or xprof; the reference had no "
+            "in-process tracing at all, SURVEY.md §5)"
+        ),
+    )
+    p.add_argument(
         "--stream",
         action="store_true",
         help=(
@@ -241,9 +251,6 @@ def main(argv=None) -> int:
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
 
-    from .format import CfrkWriter
-    from .pipeline.count import count_file, sparse_spectrum_file, spectrum_file
-
     if args.resume:
         args.stream = True
 
@@ -297,8 +304,26 @@ def main(argv=None) -> int:
             print(f"FAILED {t.input}: {t.error}", file=sys.stderr)
         return 0 if result.ok else 1
 
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        profile_cm = jax.profiler.trace(args.profile)
+
     total_reads = 0
     t0 = time.perf_counter()
+    with profile_cm:
+        return _run_inputs(args, t0)
+
+
+def _run_inputs(args, t0) -> int:
+    from .format import CfrkWriter
+    from .pipeline.count import count_file, sparse_spectrum_file, spectrum_file
+
+    total_reads = 0
     for inp in args.inputs:
         out = (
             args.output
