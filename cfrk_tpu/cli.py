@@ -80,9 +80,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-len", type=int, default=None, help="pad reads to this length")
     p.add_argument(
         "--spectrum-format",
-        choices=["cfrk", "tsv", "npy"],
+        choices=["cfrk", "tsv", "npy", "hist"],
         default="cfrk",
-        help="spectrum output format (cfrk = single dense row)",
+        help=(
+            "spectrum output format (cfrk = single dense row; hist = "
+            "count-of-counts histogram, the k-mer spectrum curve used "
+            "for genome-size estimation)"
+        ),
+    )
+    p.add_argument(
+        "--min-count",
+        type=int,
+        default=1,
+        metavar="N",
+        help=(
+            "sparse modes: drop k-mers with count < N (abundance "
+            "filtering of sequencing-error singletons)"
+        ),
     )
     p.add_argument("--stats", action="store_true", help="print a JSON stats line to stderr")
     p.add_argument(
@@ -213,6 +227,14 @@ def _write_spectrum(path: str, table: np.ndarray, fmt: str) -> None:
         with open(path, "w") as f:
             for i, c in enumerate(table):
                 f.write(f"{i}\t{int(c)}\n")
+    elif fmt == "hist":
+        # Count-of-counts: how many distinct k-mers occur c times.
+        counts = table[table > 0]
+        with open(path, "w") as f:
+            if counts.size:
+                hist = np.bincount(counts.astype(np.int64))
+                for c in np.nonzero(hist)[0]:
+                    f.write(f"{c}\t{int(hist[c])}\n")
     else:  # cfrk: one dense row, exact reference cell format
         from .format import format_file_bytes
 
@@ -342,7 +364,8 @@ def _run_inputs(args, t0) -> int:
             )
             with open(out, "w") as f:
                 for key, cnt in zip(keys.tolist(), cnts.tolist()):
-                    f.write(f"{decode_key(key, args.k)}\t{cnt}\n")
+                    if cnt >= args.min_count:
+                        f.write(f"{decode_key(key, args.k)}\t{cnt}\n")
             total_reads += m.reads
             if args.stats:
                 print(m.json_line(), file=sys.stderr)
@@ -412,7 +435,8 @@ def _run_inputs(args, t0) -> int:
             )
             with open(out, "w") as f:
                 for key in sorted(table):
-                    f.write(f"{decode_key(key, args.k)}\t{table[key]}\n")
+                    if table[key] >= args.min_count:
+                        f.write(f"{decode_key(key, args.k)}\t{table[key]}\n")
         else:
             table = spectrum_file(
                 inp,

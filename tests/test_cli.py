@@ -156,3 +156,35 @@ def test_cli_stream_sparse_mode(tmp_path):
     assert len(lines) == len(want)
     got = {kv.split("\t")[0]: int(kv.split("\t")[1]) for kv in lines}
     assert got == {decode_key(key, 19): c for key, c in want.items()}
+
+
+def test_cli_spectrum_hist_and_min_count(tmp_path):
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.io.fasta import decode_codes
+
+    # Two identical reads: every k-mer appears an even number of times.
+    codes = np.array([0, 1, 2, 3, 0, 1, 2, 3], dtype=np.int8)
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        f.write(b">a\n" + decode_codes(codes) + b"\n")
+        f.write(b">b\n" + decode_codes(codes) + b"\n")
+    hist_out = tmp_path / "o.hist"
+    rc = main([str(fasta), "-k", "4", "--mode", "spectrum",
+               "--spectrum-format", "hist", "-o", str(hist_out)])
+    assert rc == 0
+    hist = dict(
+        tuple(map(int, ln.split("\t")))
+        for ln in hist_out.read_text().strip().splitlines()
+    )
+    # ACGTACGT has 5 4-mer windows: ACGT x2, CGTA, GTAC, TACG; doubled
+    # across the two reads -> counts {4: 1 kmer, 2: 3 kmers}.
+    assert hist == {2: 3, 4: 1}
+
+    sparse_out = tmp_path / "o.tsv"
+    rc = main([str(fasta), "-k", "4", "--mode", "sparse",
+               "--min-count", "3", "-o", str(sparse_out)])
+    assert rc == 0
+    lines = sparse_out.read_text().strip().splitlines()
+    assert lines == ["ACGT\t4"]
