@@ -222,7 +222,10 @@ def _out_path(inp: str, out_dir: str, mode: str) -> str:
 
 def _write_spectrum(path: str, table: np.ndarray, fmt: str) -> None:
     if fmt == "npy":
-        np.save(path, table)
+        # Write through a handle so np.save cannot append ".npy" and
+        # create a file the CLI never reported.
+        with open(path, "wb") as f:
+            np.save(f, table)
     elif fmt == "tsv":
         with open(path, "w") as f:
             for i, c in enumerate(table):
@@ -262,10 +265,12 @@ def main(argv=None) -> int:
         return 0
     if not args.paths:
         parser.error("the following arguments are required: paths")
+    # Positionals first: config-supplied defaults (e.g. "output") must
+    # not change how reference-style trailing positionals are consumed.
+    _split_reference_positionals(args)
     from .runtime.config import apply_config, load_config
 
     apply_config(args, load_config(args.config), parser)
-    _split_reference_positionals(args)
     if args.k is None:
         raise SystemExit("k is required (positional or -k)")
     if len(args.inputs) > 1 and not args.out_dir:
@@ -283,49 +288,6 @@ def main(argv=None) -> int:
         if len(args.inputs) > 1:
             args.inputs = host_shard(args.inputs)
 
-    if len(args.inputs) > 1:
-        # Multi-file run: the Swift/K workflow layer analog
-        # (reference swift/cfrk.swf:14-20), with retries + provenance.
-        from .runtime.workflow import count_one_factory, run_workflow
-
-        pairs = [
-            (inp, _out_path(inp, args.out_dir, args.mode))
-            for inp in args.inputs
-        ]
-        result = run_workflow(
-            pairs,
-            count_one_factory(
-                args.k,
-                mode=args.mode,
-                canonical=args.canonical,
-                impl=args.impl,
-                batch_size=args.batch_size,
-                stream=args.stream,
-                spectrum_format=args.spectrum_format,
-            ),
-            max_parallel_tasks=args.max_parallel_tasks,
-            retries=args.retries,
-            lazy_errors=not args.no_lazy_errors,
-            provenance_path=args.provenance,
-        )
-        if args.stats:
-            print(
-                json.dumps(
-                    {
-                        "files": len(result.tasks),
-                        "failed": len(result.failed),
-                        "reads": sum(t.reads for t in result.tasks),
-                        "k": args.k,
-                        "mode": args.mode,
-                        "wall_s": round(result.wall_s, 3),
-                    }
-                ),
-                file=sys.stderr,
-            )
-        for t in result.failed:
-            print(f"FAILED {t.input}: {t.error}", file=sys.stderr)
-        return 0 if result.ok else 1
-
     import contextlib
 
     profile_cm = contextlib.nullcontext()
@@ -335,10 +297,61 @@ def main(argv=None) -> int:
         os.makedirs(args.profile, exist_ok=True)
         profile_cm = jax.profiler.trace(args.profile)
 
-    total_reads = 0
     t0 = time.perf_counter()
     with profile_cm:
+        if len(args.inputs) > 1:
+            return _run_workflow(args)
         return _run_inputs(args, t0)
+
+
+def _run_workflow(args) -> int:
+    """Multi-file run: the Swift/K workflow layer analog
+    (reference swift/cfrk.swf:14-20), with retries + provenance."""
+    from .runtime.workflow import count_one_factory, run_workflow
+
+    pairs = [
+        (inp, _out_path(inp, args.out_dir, args.mode))
+        for inp in args.inputs
+    ]
+    result = run_workflow(
+        pairs,
+        count_one_factory(
+            args.k,
+            mode=args.mode,
+            canonical=args.canonical,
+            impl=args.impl,
+            batch_size=args.batch_size,
+            stream=args.stream,
+            spectrum_format=args.spectrum_format,
+            max_len=args.max_len,
+            nonzero=args.nonzero,
+            packed=args.packed,
+            resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+            min_count=args.min_count,
+        ),
+        max_parallel_tasks=args.max_parallel_tasks,
+        retries=args.retries,
+        lazy_errors=not args.no_lazy_errors,
+        provenance_path=args.provenance,
+    )
+    if args.stats:
+        print(
+            json.dumps(
+                {
+                    "files": len(result.tasks),
+                    "failed": len(result.failed),
+                    "reads": sum(t.reads for t in result.tasks),
+                    "k": args.k,
+                    "mode": args.mode,
+                    "wall_s": round(result.wall_s, 3),
+                }
+            ),
+            file=sys.stderr,
+        )
+    for t in result.failed:
+        print(f"FAILED {t.input}: {t.error}", file=sys.stderr)
+    return 0 if result.ok else 1
 
 
 def _run_inputs(args, t0) -> int:

@@ -61,6 +61,12 @@ def window_components(codes: jax.Array, k: int) -> WindowComponents:
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if k > 15:
+        # kh = ceil(k/2) > 15 would overflow the int32 Horner below; the
+        # uint32 (hi, lo) split for k up to 31 lives in ops/sparse.py
+        # (kmer_keys), which splits at 15 bases instead of k/2.
+        raise ValueError("window_components supports k <= 15; use "
+                         "ops.sparse.kmer_keys for k up to 31")
     length = codes.shape[-1]
     w = length - k + 1
     if w <= 0:

@@ -31,6 +31,37 @@ __all__ = [
 MAX_SPARSE_PERREAD_K = 15
 
 
+def rle_rows(keys: tuple, is_real: jax.Array, sentinels: tuple):
+    """Run-length-encode SORTED key rows (the shared RLE core).
+
+    keys: tuple of [B, W] arrays forming one lexicographic key;
+    is_real: [B, W] bool, False for sentinel/invalid positions (must be
+    sorted to the row tails); sentinels: per-key scalar written at
+    non-run-start positions.  Returns ``(*masked_keys, counts)``:
+    position j of a row holds a distinct key and its count iff it is
+    the first element of its run, else the sentinel with count 0.
+    """
+    b, w = keys[0].shape
+    neq = keys[0][:, 1:] != keys[0][:, :-1]
+    for kk in keys[1:]:
+        neq = neq | (kk[:, 1:] != kk[:, :-1])
+    first = jnp.ones((b, w), dtype=bool).at[:, 1:].set(neq) & is_real
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    boundary = jnp.where(first | ~is_real, pos, w)
+    suffix_min = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(boundary, -1), axis=-1),
+        -1,
+    )
+    nxt_after = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((b, 1), w, jnp.int32)], axis=-1
+    )
+    counts = jnp.where(first, nxt_after - pos, 0).astype(jnp.int32)
+    masked = tuple(
+        jnp.where(first, kk, s) for kk, s in zip(keys, sentinels)
+    )
+    return *masked, counts
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def count_perread_sparse(codes: jax.Array, k: int, canonical: bool = False):
     """Per-read sparse histograms.
@@ -46,22 +77,7 @@ def count_perread_sparse(codes: jax.Array, k: int, canonical: bool = False):
     idx = window_indices(codes, k, canonical)  # [B, W], -1 invalid
     x = jnp.where(idx < 0, sent, idx)
     x = jax.lax.sort(x, dimension=-1)
-
-    b, w = x.shape
-    first = jnp.ones((b, w), dtype=bool).at[:, 1:].set(x[:, 1:] != x[:, :-1])
-    is_real = x != sent
-    first &= is_real
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-    boundary = jnp.where(first | ~is_real, pos, w)
-    suffix_min = jnp.flip(
-        jax.lax.associative_scan(jnp.minimum, jnp.flip(boundary, -1), axis=-1),
-        -1,
-    )
-    nxt_after = jnp.concatenate(
-        [suffix_min[:, 1:], jnp.full((b, 1), w, jnp.int32)], axis=-1
-    )
-    counts = jnp.where(first, nxt_after - pos, 0).astype(jnp.int32)
-    idx_out = jnp.where(first, x, sent)
+    idx_out, counts = rle_rows((x,), x != sent, (sent,))
     return idx_out, counts
 
 
@@ -80,26 +96,9 @@ def count_perread_sparse_large(codes: jax.Array, k: int, canonical: bool = False
 
     hi, lo = kmer_keys(codes, k, canonical)  # [B, W] uint32, sentinel invalid
     hi, lo = jax.lax.sort((hi, lo), dimension=-1, num_keys=2)
-
-    b, w = hi.shape
-    first = jnp.ones((b, w), dtype=bool).at[:, 1:].set(
-        (hi[:, 1:] != hi[:, :-1]) | (lo[:, 1:] != lo[:, :-1])
+    return rle_rows(
+        (hi, lo), lo != INVALID_SENTINEL, (INVALID_SENTINEL, INVALID_SENTINEL)
     )
-    is_real = lo != INVALID_SENTINEL
-    first &= is_real
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-    boundary = jnp.where(first | ~is_real, pos, w)
-    suffix_min = jnp.flip(
-        jax.lax.associative_scan(jnp.minimum, jnp.flip(boundary, -1), axis=-1),
-        -1,
-    )
-    nxt_after = jnp.concatenate(
-        [suffix_min[:, 1:], jnp.full((b, 1), w, jnp.int32)], axis=-1
-    )
-    counts = jnp.where(first, nxt_after - pos, 0).astype(jnp.int32)
-    uhi = jnp.where(first, hi, INVALID_SENTINEL)
-    ulo = jnp.where(first, lo, INVALID_SENTINEL)
-    return uhi, ulo, counts
 
 
 def pairs_to_host(device_out, n_reads: int):

@@ -96,27 +96,17 @@ def _rle(hi: jax.Array, lo: jax.Array):
     Returns (uhi, ulo, counts) of the same length: position i holds a
     unique key and its count iff it is the first element of its run;
     other positions carry the sentinel and count 0.  Invalid keys
-    (sentinel) always get count 0.
+    (sentinel) always get count 0.  (Thin 1-D wrapper over the shared
+    row-RLE core in ops/perread_sparse.py.)
     """
-    n = hi.shape[0]
-    first = jnp.ones((n,), dtype=bool).at[1:].set(
-        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    from .perread_sparse import rle_rows
+
+    uhi, ulo, counts = rle_rows(
+        (hi[None, :], lo[None, :]),
+        (lo != INVALID_SENTINEL)[None, :],
+        (INVALID_SENTINEL, INVALID_SENTINEL),
     )
-    is_real = lo != INVALID_SENTINEL
-    first &= is_real
-    pos = jnp.arange(n, dtype=jnp.int32)
-    # Count of a run starting at i = (first boundary index > i) - i, where
-    # a boundary is any run start or invalid element.  suffix_min[i] gives
-    # the first boundary index >= i; shift by one for "strictly after".
-    boundary_pos = jnp.where(first | ~is_real, pos, n)
-    suffix_min = jnp.flip(
-        jax.lax.associative_scan(jnp.minimum, jnp.flip(boundary_pos))
-    )
-    nxt_after = jnp.concatenate([suffix_min[1:], jnp.array([n], jnp.int32)])
-    counts = jnp.where(first, nxt_after - pos, 0).astype(jnp.int32)
-    uhi = jnp.where(first, hi, INVALID_SENTINEL)
-    ulo = jnp.where(first, lo, INVALID_SENTINEL)
-    return uhi, ulo, counts
+    return uhi[0], ulo[0], counts[0]
 
 
 @partial(jax.jit, static_argnums=(1, 2))

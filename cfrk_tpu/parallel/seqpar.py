@@ -42,6 +42,21 @@ def make_seq_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (SP_AXIS,))
 
 
+def _check_slice_width(codes: jax.Array, k: int, mesh: Mesh) -> None:
+    """The one-hop halo fetches k-1 columns from the immediate right
+    neighbour only; a per-device slice narrower than k-1 would silently
+    drop windows spanning two slice boundaries.  Refuse loudly."""
+    n = mesh.shape[SP_AXIS]
+    length = codes.shape[-1]
+    if length % n:
+        raise ValueError(f"position axis {length} not divisible by sp={n}")
+    if n > 1 and length // n < k - 1:
+        raise ValueError(
+            f"per-device slice {length // n} < k-1={k - 1}: windows would "
+            f"span >2 slices; use fewer devices or longer reads"
+        )
+
+
 def _halo_extend(codes_blk: jax.Array, k: int) -> jax.Array:
     """Append the right neighbour's first k-1 columns (ring ppermute).
 
@@ -87,6 +102,7 @@ def count_perread_seqpar(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    _check_slice_width(codes, k, mesh)
     return _seqpar_fn(mesh, k, canonical, impl, "perread")(codes)
 
 
@@ -99,4 +115,5 @@ def spectrum_seqpar(
     impl: str = "auto",
 ) -> jax.Array:
     """Global spectrum with the position axis sharded over ``sp``."""
+    _check_slice_width(codes, k, mesh)
     return _seqpar_fn(mesh, k, canonical, impl, "spectrum")(codes)

@@ -90,29 +90,51 @@ def stream_batches(
         yield pad_reads(buf, batch_size, _len_bucket(longest, len_base))
 
 
-def _batch_feeder(gen: Iterator[ReadBatch], q: queue.Queue, err: list) -> None:
+def _batch_feeder(gen: Iterator[ReadBatch], q: queue.Queue, err: list,
+                  stop: threading.Event) -> None:
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     try:
         for b in gen:
-            q.put(b)
+            if not put(b):
+                return
     except BaseException as e:  # surface parser errors in the consumer
         err.append(e)
     finally:
-        q.put(_SENTINEL)
-
+        put(_SENTINEL)
+        gen.close()  # release the input file handle promptly
 
 def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]:
-    """Run ``gen`` in a background thread with a bounded queue."""
+    """Run ``gen`` in a background thread with a bounded queue.
+
+    If the consumer stops early (error downstream), the feeder is
+    signalled via ``stop`` so it does not block forever on a full queue
+    holding the input file open."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list = []
-    t = threading.Thread(target=_batch_feeder, args=(gen, q, err), daemon=True)
+    stop = threading.Event()
+    t = threading.Thread(
+        target=_batch_feeder, args=(gen, q, err, stop), daemon=True
+    )
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5)
 
 
 def _make_dispatch(k, canonical, impl, mesh, mode, packed=False):
@@ -218,7 +240,15 @@ def stream_count_file(
     if resume and os.path.exists(cpath):
         prev = StreamCheckpoint.load(cpath)
         if prev.matches(fp):
-            ckpt = prev
+            # The checkpoint only counts if the output really contains
+            # the bytes it promises: a missing/short file (crash before
+            # the data hit disk) would otherwise be NUL-extended by
+            # truncate() and silently lose the first reads_done reads.
+            if (
+                os.path.exists(out_path)
+                and os.path.getsize(out_path) >= prev.out_bytes
+            ):
+                ckpt = prev
 
     mode = "r+b" if (ckpt.reads_done and os.path.exists(out_path)) else "wb"
     with open(out_path, mode) as f:
@@ -254,7 +284,10 @@ def stream_count_file(
             since_ckpt += 1
             if since_ckpt >= checkpoint_every:
                 with m.stage("checkpoint"):
+                    # fsync the DATA before the fsynced checkpoint JSON
+                    # claims it exists (write-ahead ordering).
                     f.flush()
+                    os.fsync(f.fileno())
                     ckpt.out_bytes = f.tell()
                     ckpt.save(cpath)
                 since_ckpt = 0

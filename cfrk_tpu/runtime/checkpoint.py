@@ -62,6 +62,12 @@ class StreamCheckpoint:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        # The JSON now references the new sidecar (if any); the
+        # superseded one can go.
+        stale = getattr(self, "_pending_cleanup", None)
+        if stale and stale != self.spectrum_path and os.path.exists(stale):
+            os.remove(stale)
+        self._pending_cleanup = None
 
     @staticmethod
     def load(path: str) -> "StreamCheckpoint":
@@ -71,27 +77,38 @@ class StreamCheckpoint:
     def matches(self, fingerprint: dict) -> bool:
         return self.fingerprint == fingerprint
 
-    # -- spectrum accumulator sidecar ------------------------------------
+    # -- accumulator sidecars --------------------------------------------
+    # Sidecars get a UNIQUE name per checkpoint state (reads_done) and
+    # only become live when the atomically-replaced JSON references
+    # them: a crash between the sidecar write and the JSON write leaves
+    # the old JSON pointing at the old sidecar — never a new accumulator
+    # paired with a stale reads_done (which would double-count on
+    # resume).  The superseded sidecar is deleted after the JSON flip.
+
+    def _sidecar_swap(self, new_path: str) -> str:
+        old = self.spectrum_path
+        self.spectrum_path = new_path
+        return old
+
     def save_spectrum(self, ckpt_path: str, table: np.ndarray) -> None:
-        spath = ckpt_path + ".spectrum.npy"
+        spath = f"{ckpt_path}.spectrum.{self.reads_done}.npy"
         tmp = spath + ".tmp.npy"
         np.save(tmp, table)
         os.replace(tmp, spath)
-        self.spectrum_path = spath
+        self._pending_cleanup = self._sidecar_swap(spath)
 
     def load_spectrum(self) -> np.ndarray:
         if not self.spectrum_path:
             raise ValueError("checkpoint has no spectrum accumulator")
         return np.load(self.spectrum_path)
 
-    # -- sparse (keys, counts) sidecar -----------------------------------
     def save_sparse(self, ckpt_path: str, keys: np.ndarray,
                     counts: np.ndarray) -> None:
-        spath = ckpt_path + ".sparse.npz"
+        spath = f"{ckpt_path}.sparse.{self.reads_done}.npz"
         tmp = spath + ".tmp.npz"
         np.savez(tmp, keys=keys, counts=counts)
         os.replace(tmp, spath)
-        self.spectrum_path = spath
+        self._pending_cleanup = self._sidecar_swap(spath)
 
     def load_sparse(self) -> tuple[np.ndarray, np.ndarray]:
         if not self.spectrum_path:
@@ -100,7 +117,13 @@ class StreamCheckpoint:
             return z["keys"], z["counts"]
 
     def cleanup(self, ckpt_path: str) -> None:
-        """Remove checkpoint files after a successful run."""
-        for p in (ckpt_path, self.spectrum_path):
+        """Remove checkpoint files after a successful run (including any
+        orphaned sidecar generations from interrupted checkpoints)."""
+        import glob
+
+        stale = glob.glob(ckpt_path + ".spectrum.*") + glob.glob(
+            ckpt_path + ".sparse.*"
+        )
+        for p in {ckpt_path, self.spectrum_path, *stale}:
             if p and os.path.exists(p):
                 os.remove(p)

@@ -158,9 +158,17 @@ def count_one_factory(
     batch_size: int = 8192,
     stream: bool = False,
     spectrum_format: str = "cfrk",
+    max_len: int | None = None,
+    nonzero: bool = False,
+    packed: bool = False,
+    resume: bool = False,
+    checkpoint_every: int = 1,
+    min_count: int = 1,
 ):
     """Build a ``count_one(input, output)`` callable for :func:`run_workflow`
-    from CLI-level options (shared by the CLI and programmatic users)."""
+    from CLI-level options (shared by the CLI and programmatic users).
+    Every per-file option of the single-input CLI path is honoured here,
+    so multi-file runs behave identically per file."""
 
     def count_one(inp: str, out: str) -> int:
         if mode == "perread":
@@ -169,45 +177,76 @@ def count_one_factory(
 
                 m = stream_count_file(
                     inp, out, k, canonical=canonical, impl=impl,
-                    batch_size=batch_size,
+                    batch_size=batch_size, nonzero=nonzero, packed=packed,
+                    resume=resume, checkpoint_every=checkpoint_every,
                 )
                 return m.reads
+            if k > 8:
+                if not nonzero:
+                    raise ValueError(
+                        f"per-read k={k} > 8 requires nonzero=True"
+                    )
+                from ..pipeline.count import count_file_sparse_rows
+
+                return count_file_sparse_rows(
+                    inp, out, k, canonical=canonical,
+                    batch_size=batch_size, max_len=max_len,
+                )
             from ..format import CfrkWriter
             from ..pipeline.count import count_file
 
             counts = count_file(
-                inp, k, canonical=canonical, impl=impl, batch_size=batch_size
+                inp, k, canonical=canonical, impl=impl,
+                batch_size=batch_size, max_len=max_len,
             )
-            with CfrkWriter(out) as w:
+            with CfrkWriter(out, nonzero=nonzero) as w:
                 w.write_batch(counts)
             return counts.shape[0]
         if mode == "sparse":
             from ..ops.sparse import decode_key
-            from ..pipeline.count import sparse_spectrum_file
 
-            table = sparse_spectrum_file(
-                inp, k, canonical=canonical, batch_size=batch_size
-            )
+            if stream:
+                from ..pipeline.stream import stream_sparse_spectrum_file
+
+                keys, cnts, m = stream_sparse_spectrum_file(
+                    inp, k, canonical=canonical, batch_size=batch_size,
+                    out_path=out, resume=resume,
+                    checkpoint_every=max(checkpoint_every, 1),
+                )
+                n = m.reads
+                items = zip(keys.tolist(), cnts.tolist())
+            else:
+                from ..pipeline.count import sparse_spectrum_file
+
+                table = sparse_spectrum_file(
+                    inp, k, canonical=canonical, batch_size=batch_size,
+                    max_len=max_len,
+                )
+                n = 0
+                items = ((key, table[key]) for key in sorted(table))
             with open(out, "w") as f:
-                for key in sorted(table):
-                    f.write(f"{decode_key(key, k)}\t{table[key]}\n")
-            return len(table)
+                for key, cnt in items:
+                    if cnt >= min_count:
+                        f.write(f"{decode_key(key, k)}\t{cnt}\n")
+            return n
         # spectrum
         if stream:
             from ..pipeline.stream import stream_spectrum_file
 
             table, m = stream_spectrum_file(
                 inp, k, canonical=canonical, impl=impl,
-                batch_size=batch_size, out_path=out,
+                batch_size=batch_size, out_path=out, resume=resume,
+                checkpoint_every=max(checkpoint_every, 1),
             )
             n = m.reads
         else:
             from ..pipeline.count import spectrum_file
 
             table = spectrum_file(
-                inp, k, canonical=canonical, impl=impl, batch_size=batch_size
+                inp, k, canonical=canonical, impl=impl,
+                batch_size=batch_size, max_len=max_len,
             )
-            n = -1
+            n = 0
         from ..cli import _write_spectrum
 
         _write_spectrum(out, table, spectrum_format)

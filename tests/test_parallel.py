@@ -95,3 +95,16 @@ def test_maybe_initialize_distributed_noop(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
     assert maybe_initialize_distributed() is False
+
+
+def test_seqpar_rejects_narrow_slices(devices, rng):
+    """Slices narrower than k-1 would silently undercount (code-review
+    finding, verified: 14 vs 50 windows); must raise instead."""
+    import pytest as _pytest
+
+    from cfrk_tpu.parallel import count_perread_seqpar, make_seq_mesh
+
+    mesh = make_seq_mesh(devices)  # 8 devices
+    codes = rng.integers(0, 4, size=(2, 32)).astype(np.int8)  # slice = 4
+    with _pytest.raises(ValueError, match="span >2 slices"):
+        count_perread_seqpar(codes, 8, mesh)

@@ -362,3 +362,34 @@ def test_stream_sparse_perread_requires_nonzero(tmp_path):
 
     with _pytest.raises(ValueError, match="requires nonzero"):
         stream_count_file("x.fasta", "y.cfrk", 9)
+
+
+def test_stream_resume_missing_output_restarts(tmp_path):
+    """A checkpoint whose output file is missing/short must restart from
+    scratch, not NUL-extend (code-review finding)."""
+    rng = np.random.default_rng(14)
+    reads = _random_reads(12, rng)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.cfrk"
+    _write_fasta(fasta, reads)
+    k = 3
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(fasta, k, "perread", False),
+        reads_done=8,
+        out_bytes=500,
+    )
+    ckpt.save(checkpoint_path(out))
+    # Case 1: output missing entirely.
+    m = stream_count_file(fasta, out, k, batch_size=4, resume=True)
+    assert m.reads == 12  # full restart
+    got = parse_cfrk(out.read_bytes())
+    np.testing.assert_array_equal(got, count_reads(reads, k))
+    assert b"\x00" not in out.read_bytes()
+    # Case 2: output shorter than checkpointed offset.
+    ckpt.save(checkpoint_path(out))
+    out.write_bytes(b"short")
+    m = stream_count_file(fasta, out, k, batch_size=4, resume=True)
+    assert m.reads == 12
+    np.testing.assert_array_equal(
+        parse_cfrk(out.read_bytes()), count_reads(reads, k)
+    )
