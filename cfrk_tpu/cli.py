@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="cfrk-tpu",
         description="TPU-native k-mer counting (reference-compatible .cfrk output)",
     )
+    from .version import __version__
+
+    p.add_argument(
+        "--version", action="version", version=f"cfrk-tpu {__version__}"
+    )
     p.add_argument(
         "--list-devices",
         action="store_true",
