@@ -278,6 +278,16 @@ def main(argv=None) -> int:
     apply_config(args, load_config(args.config), parser)
     if args.k is None:
         raise SystemExit("k is required (positional or -k)")
+    if not 1 <= args.k <= 31:
+        raise SystemExit(
+            f"k={args.k} out of range: 1 <= k <= 31 "
+            "(k > 31 would need 2 uint32 words per key component)"
+        )
+    if args.mode == "spectrum" and args.k > 15:
+        raise SystemExit(
+            f"dense spectrum needs k <= 15 (4**{args.k} bins); "
+            "use --mode sparse for larger k"
+        )
     if len(args.inputs) > 1 and not args.out_dir:
         raise SystemExit("multiple inputs require --out-dir")
     if args.out_dir:

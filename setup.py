@@ -29,4 +29,9 @@ setup(
             extra_compile_args=["-O3", "-std=c++17"],
         )
     ],
+    entry_points={
+        "console_scripts": ["cfrk-tpu = cfrk_tpu.cli:main"],
+    },
+    python_requires=">=3.10",
+    install_requires=["numpy", "jax"],
 )

@@ -188,3 +188,18 @@ def test_cli_spectrum_hist_and_min_count(tmp_path):
     assert rc == 0
     lines = sparse_out.read_text().strip().splitlines()
     assert lines == ["ACGT\t4"]
+
+
+def test_cli_k_range_validation(tmp_path):
+    import pytest as _pytest
+
+    from cfrk_tpu.cli import main
+
+    f = tmp_path / "r.fasta"
+    f.write_bytes(b">a\nACGT\n")
+    with _pytest.raises(SystemExit, match="out of range"):
+        main([str(f), "-k", "0", "-o", str(tmp_path / "o")])
+    with _pytest.raises(SystemExit, match="out of range"):
+        main([str(f), "-k", "32", "-o", str(tmp_path / "o")])
+    with _pytest.raises(SystemExit, match="mode sparse"):
+        main([str(f), "-k", "16", "--mode", "spectrum", "-o", str(tmp_path / "o")])
