@@ -141,7 +141,13 @@ class CfrkWriter:
         import os as _os
 
         if isinstance(f, (str, _os.PathLike)):
-            self._f: IO[bytes] = open(f, "wb")
+            # Transparent gzip output: dense rows compress ~10-20x.
+            if str(f).endswith(".gz"):
+                import gzip as _gzip
+
+                self._f: IO[bytes] = _gzip.open(f, "wb")
+            else:
+                self._f = open(f, "wb")
             self._owns = True
         else:
             self._f = f

@@ -209,6 +209,12 @@ def stream_count_file(
     """
     if packed and (mesh is not None or k > 8):
         raise ValueError("packed mode is single-device and needs k <= 8")
+    if str(out_path).endswith(".gz"):
+        raise ValueError(
+            "streaming .gz output is unsupported (checkpoints need byte "
+            "offsets); write plain .cfrk and compress afterwards, or use "
+            "the in-memory driver (cfrk_tpu.count_file + write_cfrk)"
+        )
     sparse_rows = k > 8
     if sparse_rows:
         if not nonzero:

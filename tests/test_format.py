@@ -97,3 +97,26 @@ def test_cfrk_writer_nonzero(tmp_path):
     with CfrkWriter(str(p), nonzero=True) as w:
         w.write_batch(counts)
     assert p.read_bytes() == b"1:2 \n0:1 3:5 "
+
+
+def test_cfrk_writer_gzip_output(tmp_path):
+    import gzip
+
+    import numpy as np
+
+    from cfrk_tpu.format import CfrkWriter, format_file_bytes
+
+    counts = np.arange(32, dtype=np.int32).reshape(2, 16)
+    p = tmp_path / "o.cfrk.gz"
+    with CfrkWriter(p) as w:
+        w.write_batch(counts)
+    assert gzip.decompress(p.read_bytes()) == format_file_bytes(counts)
+
+
+def test_stream_rejects_gz_output(tmp_path):
+    import pytest as _pytest
+
+    from cfrk_tpu.pipeline.stream import stream_count_file
+
+    with _pytest.raises(ValueError, match="gz output is unsupported"):
+        stream_count_file("x.fasta", "y.cfrk.gz", 4)
