@@ -64,7 +64,7 @@ def speed_of_light_bases_per_s(platform: str, batch: int, read_len: int, k: int)
     return batch * read_len / t
 
 
-def main() -> None:
+def main(impl_override: str | None = None) -> None:
     import os
 
     import jax
@@ -84,7 +84,7 @@ def main() -> None:
     on_tpu = platform in ("tpu", "axon")
     batch = BATCH if on_tpu else 256
     n_batches = N_BATCHES if on_tpu else 4
-    impl = "pallas" if on_tpu else "auto"
+    impl = impl_override or ("pallas" if on_tpu else "auto")
 
     rng = np.random.default_rng(0)
     xs = jnp.asarray(
@@ -119,7 +119,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"perread dense k={K} count throughput, 1 chip ({platform})",
+                "metric": (
+                    f"perread dense k={K} count throughput, "
+                    f"1 chip ({platform}, {impl})"
+                ),
                 "value": round(bases_per_s, 1),
                 "unit": "bases/s",
                 "vs_baseline": round(bases_per_s / sol, 4),
@@ -128,5 +131,49 @@ def main() -> None:
     )
 
 
+def _guarded() -> None:
+    """Attempt the Pallas measurement in a CHILD process under a
+    deadline, falling back to the XLA matmul path inline.
+
+    The remote Mosaic compile of the fused kernel varies from ~2 s
+    (warm cache) to ~8 min (cold, loaded server); the driver runs this
+    script under a hard timeout, so a hung/slow compile must not eat
+    the whole budget and leave no output.  Exactly ONE JSON line is
+    printed either way."""
+    import os
+    import subprocess
+    import sys
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "560"))
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True,
+            text=True,
+            timeout=max(deadline - 120.0, 60.0),  # reserve fallback time
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+    except subprocess.TimeoutExpired:
+        pass
+    # Fallback: pure-XLA path, fast reliable compile (~1 min).
+    print(
+        f"# pallas attempt exceeded its slot after "
+        f"{time.perf_counter() - t0:.0f}s; falling back to matmul",
+        file=sys.stderr,
+    )
+    main(impl_override="matmul")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--inner" in sys.argv:
+        main()
+    elif "--no-guard" in sys.argv:
+        main()
+    else:
+        _guarded()
