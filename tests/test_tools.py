@@ -72,3 +72,34 @@ def test_bench_suite_cpu_golden_only():
     names = [d["bench"] for d in lines]
     assert names == ["golden_k2_exact", "sparse_k31_canonical"]
     assert lines[0]["byte_exact"] is True
+
+
+def test_diff_cfrk(tmp_path):
+    import numpy as np
+
+    from cfrk_tpu.format import CfrkWriter
+
+    counts = np.array([[0, 2, 0, 1], [3, 0, 0, 0]], dtype=np.int32)
+    a = tmp_path / "a.cfrk"
+    b = tmp_path / "b.cfrk"  # same counts, nonzero format
+    c = tmp_path / "c.cfrk"  # different counts
+    with CfrkWriter(str(a)) as w:
+        w.write_batch(counts)
+    with CfrkWriter(str(b), nonzero=True) as w:
+        w.write_batch(counts)
+    with CfrkWriter(str(c)) as w:
+        w.write_batch(counts + np.array([[0, 0, 0, 1], [0, 0, 0, 0]]))
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, str(TOOLS / "diff_cfrk.py"), *args],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        return r.returncode, r.stdout.strip()
+
+    assert run(str(a), str(a)) == (0, "byte-identical")
+    rc, msg = run(str(a), str(b))
+    assert rc == 1  # formats differ byte-wise
+    assert run(str(a), str(b), "--semantic") == (0, "semantically equal (2 reads)")
+    rc, msg = run(str(a), str(c), "--semantic")
+    assert rc == 1 and "1/2 reads differ" in msg
