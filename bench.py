@@ -146,6 +146,8 @@ def _guarded() -> None:
 
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "560"))
     t0 = time.perf_counter()
+    reason = "produced no JSON line"
+    child_err = ""
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--inner"],
@@ -157,14 +159,25 @@ def _guarded() -> None:
             if line.startswith("{"):
                 print(line)
                 return
-    except subprocess.TimeoutExpired:
-        pass
+        if out.returncode != 0:
+            reason = f"exited with code {out.returncode}"
+        child_err = out.stderr
+    except subprocess.TimeoutExpired as e:
+        reason = "exceeded its time slot"
+        child_err = (e.stderr or b"").decode(errors="replace") if isinstance(
+            e.stderr, bytes
+        ) else (e.stderr or "")
     # Fallback: pure-XLA path, fast reliable compile (~1 min).
     print(
-        f"# pallas attempt exceeded its slot after "
-        f"{time.perf_counter() - t0:.0f}s; falling back to matmul",
+        f"# pallas attempt {reason} after {time.perf_counter() - t0:.0f}s; "
+        f"falling back to matmul",
         file=sys.stderr,
     )
+    if child_err:
+        tail = child_err.strip().splitlines()[-10:]
+        print("# child stderr tail:", file=sys.stderr)
+        for ln in tail:
+            print(f"#   {ln}", file=sys.stderr)
     main(impl_override="matmul")
 
 

@@ -130,9 +130,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--checkpoint-every",
         type=int,
-        default=1,
+        default=None,
         metavar="N",
-        help="checkpoint every N batches in --stream mode",
+        help=(
+            "checkpoint every N batches in --stream mode (default: "
+            "per-mode — 1 for perread, 16 for spectrum, 64 for sparse; "
+            "spectrum/sparse checkpoints cost a full accumulator "
+            "round-trip, so they are rarer)"
+        ),
     )
     p.add_argument(
         "--packed",
@@ -190,7 +195,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-_FASTA_EXTS = (".fasta", ".fa", ".fna", ".gz")
+_FASTA_EXTS = (".fasta", ".fa", ".fna", ".fastq", ".fq")
+
+
+def _looks_like_input(p: str) -> bool:
+    """True for FASTA/FASTQ paths, optionally gzipped.
+
+    A bare ``.gz`` is NOT enough — ``out.cfrk.gz`` is a legal OUTPUT
+    path and must stay a trailing positional.
+    """
+    if p.endswith(".gz"):
+        p = p[:-3]
+    return p.endswith(_FASTA_EXTS)
 
 
 def _split_reference_positionals(args) -> None:
@@ -198,11 +214,11 @@ def _split_reference_positionals(args) -> None:
     ``<out> <k> [nt] [chunkSize]`` (the reference CLI is entirely
     positional, ``src/main.cu:239-250``, so existing scripts can swap
     binaries).  The first path is always an input; later paths count as
-    inputs while they look like FASTA files.
+    inputs while they look like FASTA/FASTQ files.
     """
     paths = list(args.paths)
     args.inputs = [paths.pop(0)]
-    while paths and paths[0].endswith(_FASTA_EXTS):
+    while paths and _looks_like_input(paths[0]):
         args.inputs.append(paths.pop(0))
     if paths and args.output is None and not paths[0].isdigit():
         args.output = paths.pop(0)
@@ -237,17 +253,27 @@ def _write_spectrum(path: str, table: np.ndarray, fmt: str) -> None:
                 f.write(f"{i}\t{int(c)}\n")
     elif fmt == "hist":
         # Count-of-counts: how many distinct k-mers occur c times.
+        # np.unique, not bincount — one k-mer with abundance 1e9 must
+        # not allocate a 1e9-bin dense histogram.
         counts = table[table > 0]
         with open(path, "w") as f:
             if counts.size:
-                hist = np.bincount(counts.astype(np.int64))
-                for c in np.nonzero(hist)[0]:
-                    f.write(f"{c}\t{int(hist[c])}\n")
+                vals, occ = np.unique(counts, return_counts=True)
+                for c, n in zip(vals.tolist(), occ.tolist()):
+                    f.write(f"{c}\t{n}\n")
     else:  # cfrk: one dense row, exact reference cell format
-        from .format import format_file_bytes
+        table2d = np.asarray(table)[None, :]
+        if table2d.max(initial=0) < 2**31:
+            # Native C formatter (~10x): int32-safe counts.
+            from .format import CfrkWriter
 
-        with open(path, "wb") as f:
-            f.write(format_file_bytes(table[None, :]))
+            with CfrkWriter(path) as w:
+                w.write_batch(table2d.astype(np.int32))
+        else:
+            from .format import format_file_bytes
+
+            with open(path, "wb") as f:
+                f.write(format_file_bytes(table2d))
 
 
 def main(argv=None) -> int:
@@ -273,9 +299,12 @@ def main(argv=None) -> int:
     # Positionals first: config-supplied defaults (e.g. "output") must
     # not change how reference-style trailing positionals are consumed.
     _split_reference_positionals(args)
-    from .runtime.config import apply_config, load_config
+    from .runtime.config import apply_config, explicit_dests, load_config
 
-    apply_config(args, load_config(args.config), parser)
+    apply_config(
+        args, load_config(args.config), parser,
+        explicit=explicit_dests(argv if argv is not None else sys.argv[1:], parser),
+    )
     if args.k is None:
         raise SystemExit("k is required (positional or -k)")
     if not 1 <= args.k <= 31:
@@ -383,17 +412,22 @@ def _run_inputs(args, t0) -> int:
         if args.stream and args.mode == "sparse":
             from .ops.sparse import decode_key
             from .pipeline.stream import stream_sparse_spectrum_file
+            from .runtime.checkpoint import cleanup_checkpoint
 
             keys, cnts, m = stream_sparse_spectrum_file(
                 inp, args.k,
                 canonical=args.canonical, batch_size=args.batch_size,
                 out_path=out, resume=args.resume,
-                checkpoint_every=max(args.checkpoint_every, 1),
+                checkpoint_every=args.checkpoint_every or 64,
+                cleanup=False,
             )
             with open(out, "w") as f:
                 for key, cnt in zip(keys.tolist(), cnts.tolist()):
                     if cnt >= args.min_count:
                         f.write(f"{decode_key(key, args.k)}\t{cnt}\n")
+            # Checkpoint survives until the REAL output exists: a crash
+            # during the write above stays resumable.
+            cleanup_checkpoint(out)
             total_reads += m.reads
             if args.stats:
                 print(m.json_line(), file=sys.stderr)
@@ -406,18 +440,22 @@ def _run_inputs(args, t0) -> int:
                     inp, out, args.k,
                     canonical=args.canonical, impl=args.impl,
                     batch_size=args.batch_size, resume=args.resume,
-                    checkpoint_every=args.checkpoint_every,
+                    checkpoint_every=args.checkpoint_every or 1,
                     nonzero=args.nonzero, packed=args.packed,
                 )
             else:
+                from .runtime.checkpoint import cleanup_checkpoint
+
                 table, m = stream_spectrum_file(
                     inp, args.k,
                     canonical=args.canonical, impl=args.impl,
                     batch_size=args.batch_size, out_path=out,
                     resume=args.resume,
-                    checkpoint_every=max(args.checkpoint_every, 1),
+                    checkpoint_every=args.checkpoint_every or 16,
+                    cleanup=False,
                 )
                 _write_spectrum(out, table, args.spectrum_format)
+                cleanup_checkpoint(out)
             total_reads += m.reads
             if args.stats:
                 print(m.json_line(), file=sys.stderr)

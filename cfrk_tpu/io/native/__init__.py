@@ -79,6 +79,8 @@ def format_pairs_bytes(
         )
     from ...format import format_rows_pairs
 
+    if idx.shape[0] == 0:
+        return b""  # match the C path: no rows, no bytes
     body = b"\n".join(format_rows_pairs(idx, counts))
     return body if first else b"\n" + body
 
@@ -94,5 +96,7 @@ def format_rows_bytes(counts: np.ndarray, *, first: bool = True) -> bytes:
         return _fastaio.format_rows(counts.tobytes(), n_rows, n_cols, first)
     from ...format import format_rows
 
+    if counts.shape[0] == 0:
+        return b""  # match the C path: no rows, no bytes
     body = b"\n".join(format_rows(counts))
     return body if first else b"\n" + body

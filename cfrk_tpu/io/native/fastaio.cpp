@@ -75,16 +75,21 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
     while (eol < n && p[eol] != '\n') eol++;
     Py_ssize_t end = eol;
     if (end > i && p[end - 1] == '\r') end--;
-    if (end > i) {
-      if (fastq) {
-        if (fq_line == 1) {
-          int64_t len = 0;
-          for (Py_ssize_t j = i; j < end; j++) codes.push_back(kLut.t[p[j]]);
-          len = end - i;
-          lengths.push_back(len);
-        }
-        fq_line = (fq_line + 1) & 3;
-      } else if (p[i] == '>') {
+    if (fastq) {
+      /* Empty lines ADVANCE the 4-line cycle (a quality-trimmed read
+       * can be zero-length) — except before a header, matching the
+       * Python parser which skips blanks only at header position. */
+      if (end == i && fq_line == 0) {
+        i = eol + 1;
+        continue;
+      }
+      if (fq_line == 1) {
+        for (Py_ssize_t j = i; j < end; j++) codes.push_back(kLut.t[p[j]]);
+        lengths.push_back(end - i);
+      }
+      fq_line = (fq_line + 1) & 3;
+    } else if (end > i) {
+      if (p[i] == '>') {
         if (in_record) lengths.push_back(cur_len);
         in_record = true;
         cur_len = 0;

@@ -326,6 +326,7 @@ def stream_spectrum_file(
     resume: bool = False,
     checkpoint_every: int = 16,
     mesh=None,
+    cleanup: bool = True,
     metrics: RunMetrics | None = None,
 ) -> tuple[np.ndarray, RunMetrics]:
     """Stream a FASTA file into one global dense spectrum [4**k] int64.
@@ -394,7 +395,10 @@ def stream_spectrum_file(
     with m.stage("materialize"):
         spill()
         total = base
-    if cpath and os.path.exists(cpath):
+    # cleanup=False keeps the checkpoint until the CALLER has written
+    # the real output (runtime.checkpoint.cleanup_checkpoint) — a crash
+    # during that write stays resumable.
+    if cleanup and cpath and os.path.exists(cpath):
         ckpt.cleanup(cpath)
     return total, m
 
@@ -409,6 +413,7 @@ def stream_sparse_spectrum_file(
     resume: bool = False,
     checkpoint_every: int = 64,
     merge_every: int = 32,
+    cleanup: bool = True,
     metrics: RunMetrics | None = None,
 ):
     """Stream a FASTA file into a sparse spectrum for large k (16..31).
@@ -454,6 +459,6 @@ def stream_sparse_spectrum_file(
             since_ckpt = 0
 
     keys, counts = acc.result_arrays()
-    if cpath and os.path.exists(cpath):
+    if cleanup and cpath and os.path.exists(cpath):
         ckpt.cleanup(cpath)
     return keys, counts, m

@@ -27,7 +27,23 @@ import os
 
 import numpy as np
 
-__all__ = ["StreamCheckpoint", "checkpoint_path"]
+__all__ = ["StreamCheckpoint", "checkpoint_path", "cleanup_checkpoint"]
+
+
+def cleanup_checkpoint(out_path: str | os.PathLike) -> None:
+    """Remove the checkpoint (and its sidecars) for ``out_path`` if any.
+
+    For callers that stream with ``cleanup=False`` (keeping the
+    checkpoint alive until the real output file is written) and then
+    finalize."""
+    cpath = checkpoint_path(out_path)
+    if not os.path.exists(cpath):
+        return
+    try:
+        ckpt = StreamCheckpoint.load(cpath)
+    except (ValueError, KeyError, TypeError):
+        ckpt = StreamCheckpoint(fingerprint={})
+    ckpt.cleanup(cpath)
 
 
 def checkpoint_path(out_path: str | os.PathLike) -> str:

@@ -24,7 +24,12 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ["load_config", "apply_config", "DEFAULT_CONFIG_NAME"]
+__all__ = [
+    "load_config",
+    "apply_config",
+    "explicit_dests",
+    "DEFAULT_CONFIG_NAME",
+]
 
 DEFAULT_CONFIG_NAME = "cfrk.json"
 
@@ -43,17 +48,50 @@ def load_config(path: str | None) -> dict:
     return {k.replace("-", "_"): v for k, v in cfg.items()}
 
 
-def apply_config(args, cfg: dict, parser) -> None:
-    """Fill parser-default values from the config (argv wins).
+def explicit_dests(argv, parser) -> set:
+    """Destinations the user explicitly passed on the command line.
+
+    Needed because argparse cannot distinguish "not given" from
+    "explicitly set to the default" — without this, a config value
+    would clobber an explicit ``--batch-size 8192``.
+    """
+    opts = parser._option_string_actions
+    out = set()
+    for tok in argv or []:
+        if not tok.startswith("-"):
+            continue
+        name = tok.split("=", 1)[0]
+        action = opts.get(name)
+        if action is not None:
+            out.add(action.dest)
+    return out
+
+
+def apply_config(args, cfg: dict, parser, explicit: set = frozenset()) -> None:
+    """Fill parser-default values from the config; argv always wins.
 
     Only keys matching known argparse destinations are applied; unknown
-    keys raise, so typos fail loudly.
+    keys raise, so typos fail loudly.  Values are coerced through the
+    option's ``type`` so e.g. a JSON string for an int flag errors
+    cleanly instead of surfacing later as an opaque TypeError.
     """
-    valid = {a.dest for a in parser._actions}
-    defaults = {a.dest: a.default for a in parser._actions}
+    actions = {a.dest: a for a in parser._actions}
     for key, val in cfg.items():
-        if key not in valid:
+        if key not in actions:
             raise SystemExit(f"unknown config key: {key!r}")
-        # argv wins: only apply when the arg still holds its default.
-        if getattr(args, key, None) == defaults.get(key):
-            setattr(args, key, val)
+        if key in explicit:
+            continue  # argv wins unconditionally
+        action = actions[key]
+        # Only apply when the arg still holds its parser default (covers
+        # positional-derived values too).
+        if getattr(args, key, None) != action.default:
+            continue
+        if action.type is not None and val is not None:
+            try:
+                val = action.type(val)
+            except (TypeError, ValueError):
+                raise SystemExit(
+                    f"config key {key!r}: cannot convert {val!r} via "
+                    f"{getattr(action.type, '__name__', action.type)}"
+                )
+        setattr(args, key, val)

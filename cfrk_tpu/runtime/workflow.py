@@ -119,7 +119,9 @@ def run_workflow(
     def run_task(task: WorkflowTask) -> None:
         for attempt in range(retries + 1):
             if abort.is_set():
-                task.error = "aborted"
+                # Never clobber a real traceback from an earlier attempt.
+                if task.error is None:
+                    task.error = "aborted"
                 return
             task.attempts = attempt + 1
             t0 = time.perf_counter()
@@ -142,7 +144,11 @@ def run_workflow(
 
     result = WorkflowResult(tasks=tasks, wall_s=time.perf_counter() - t_start)
     if not lazy_errors and not result.ok:
-        first = result.failed[0]
+        # Report a task with a REAL traceback, not an aborted placeholder.
+        first = next(
+            (t for t in result.failed if t.error and t.error != "aborted"),
+            result.failed[0],
+        )
         raise RuntimeError(
             f"workflow task failed ({first.input}):\n{first.error}"
         )
@@ -162,7 +168,7 @@ def count_one_factory(
     nonzero: bool = False,
     packed: bool = False,
     resume: bool = False,
-    checkpoint_every: int = 1,
+    checkpoint_every: int | None = None,
     min_count: int = 1,
 ):
     """Build a ``count_one(input, output)`` callable for :func:`run_workflow`
@@ -178,7 +184,7 @@ def count_one_factory(
                 m = stream_count_file(
                     inp, out, k, canonical=canonical, impl=impl,
                     batch_size=batch_size, nonzero=nonzero, packed=packed,
-                    resume=resume, checkpoint_every=checkpoint_every,
+                    resume=resume, checkpoint_every=checkpoint_every or 1,
                 )
                 return m.reads
             if k > 8:
@@ -211,7 +217,7 @@ def count_one_factory(
                 keys, cnts, m = stream_sparse_spectrum_file(
                     inp, k, canonical=canonical, batch_size=batch_size,
                     out_path=out, resume=resume,
-                    checkpoint_every=max(checkpoint_every, 1),
+                    checkpoint_every=checkpoint_every or 64,
                 )
                 n = m.reads
                 items = zip(keys.tolist(), cnts.tolist())
@@ -236,7 +242,7 @@ def count_one_factory(
             table, m = stream_spectrum_file(
                 inp, k, canonical=canonical, impl=impl,
                 batch_size=batch_size, out_path=out, resume=resume,
-                checkpoint_every=max(checkpoint_every, 1),
+                checkpoint_every=checkpoint_every or 16,
             )
             n = m.reads
         else:

@@ -203,3 +203,61 @@ def test_cli_k_range_validation(tmp_path):
         main([str(f), "-k", "32", "-o", str(tmp_path / "o")])
     with _pytest.raises(SystemExit, match="mode sparse"):
         main([str(f), "-k", "16", "--mode", "spectrum", "-o", str(tmp_path / "o")])
+
+
+def test_gz_output_positional_not_treated_as_input(tmp_path):
+    import gzip
+
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.format import parse_cfrk
+    from cfrk_tpu.io.fasta import decode_codes
+
+    rng = np.random.default_rng(1)
+    reads = [rng.integers(0, 4, size=20).astype(np.int8) for _ in range(3)]
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        for i, codes in enumerate(reads):
+            f.write(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    out = tmp_path / "o.cfrk.gz"
+    rc = main([str(fasta), str(out), "2"])  # reference-style positionals
+    assert rc == 0
+    got = parse_cfrk(gzip.decompress(out.read_bytes()))
+    assert got.shape == (3, 16)
+
+
+def test_config_does_not_override_explicit_argv(tmp_path):
+    import json as _json
+
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.format import parse_cfrk
+    from cfrk_tpu.io.fasta import decode_codes
+
+    rng = np.random.default_rng(2)
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        f.write(b">a\n" + decode_codes(rng.integers(0, 4, 30).astype(np.int8)) + b"\n")
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"k": 4}))
+    out = tmp_path / "o.cfrk"
+    # Explicit -k 2 must beat the config's k=4 even though both differ
+    # from the parser default.
+    rc = main([str(fasta), "-k", "2", "-o", str(out), "--config", str(cfg)])
+    assert rc == 0
+    assert parse_cfrk(out.read_bytes()).shape == (1, 16)
+
+
+def test_config_type_coercion_and_bad_value(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from cfrk_tpu.cli import main
+
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"batch-size": "not-an-int"}))
+    with _pytest.raises(SystemExit, match="cannot convert"):
+        main(["x.fasta", "-k", "2", "--config", str(cfg)])

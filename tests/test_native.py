@@ -123,3 +123,18 @@ def test_format_pairs_bytes_matches_python():
     want = b"\n".join(format_rows_pairs(idx, counts))
     assert format_pairs_bytes(idx, counts) == want
     assert format_pairs_bytes(idx, counts, first=False) == b"\n" + want
+
+
+def test_native_fastq_empty_read_stays_in_sync():
+    """Zero-length reads (quality-trimmed FASTQ) must not desync the
+    4-line cycle (code-review finding; the '+' line was being encoded)."""
+    import numpy as np
+
+    from cfrk_tpu.io.native import parse_encode_bytes
+
+    data = b"@r1\nACGT\n+\nIIII\n@r2\n\n+\n\n@r3\nGGTT\n+\nIIII\n"
+    reads = parse_encode_bytes(data)
+    assert len(reads) == 3
+    np.testing.assert_array_equal(reads[0], [0, 1, 2, 3])
+    assert reads[1].size == 0
+    np.testing.assert_array_equal(reads[2], [2, 2, 3, 3])
