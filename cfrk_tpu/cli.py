@@ -241,16 +241,21 @@ def _out_path(inp: str, out_dir: str, mode: str) -> str:
     return os.path.join(out_dir, base + suffix)
 
 
-def _write_spectrum(path: str, table: np.ndarray, fmt: str) -> None:
+def _write_spectrum(
+    path: str, table: np.ndarray, fmt: str, min_count: int = 1
+) -> None:
     if fmt == "npy":
         # Write through a handle so np.save cannot append ".npy" and
         # create a file the CLI never reported.
         with open(path, "wb") as f:
             np.save(f, table)
     elif fmt == "tsv":
+        # Rows below min_count (default: zeros) are skipped — a dense
+        # k=15 table would otherwise emit 4**15 lines of mostly zeros.
+        (nz,) = np.nonzero(np.asarray(table) >= max(min_count, 1))
         with open(path, "w") as f:
-            for i, c in enumerate(table):
-                f.write(f"{i}\t{int(c)}\n")
+            for i in nz:
+                f.write(f"{i}\t{int(table[i])}\n")
     elif fmt == "hist":
         # Count-of-counts: how many distinct k-mers occur c times.
         # np.unique, not bincount — one k-mer with abundance 1e9 must
@@ -454,7 +459,7 @@ def _run_inputs(args, t0) -> int:
                     checkpoint_every=args.checkpoint_every or 16,
                     cleanup=False,
                 )
-                _write_spectrum(out, table, args.spectrum_format)
+                _write_spectrum(out, table, args.spectrum_format, args.min_count)
                 cleanup_checkpoint(out)
             total_reads += m.reads
             if args.stats:
@@ -512,7 +517,7 @@ def _run_inputs(args, t0) -> int:
                 batch_size=args.batch_size,
                 max_len=args.max_len,
             )
-            _write_spectrum(out, table, args.spectrum_format)
+            _write_spectrum(out, table, args.spectrum_format, args.min_count)
     if args.stats:
         dt = time.perf_counter() - t0
         print(

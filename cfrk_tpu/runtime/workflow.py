@@ -255,7 +255,7 @@ def count_one_factory(
             n = 0
         from ..cli import _write_spectrum
 
-        _write_spectrum(out, table, spectrum_format)
+        _write_spectrum(out, table, spectrum_format, min_count)
         return n
 
     return count_one

@@ -41,10 +41,11 @@ def test_spectrum_mode_tsv(fasta, tmp_path):
     out = str(tmp_path / "s.tsv")
     assert main([fasta, "-k", "2", "-o", out, "--mode", "spectrum",
                  "--spectrum-format", "tsv"]) == 0
+    # tsv rows are idx<TAB>count for NONZERO bins only.
     rows = [l.split("\t") for l in open(out).read().splitlines()]
-    got = np.array([int(c) for _, c in rows], dtype=np.int64)
+    got = {int(i): int(c) for i, c in rows}
     want = spectrum_np(read_fasta_encoded(fasta), 2)
-    np.testing.assert_array_equal(got, want)
+    assert got == {i: int(c) for i, c in enumerate(want) if c}
 
 
 def test_multi_file_out_dir(fasta, tmp_path):
@@ -261,3 +262,27 @@ def test_config_type_coercion_and_bad_value(tmp_path):
     cfg.write_text(_json.dumps({"batch-size": "not-an-int"}))
     with _pytest.raises(SystemExit, match="cannot convert"):
         main(["x.fasta", "-k", "2", "--config", str(cfg)])
+
+
+def test_spectrum_tsv_skips_zeros_and_filters(tmp_path):
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.io.fasta import decode_codes
+
+    codes = np.array([0, 1, 2, 3, 0, 1, 2, 3], dtype=np.int8)  # ACGTACGT
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        f.write(b">a\n" + decode_codes(codes) + b"\n")
+    out = tmp_path / "o.tsv"
+    rc = main([str(fasta), "-k", "4", "--mode", "spectrum",
+               "--spectrum-format", "tsv", "-o", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 4  # only the 4 distinct 4-mers, no zero rows
+    rc = main([str(fasta), "-k", "4", "--mode", "spectrum",
+               "--spectrum-format", "tsv", "--min-count", "2",
+               "-o", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 1  # only ACGT (count 2)
