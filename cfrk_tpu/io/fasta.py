@@ -153,12 +153,16 @@ def iter_reads(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[by
     else:
         f, owns = path_or_file, False
     try:
+        # Sniff the first NON-BLANK byte (a leading newline must not
+        # silently route FASTQ to the FASTA parser — the native C++
+        # parser sniffs the same way).
         if hasattr(f, "peek"):
-            first = f.peek(1)[:1]
+            head = f.peek(64)
         else:
             pos = f.tell()
-            first = f.read(1)
+            head = f.read(64)
             f.seek(pos)
+        first = head.lstrip(b"\r\n")[:1]
         if first == b"@":
             yield from iter_fastq(f)
         else:

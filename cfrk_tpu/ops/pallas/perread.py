@@ -109,11 +109,16 @@ def count_perread_pallas(
         raise ValueError("per-read dense counting supports k <= 8")
     if packed and w >= 2**15:
         raise ValueError("packed counts unsafe for >= 2**15 windows/read")
+    if packed and read_block % 2:
+        raise ValueError("packed mode needs an even read_block")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     kh, kl = split_k(k)
     fh, fl = 4**kh, 4**kl
-    rb = min(read_block, b)
+    # Packed mode pairs reads j and j+rb/2 within a block, so rb must
+    # stay even — keep the full (even) read_block and let row padding
+    # fill small batches instead of shrinking rb to an odd b.
+    rb = read_block if packed else min(read_block, b)
     wt = min(window_block, max(8, w))
 
     wt = ((wt + 7) // 8) * 8  # sublane alignment

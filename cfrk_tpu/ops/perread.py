@@ -99,8 +99,14 @@ def count_perread(
         bounded by the window count).
     """
     out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else jnp.int32
-    if out_dtype == jnp.int16 and codes.shape[-1] - k + 1 >= 2**15:
+    w = codes.shape[-1] - k + 1
+    if out_dtype == jnp.int16 and w >= 2**15:
         raise ValueError("int16 counts unsafe for >= 2**15 windows/read")
+    if w >= 2**24 and impl in ("auto", "matmul", "pallas"):
+        # The f32 accumulators stay exact only below 2**24 per bin; a
+        # repeat-dominated contig with >= 16.8M windows could saturate
+        # one.  Scatter accumulates in int32.
+        impl = "scatter"
     if k > MAX_PERREAD_K:
         raise ValueError(
             f"per-read dense counting supports k <= {MAX_PERREAD_K} "

@@ -84,8 +84,9 @@ def spectrum(
             "use the bucketed sparse mode (parallel/bucket.py) for larger k"
         )
     if impl == "auto":
-        if k <= 8 and jax.default_backend() == "tpu":
-            # Deep-contraction MXU kernel, ~4x the XLA scatter throughput.
+        if k <= 10 and jax.default_backend() == "tpu":
+            # Deep-contraction MXU kernel, ~4x the XLA scatter
+            # throughput; the VMEM accumulator fits through k=10 (4 MB).
             impl = "pallas"
         else:
             impl = "matmul" if k <= 6 else "scatter"

@@ -46,11 +46,20 @@ def shard_batch(codes, mesh: Mesh):
 @lru_cache(maxsize=None)
 def _perread_sharded_fn(mesh: Mesh, k: int, canonical: bool, impl: str):
     """One cached jit wrapper per (mesh, config): repeated streaming calls
-    reuse the traced/compiled executable instead of re-jitting."""
+    reuse the traced/compiled executable instead of re-jitting.
+
+    shard_map, not bare jit-with-shardings: the auto impl resolves to a
+    Pallas kernel on TPU (k >= 5), and GSPMD has no partitioning rule
+    for the Mosaic custom call — shard_map runs the kernel per-device
+    on its own row block, which is exactly the zero-collective dp
+    semantics this op promises."""
+
+    def local(codes_blk):
+        return count_perread(codes_blk, k, canonical=canonical, impl=impl)
+
+    spec = P((DP_AXIS, TP_AXIS), None)
     return jax.jit(
-        partial(count_perread, k=k, canonical=canonical, impl=impl),
-        in_shardings=batch_sharding(mesh),
-        out_shardings=NamedSharding(mesh, P((DP_AXIS, TP_AXIS), None)),
+        shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec)
     )
 
 

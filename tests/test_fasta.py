@@ -140,3 +140,12 @@ def test_native_fastq_matches_python(tmp_path):
     assert len(got) == 50
     for g, s in zip(got, seqs):
         np.testing.assert_array_equal(g, encode_seq(s))
+
+
+def test_iter_reads_fastq_with_leading_blank_line(tmp_path):
+    from cfrk_tpu.io.fasta import iter_reads
+
+    p = tmp_path / "lead.fastq"
+    p.write_bytes(b"\n@r0\nACGT\n+\nIIII\n")
+    recs = list(iter_reads(p))
+    assert recs == [(b"r0", b"ACGT")]

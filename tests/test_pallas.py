@@ -139,3 +139,20 @@ def test_spectrum_pallas_k9_matches_scatter():
     got = np.asarray(spectrum(codes, 9, impl="pallas"))
     want = np.asarray(spectrum(codes, 9, impl="scatter"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_packed_odd_batch_pads_and_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, unpack_counts
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(5, 60)).astype(np.int8)  # odd small b
+    packed = np.asarray(count_perread_pallas(codes, 5, packed=True))
+    got = np.asarray(unpack_counts(packed, 5))
+    want = np.asarray(count_perread(codes, 5, impl="matmul"))
+    np.testing.assert_array_equal(got, want)
+    with _pytest.raises(ValueError, match="even read_block"):
+        count_perread_pallas(codes, 5, packed=True, read_block=3)

@@ -7,9 +7,10 @@ rows compare equal if the counts match), reporting the first differing
 read and a summary.
 
 Usage:
-    python tools/diff_cfrk.py a.cfrk b.cfrk [--semantic] [--gz-ok]
+    python tools/diff_cfrk.py a.cfrk b.cfrk [--semantic]
 
-Exit code 0 = equal, 1 = different, 2 = usage/parse error.
+Gzip inputs are detected automatically.  Exit code 0 = equal,
+1 = different, 2 = usage/parse error.
 """
 
 from __future__ import annotations
@@ -27,15 +28,21 @@ def _read(path: str) -> bytes:
 
 
 def _rows_to_dicts(data: bytes):
-    for row in data.split(b"\n"):
+    for lineno, row in enumerate(data.split(b"\n")):
         d = {}
         for cell in row.split(b" "):
             if not cell:
                 continue
-            idx, cnt = cell.split(b":")
-            c = int(cnt)
+            try:
+                idx, cnt = cell.split(b":")
+                c = int(cnt)
+                key = int(idx)
+            except ValueError:
+                raise SystemExit(
+                    f"parse error at row {lineno}: bad cell {cell[:40]!r}"
+                ) from None
             if c:
-                d[int(idx)] = c
+                d[key] = c
         yield d
 
 
@@ -69,7 +76,11 @@ def main() -> int:
         print(f"row counts differ: {len(ra)} vs {len(rb)}")
         return 1
 
-    ra, rb = list(_rows_to_dicts(da)), list(_rows_to_dicts(db))
+    try:
+        ra, rb = list(_rows_to_dicts(da)), list(_rows_to_dicts(db))
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        return 2
     if len(ra) != len(rb):
         print(f"read counts differ: {len(ra)} vs {len(rb)}")
         return 1

@@ -50,8 +50,10 @@ def main() -> None:
         while written < args.reads:
             n = min(chunk, args.reads - written)
             gi = rng.integers(0, args.genomes, size=n)
+            # +1: the final window genome[len-read_len:] is a valid start
+            # (and read_len == genome_len must not raise).
             starts = rng.integers(
-                0, args.genome_len - args.read_len, size=n
+                0, args.genome_len - args.read_len + 1, size=n
             )
             lines = []
             for j in range(n):
