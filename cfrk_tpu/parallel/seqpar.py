@@ -83,7 +83,10 @@ def _seqpar_fn(mesh: Mesh, k: int, canonical: bool, impl: str, mode: str):
         return jax.lax.psum(part, SP_AXIS)
 
     return jax.jit(
-        shard_map(local, mesh=mesh, in_specs=P(None, SP_AXIS), out_specs=P())
+        shard_map(
+            local, mesh=mesh, in_specs=P(None, SP_AXIS), out_specs=P(),
+            check_vma=False,  # pallas_call inside shard_map needs this
+        )
     )
 
 

@@ -59,7 +59,10 @@ def _perread_sharded_fn(mesh: Mesh, k: int, canonical: bool, impl: str):
 
     spec = P((DP_AXIS, TP_AXIS), None)
     return jax.jit(
-        shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec)
+        shard_map(
+            local, mesh=mesh, in_specs=spec, out_specs=spec,
+            check_vma=False,  # pallas_call inside shard_map needs this
+        )
     )
 
 
@@ -108,6 +111,7 @@ def _spectrum_sharded_fn(mesh: Mesh, k: int, canonical: bool, impl: str):
             mesh=mesh,
             in_specs=P((DP_AXIS, TP_AXIS), None),
             out_specs=P(TP_AXIS) if tp > 1 else P(),
+            check_vma=False,  # pallas_call inside shard_map needs this
         )
     )
 
