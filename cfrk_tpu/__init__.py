@@ -24,8 +24,18 @@ from .ops.perread import count_perread
 from .ops.perread_sparse import count_perread_sparse
 from .ops.spectrum import spectrum
 from .pipeline.batch import ReadBatch, iter_batches, pad_reads
-from .pipeline.count import count_file, spectrum_file, write_cfrk
-from .pipeline.stream import stream_count_file, stream_spectrum_file
+from .pipeline.count import (
+    count_file,
+    count_file_sparse_rows,
+    sparse_spectrum_file,
+    spectrum_file,
+    write_cfrk,
+)
+from .pipeline.stream import (
+    stream_count_file,
+    stream_sparse_spectrum_file,
+    stream_spectrum_file,
+)
 from .runtime import RunMetrics, StreamCheckpoint, run_workflow
 from .version import __version__
 
@@ -47,9 +57,12 @@ __all__ = [
     "iter_batches",
     "pad_reads",
     "count_file",
+    "count_file_sparse_rows",
+    "sparse_spectrum_file",
     "spectrum_file",
     "write_cfrk",
     "stream_count_file",
+    "stream_sparse_spectrum_file",
     "stream_spectrum_file",
     "RunMetrics",
     "StreamCheckpoint",
