@@ -393,3 +393,56 @@ def test_stream_resume_missing_output_restarts(tmp_path):
     np.testing.assert_array_equal(
         parse_cfrk(out.read_bytes()), count_reads(reads, k)
     )
+
+
+def test_stream_long_contig_buckets(tmp_path):
+    """A 20 kb contig walks the geometric bucket ladder and matches the
+    in-memory path (the reference silently truncated reads at 1024 bp)."""
+    rng = np.random.default_rng(20)
+    reads = [
+        rng.integers(0, 4, size=20_000).astype(np.int8),
+        rng.integers(0, 4, size=150).astype(np.int8),
+        rng.integers(0, 4, size=3_000).astype(np.int8),
+    ]
+    fasta = tmp_path / "contigs.fasta"
+    _write_fasta(fasta, reads)
+    out = tmp_path / "c.cfrk"
+    m = stream_count_file(fasta, out, 6, batch_size=2)
+    assert m.reads == 3
+    got = parse_cfrk(out.read_bytes())
+    np.testing.assert_array_equal(got, count_reads(reads, 6))
+
+
+def test_stream_resume_at_every_boundary(tmp_path):
+    """Interrupt + resume after each batch boundary; output must always
+    equal the uninterrupted run byte-for-byte."""
+    rng = np.random.default_rng(21)
+    reads = _random_reads(20, rng, lo=20, hi=60)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    k, bs = 3, 4
+    full = tmp_path / "full.cfrk"
+    stream_count_file(fasta, full, k, batch_size=bs)
+    want = full.read_bytes()
+
+    from cfrk_tpu.format import CfrkWriter
+    from cfrk_tpu.pipeline.count import count_reads as _cr
+
+    for cut in range(bs, len(reads), bs):
+        out = tmp_path / f"r{cut}.cfrk"
+        with open(out, "wb") as f:
+            w = CfrkWriter(f)
+            w.write_batch(_cr(reads[:cut], k, batch_size=bs))
+            f.flush()
+            nbytes = f.tell()
+        ckpt = StreamCheckpoint(
+            fingerprint=StreamCheckpoint.fingerprint_of(
+                fasta, k, "perread", False
+            ),
+            reads_done=cut,
+            out_bytes=nbytes,
+        )
+        ckpt.save(checkpoint_path(out))
+        m = stream_count_file(fasta, out, k, batch_size=bs, resume=True)
+        assert m.reads == len(reads) - cut, f"cut={cut}"
+        assert out.read_bytes() == want, f"cut={cut}"
