@@ -23,7 +23,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["split_k", "WindowComponents", "window_components", "window_indices"]
+__all__ = [
+    "split_k",
+    "WindowComponents",
+    "window_components",
+    "window_indices",
+    "canonical_components",
+]
 
 
 def split_k(k: int) -> tuple[int, int]:
@@ -94,6 +100,22 @@ def window_components(codes: jax.Array, k: int) -> WindowComponents:
     rc_hi = horner(rviews[:kh])
     rc_lo = horner(rviews[kh:]) if kl else jnp.zeros_like(rc_hi)
     return WindowComponents(hi=hi, lo=lo, rc_hi=rc_hi, rc_lo=rc_lo, valid=valid)
+
+
+@partial(jax.jit, static_argnums=(1,), inline=True)
+def canonical_components(codes: jax.Array, k: int):
+    """(hi, lo, valid) of CANONICAL window indices (k <= 8).
+
+    min(fwd, revcomp) breaks the independent hi/lo split, so the
+    canonical full index is computed and re-split — shared by the
+    per-read and spectrum matmul paths.
+    """
+    kh, kl = split_k(k)
+    fl = 4**kl
+    idx = window_indices(codes, k, canonical=True)
+    valid = idx >= 0
+    idxc = jnp.maximum(idx, 0)
+    return idxc >> (2 * kl), idxc & (fl - 1), valid
 
 
 @partial(jax.jit, static_argnums=(1, 2), inline=True)

@@ -27,7 +27,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .encode import split_k, window_components, window_indices
+from .encode import (
+    canonical_components,
+    split_k,
+    window_components,
+    window_indices,
+)
 
 __all__ = ["count_perread", "MAX_PERREAD_K"]
 
@@ -62,12 +67,7 @@ def _count_matmul(codes: jax.Array, k: int, canonical: bool, acc_dtype) -> jax.A
     kh, kl = split_k(k)
     fh, fl = 4**kh, 4**kl
     if canonical:
-        # Canonical min() breaks the independent hi/lo split; re-split the
-        # canonical full index (k <= 8 keeps it well inside int32).
-        idx = window_indices(codes, k, canonical=True)
-        valid = idx >= 0
-        idxc = jnp.maximum(idx, 0)
-        hi, lo = idxc >> (2 * kl), idxc & (fl - 1)
+        hi, lo, valid = canonical_components(codes, k)
     else:
         wc = window_components(codes, k)
         hi, lo, valid = wc.hi, wc.lo, wc.valid

@@ -27,7 +27,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .encode import split_k, window_components, window_indices
+from .encode import (
+    canonical_components,
+    split_k,
+    window_components,
+    window_indices,
+)
 
 __all__ = ["spectrum", "MAX_DENSE_SPECTRUM_K"]
 
@@ -48,10 +53,7 @@ def _spectrum_matmul(codes: jax.Array, k: int, canonical: bool, acc_dtype) -> ja
     kh, kl = split_k(k)
     fh, fl = 4**kh, 4**kl
     if canonical:
-        idx = window_indices(codes, k, canonical=True)
-        valid = idx >= 0
-        idxc = jnp.maximum(idx, 0)
-        hi, lo = idxc >> (2 * kl), idxc & (fl - 1)
+        hi, lo, valid = canonical_components(codes, k)
     else:
         wc = window_components(codes, k)
         hi, lo, valid = wc.hi, wc.lo, wc.valid
