@@ -156,3 +156,18 @@ def test_packed_odd_batch_pads_and_guards():
     np.testing.assert_array_equal(got, want)
     with _pytest.raises(ValueError, match="even read_block"):
         count_perread_pallas(codes, 5, packed=True, read_block=3)
+
+
+def test_perread_packed_canonical_parity():
+    import numpy as np
+
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, unpack_counts
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, size=(16, 70)).astype(np.int8)
+    codes[rng.random(codes.shape) < 0.02] = -1
+    packed = np.asarray(count_perread_pallas(codes, 6, canonical=True, packed=True))
+    got = np.asarray(unpack_counts(packed, 16))
+    want = np.asarray(count_perread(codes, 6, canonical=True, impl="matmul"))
+    np.testing.assert_array_equal(got, want)
