@@ -446,3 +446,17 @@ def test_stream_resume_at_every_boundary(tmp_path):
         m = stream_count_file(fasta, out, k, batch_size=bs, resume=True)
         assert m.reads == len(reads) - cut, f"cut={cut}"
         assert out.read_bytes() == want, f"cut={cut}"
+
+
+def test_stage_timer_accumulates():
+    import time as _time
+
+    from cfrk_tpu.runtime.metrics import StageTimer
+
+    t = StageTimer()
+    with t():
+        _time.sleep(0.01)
+    with t():
+        _time.sleep(0.01)
+    assert t.count == 2
+    assert t.total >= 0.02
