@@ -20,7 +20,7 @@ from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
-__all__ = ["ReadBatch", "pad_reads", "iter_batches", "round_up"]
+__all__ = ["ReadBatch", "pad_reads", "iter_batches", "len_bucket", "round_up"]
 
 PAD = -1
 
@@ -79,18 +79,38 @@ def pad_reads(
     return ReadBatch(codes=codes, lengths=lengths, n_reads=n)
 
 
+def len_bucket(n: int, base: int = 128) -> int:
+    """Smallest base·2^j >= n: bounds compiled shapes to O(log L)."""
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
 def iter_batches(
     reads: Iterable[np.ndarray],
     batch_size: int,
-    max_len: int,
+    max_len: int | None = None,
 ) -> Iterator[ReadBatch]:
     """Chunk a read stream into fixed-shape batches (analog of the
-    reference's chunk partitioner, ``src/main.cu:160-206``)."""
+    reference's chunk partitioner, ``src/main.cu:160-206``).
+
+    With ``max_len=None`` each batch pads to the geometric length
+    bucket of ITS OWN longest read — one 20 kb contig among short reads
+    then widens only its own batch, not the whole run (the set of
+    compiled shapes stays O(log L))."""
     buf: list[np.ndarray] = []
+
+    def flush():
+        ml = max_len if max_len is not None else len_bucket(
+            max(max(len(r) for r in buf), 1)
+        )
+        return pad_reads(buf, batch_size, ml)
+
     for r in reads:
         buf.append(np.asarray(r, dtype=np.int8))
         if len(buf) == batch_size:
-            yield pad_reads(buf, batch_size, max_len)
+            yield flush()
             buf = []
     if buf:
-        yield pad_reads(buf, batch_size, max_len)
+        yield flush()

@@ -34,11 +34,18 @@ __all__ = [
 
 
 def _plan_shapes(reads: Sequence[np.ndarray], k: int, batch_size: int | None,
-                 max_len: int | None) -> tuple[int, int]:
-    longest = max((len(r) for r in reads), default=1)
-    ml = max_len or round_up(max(longest, k), 128)
+                 max_len: int | None) -> tuple[int, int | None]:
+    """Batch size + pad length.  ml=None means per-batch geometric
+    buckets (iter_batches) — a lone long contig then widens only its
+    own batch, not every batch of the run."""
     bs = min(batch_size or 8192, max(len(reads), 1))
-    return bs, ml
+    if max_len is not None:
+        return bs, max_len
+    longest = max((len(r) for r in reads), default=1)
+    if longest <= 512:
+        # Uniform short reads: one shared shape compiles once.
+        return bs, round_up(max(longest, k), 128)
+    return bs, None
 
 
 def count_reads(
@@ -55,12 +62,16 @@ def count_reads(
         return np.zeros((0, 4**k), dtype=np.int32)
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
     out = np.zeros((len(reads), 4**k), dtype=np.int32)
-    # int16 device counts (exact; bounded by windows/read) halve the
-    # dominant HBM write and the D2H transfer.
-    odt = jax.numpy.int16 if ml - k + 1 < 2**15 else jax.numpy.int32
     row = 0
     pending: list[tuple[int, int, jax.Array]] = []
     for batch in iter_batches(reads, bs, ml):
+        # int16 device counts (exact; bounded by windows/read) halve the
+        # dominant HBM write and the D2H transfer.
+        odt = (
+            jax.numpy.int16
+            if batch.max_len - k + 1 < 2**15
+            else jax.numpy.int32
+        )
         counts = count_perread(
             jax.numpy.asarray(batch.codes), k,
             canonical=canonical, impl=impl, out_dtype=odt,

@@ -158,3 +158,23 @@ def test_spectrum_huge_window_count_falls_back_to_int32_accum():
     table = np.asarray(spectrum(codes, k))
     assert table[0] == n
     assert table[1:].sum() == 0
+
+
+def test_inmemory_mixed_lengths_bucket_per_batch():
+    """One long contig must not widen every batch of the run."""
+    import numpy as np
+
+    from cfrk_tpu.ops.reference import count_perread_np
+    from cfrk_tpu.pipeline.batch import iter_batches
+    from cfrk_tpu.pipeline.count import count_reads
+
+    rng = np.random.default_rng(0)
+    reads = [rng.integers(0, 4, size=100).astype(np.int8) for _ in range(8)]
+    reads.append(rng.integers(0, 4, size=5000).astype(np.int8))
+    widths = [
+        b.codes.shape[1] for b in iter_batches(reads, 4, None)
+    ]
+    assert widths[0] == 128 and widths[1] == 128  # short batches stay narrow
+    assert widths[2] >= 5000                      # only the contig batch widens
+    got = count_reads(reads, 5, batch_size=4)
+    np.testing.assert_array_equal(got, count_perread_np(reads, 5))
