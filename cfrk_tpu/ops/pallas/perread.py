@@ -38,7 +38,7 @@ __all__ = ["count_perread_pallas", "unpack_counts"]
 
 
 def _perread_kernel(
-    idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb: int, packed: bool
+    idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb: int, packed
 ):
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -63,12 +63,19 @@ def _perread_kernel(
 
     @pl.when(t == nt - 1)
     def _emit():
-        if packed:
+        if packed == "reads":
             # Two reads per int32: read j in bits 31..16, read j+rb/2 in
             # bits 15..0 (values < 2**15, so the sign bit stays clear).
             a = acc_ref[...].astype(jnp.int32)
             half = rb // 2
             out_ref[0] = (a[:half] << 16) | a[half:]
+        elif packed == "fh":
+            # Two hi-bins per int32: bin h in bits 31..16 packs with bin
+            # h + fh/2 in bits 15..0 — rank-3 output block (the rank-4
+            # reads-packing compiles pathologically slowly on Mosaic).
+            a = acc_ref[...].astype(jnp.int32)
+            hhalf = fh // 2
+            out_ref[...] = (a[:, :hhalf, :] << 16) | a[:, hhalf:, :]
         else:
             out_ref[...] = acc_ref[...].astype(jnp.int32)
 
@@ -87,18 +94,25 @@ def count_perread_pallas(
     read_block: int = 8,
     window_block: int = 512,
     interpret: bool | None = None,
-    packed: bool = False,
+    packed=False,
 ) -> jax.Array:
     """Dense per-read histograms: codes [B, L] int8 → [B, 4**k] int32.
 
-    ``packed=True`` (requires windows/read < 2**15) packs TWO reads'
-    counts per int32 — read pair (j, j+rb/2) of each read block as
-    (hi16 << 16) | lo16 — halving the dominant HBM write and any D2H
-    that keeps the packed layout.  Returns [n_blocks, rb/2, fh, fl]
-    int32; unpack with :func:`unpack_counts`.  (A plain int16 VMEM
-    output block made the remote Mosaic compile pathologically slow,
-    >9 min vs ~4 min; int32 bit-packing avoids that path entirely.)
+    ``packed`` (requires windows/read < 2**15) halves the dominant HBM
+    write and any D2H that keeps the packed layout:
+
+    * ``"reads"`` (or True): read pair (j, j+rb/2) of each block packs
+      as (hi16 << 16) | lo16 — rank-4 output [n_blocks, rb/2, fh, fl]
+      (Mosaic compiles this rank-4 block pathologically slowly, ~14 min
+      cold).
+    * ``"fh"``: hi-bin pair (h, h+fh/2) packs per read — rank-3 output
+      [B_padded, fh/2, fl], the same block rank as unpacked.
+
+    Unpack with :func:`unpack_counts` (mode must match).  A plain int16
+    VMEM output block was worse than either (>9 min compile).
     """
+    if packed is True:
+        packed = "reads"
     if codes.ndim != 2:
         raise ValueError(f"codes must be [B, L], got {codes.shape}")
     b, length = codes.shape
@@ -109,7 +123,7 @@ def count_perread_pallas(
         raise ValueError("per-read dense counting supports k <= 8")
     if packed and w >= 2**15:
         raise ValueError("packed counts unsafe for >= 2**15 windows/read")
-    if packed and read_block % 2:
+    if packed == "reads" and read_block % 2:
         raise ValueError("packed mode needs an even read_block")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
@@ -118,7 +132,7 @@ def count_perread_pallas(
     # Packed mode pairs reads j and j+rb/2 within a block, so rb must
     # stay even — keep the full (even) read_block and let row padding
     # fill small batches instead of shrinking rb to an odd b.
-    rb = read_block if packed else min(read_block, b)
+    rb = read_block if packed == "reads" else min(read_block, b)
     wt = min(window_block, max(8, w))
 
     wt = ((wt + 7) // 8) * 8  # sublane alignment
@@ -131,12 +145,17 @@ def count_perread_pallas(
     kernel = functools.partial(
         _perread_kernel, kl=kl, fh=fh, fl=fl, rb=rb, packed=packed
     )
-    if packed:
+    if packed == "reads":
         out_specs = pl.BlockSpec(
             (1, rb // 2, fh, fl), lambda i, t: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct((bb // rb, rb // 2, fh, fl), jnp.int32)
+    elif packed == "fh":
+        out_specs = pl.BlockSpec(
+            (rb, fh // 2, fl), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((bb, fh // 2, fl), jnp.int32)
     else:
         out_specs = pl.BlockSpec(
             (rb, fh, fl), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
@@ -156,22 +175,31 @@ def count_perread_pallas(
         interpret=interpret,
     )(idx)
     if packed:
-        return out  # [n_blocks, rb/2, fh, fl]; see unpack_counts
+        return out  # packed layout; see unpack_counts
     return out[:b].reshape(b, fh * fl)
 
 
-def unpack_counts(packed, n_reads: int):
-    """Unpack the packed kernel output back to [n_reads, 4**k] int32.
+def unpack_counts(packed, n_reads: int, mode: str = "reads"):
+    """Unpack a packed kernel output back to [n_reads, 4**k] int32.
 
     Works on NumPy arrays (host side, after a halved D2H) or jax arrays.
-    packed: [n_blocks, rb/2, fh, fl] — block j rows hold read j in the
-    high 16 bits and read j + rb/2 in the low 16 bits.
+    mode="reads": [n_blocks, rb/2, fh, fl], read j in the high 16 bits
+    paired with read j+rb/2 in the low.  mode="fh": [B_pad, fh/2, fl],
+    hi-bin h in the high 16 bits paired with bin h+fh/2 in the low.
     """
     import numpy as np
 
     xp = np if isinstance(packed, np.ndarray) else jnp
-    nb, half, fh, fl = packed.shape
     hi = (packed >> 16) & 0x7FFF
     lo = packed & 0xFFFF
-    counts = xp.concatenate([hi, lo], axis=1)  # [nb, rb, fh, fl]
-    return counts.reshape(nb * 2 * half, fh * fl)[:n_reads].astype(xp.int32)
+    if mode == "reads":
+        nb, half, fh, fl = packed.shape
+        counts = xp.concatenate([hi, lo], axis=1)  # [nb, rb, fh, fl]
+        return counts.reshape(nb * 2 * half, fh * fl)[:n_reads].astype(
+            xp.int32
+        )
+    if mode == "fh":
+        bpad, hhalf, fl = packed.shape
+        counts = xp.concatenate([hi, lo], axis=1)  # [bpad, fh, fl]
+        return counts.reshape(bpad, 2 * hhalf * fl)[:n_reads].astype(xp.int32)
+    raise ValueError(f"unknown packed mode {mode!r}")

@@ -171,3 +171,19 @@ def test_perread_packed_canonical_parity():
     got = np.asarray(unpack_counts(packed, 16))
     want = np.asarray(count_perread(codes, 6, canonical=True, impl="matmul"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_perread_packed_fh_parity():
+    import numpy as np
+
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, unpack_counts
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(5)
+    for b in (16, 13):
+        codes = rng.integers(0, 4, size=(b, 90)).astype(np.int8)
+        codes[rng.random(codes.shape) < 0.03] = -1
+        want = np.asarray(count_perread(codes, 5, impl="matmul"))
+        packed = np.asarray(count_perread_pallas(codes, 5, packed="fh"))
+        got = np.asarray(unpack_counts(packed, b, mode="fh"))
+        np.testing.assert_array_equal(got, want)
