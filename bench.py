@@ -12,10 +12,11 @@ Prints ONE JSON line:
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 the achieved fraction of the chip's speed-of-light for this op.  Dense
-k=8 per-read counting emits 4**8 int32 bins per 150 bp read (~1.7 KB of
-HBM traffic per input base), so the roofline is HBM bandwidth, not MXU
-flops; the model charges one write of the count matrix (the kernel) plus
-one read (the checksum that forces materialisation).
+k=8 per-read counting emits 4**8 bins per 150 bp read, so the roofline
+is HBM bandwidth, not MXU flops.  The kernel packs hi-bin pairs into
+one int32 ("fh" packing: 2 bytes per bin), and the model charges one
+write of the packed matrix plus one read (the checksum that forces
+materialisation).
 
 Measurement notes (tunneled-TPU constraints):
 * the bare jitted kernel is compiled FIRST (~4 min through the remote
@@ -54,12 +55,16 @@ def _chip_specs(platform: str) -> dict:
     return {"flops": 1e12, "hbm_bw": 50e9}
 
 
-def speed_of_light_bases_per_s(platform: str, batch: int, read_len: int, k: int) -> float:
+def speed_of_light_bases_per_s(
+    platform: str, batch: int, read_len: int, k: int, count_bytes: float = 2.0
+) -> float:
     specs = _chip_specs(platform)
     w = read_len - k + 1
     four_k = 4**k
     flops = 2.0 * batch * w * four_k          # one-hot outer-product matmuls
-    io_bytes = 2.0 * batch * four_k * 4.0     # count write + checksum read
+    # count write + checksum read; 2 B/bin for the fh-packed kernel,
+    # 4 B/bin for the int32 fallback paths.
+    io_bytes = 2.0 * batch * four_k * count_bytes
     t = max(flops / specs["flops"], io_bytes / specs["hbm_bw"])
     return batch * read_len / t
 
@@ -91,7 +96,14 @@ def main(impl_override: str | None = None) -> None:
         rng.integers(0, 4, size=(DISTINCT, batch, READ_LEN)).astype(np.int8)
     )
 
-    count = jax.jit(lambda x: count_perread(x, K, impl=impl))
+    if impl == "pallas":
+        from cfrk_tpu.ops.pallas.perread import count_perread_pallas
+
+        # fh-packed: half the HBM write, rank-3 blocks (compiles FASTER
+        # than unpacked; the rank-4 reads-packing does not).
+        count = jax.jit(lambda x: count_perread_pallas(x, K, packed="fh"))
+    else:
+        count = jax.jit(lambda x: count_perread(x, K, impl=impl))
     # Stage 1: compile the bare kernel (primes the in-process Mosaic cache).
     _ = int(jnp.sum(count(xs[0]) & 3, dtype=jnp.int32))
 
@@ -114,7 +126,10 @@ def main(impl_override: str | None = None) -> None:
 
     bases = n_batches * batch * READ_LEN
     bases_per_s = bases / dt
-    sol = speed_of_light_bases_per_s(platform, batch, READ_LEN, K)
+    sol = speed_of_light_bases_per_s(
+        platform, batch, READ_LEN, K,
+        count_bytes=2.0 if impl == "pallas" else 4.0,
+    )
     assert checksum > 0
     print(
         json.dumps(
