@@ -63,20 +63,20 @@ def format_pairs_bytes(
     """Format sparse per-read (idx, counts) pair rows as `.cfrk` bytes
     (cells with count <= 0 skipped; see format.format_rows_pairs).
 
-    64-bit indices (k > 15 combined codes) take the Python path; the C
-    formatter is int32-only."""
+    64-bit indices (k > 15 combined codes) use the C uint64 variant."""
     idx = np.asarray(idx)
     wide = idx.dtype.itemsize > 4
-    if not wide:
+    if wide:
+        idx = np.ascontiguousarray(idx, dtype=np.uint64)
+    else:
         idx = np.ascontiguousarray(idx, dtype=np.int32)
     counts = np.ascontiguousarray(counts, dtype=np.int32)
     if idx.shape != counts.shape or idx.ndim != 2:
         raise ValueError("idx/counts must be equal-shape 2-D")
-    if _fastaio is not None and not wide:
+    if _fastaio is not None:
         n_rows, n_cols = idx.shape
-        return _fastaio.format_pairs(
-            idx.tobytes(), counts.tobytes(), n_rows, n_cols, first
-        )
+        fmt = _fastaio.format_pairs64 if wide else _fastaio.format_pairs
+        return fmt(idx.tobytes(), counts.tobytes(), n_rows, n_cols, first)
     from ...format import format_rows_pairs
 
     if idx.shape[0] == 0:

@@ -237,6 +237,53 @@ PyObject* format_pairs(PyObject*, PyObject* args) {
   return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
 }
 
+/* format_pairs64(idx: bytes/uint64-LE, counts: bytes/int32-LE, n_rows,
+ *                n_cols, first) -> bytes
+ *
+ * 64-bit variant of format_pairs for k > 15 combined codes. */
+PyObject* format_pairs64(PyObject*, PyObject* args) {
+  Py_buffer idx_view, cnt_view;
+  Py_ssize_t n_rows, n_cols;
+  int first;
+  if (!PyArg_ParseTuple(args, "y*y*nnp", &idx_view, &cnt_view, &n_rows,
+                        &n_cols, &first))
+    return nullptr;
+  if (idx_view.len != n_rows * n_cols * (Py_ssize_t)sizeof(uint64_t) ||
+      cnt_view.len != n_rows * n_cols * (Py_ssize_t)sizeof(int32_t)) {
+    PyBuffer_Release(&idx_view);
+    PyBuffer_Release(&cnt_view);
+    PyErr_SetString(PyExc_ValueError, "pair64 buffer size mismatch");
+    return nullptr;
+  }
+  const uint64_t* idx = (const uint64_t*)idx_view.buf;
+  const int32_t* cnt = (const int32_t*)cnt_view.buf;
+
+  std::vector<char> out;
+  out.reserve((size_t)(n_rows * n_cols) * 8 + 64);
+
+  Py_BEGIN_ALLOW_THREADS
+  char num[24];
+  for (Py_ssize_t r = 0; r < n_rows; r++) {
+    if (r > 0 || !first) out.push_back('\n');
+    const uint64_t* ri = idx + r * n_cols;
+    const int32_t* rc = cnt + r * n_cols;
+    for (Py_ssize_t j = 0; j < n_cols; j++) {
+      if (rc[j] <= 0) continue;
+      char* e = emit_u64(num, ri[j]);
+      *e++ = ':';
+      out.insert(out.end(), num, e);
+      e = emit_u64(num, (uint64_t)(uint32_t)rc[j]);
+      *e++ = ' ';
+      out.insert(out.end(), num, e);
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&idx_view);
+  PyBuffer_Release(&cnt_view);
+  return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
+}
+
 PyMethodDef kMethods[] = {
     {"parse_encode", parse_encode, METH_O,
      "parse_encode(fasta_bytes) -> (codes_int8_bytes, lengths_int64le_bytes)"},
@@ -244,6 +291,8 @@ PyMethodDef kMethods[] = {
      "format_rows(counts_int32le, n_rows, n_cols, first) -> cfrk bytes"},
     {"format_pairs", format_pairs, METH_VARARGS,
      "format_pairs(idx_int32le, counts_int32le, n_rows, n_cols, first) -> bytes"},
+    {"format_pairs64", format_pairs64, METH_VARARGS,
+     "format_pairs64(idx_uint64le, counts_int32le, n_rows, n_cols, first) -> bytes"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -138,3 +138,19 @@ def test_native_fastq_empty_read_stays_in_sync():
     np.testing.assert_array_equal(reads[0], [0, 1, 2, 3])
     assert reads[1].size == 0
     np.testing.assert_array_equal(reads[2], [2, 2, 3, 3])
+
+
+def test_format_pairs64_matches_python():
+    import numpy as np
+
+    from cfrk_tpu.format import format_rows_pairs
+    from cfrk_tpu.io.native import format_pairs_bytes
+
+    rng = np.random.default_rng(1)
+    idx = np.sort(
+        rng.integers(0, 2**62, size=(7, 9), dtype=np.uint64), axis=1
+    )
+    counts = rng.integers(0, 3, size=(7, 9)).astype(np.int32)
+    want = b"\n".join(format_rows_pairs(idx, counts))
+    assert format_pairs_bytes(idx, counts) == want
+    assert format_pairs_bytes(idx, counts, first=False) == b"\n" + want
