@@ -100,8 +100,11 @@ def main(impl_override: str | None = None) -> None:
         from cfrk_tpu.ops.pallas.perread import count_perread_pallas
 
         # fh-packed: half the HBM write, rank-3 blocks (compiles FASTER
-        # than unpacked; the rank-4 reads-packing does not).
-        count = jax.jit(lambda x: count_perread_pallas(x, K, packed="fh"))
+        # than unpacked; the rank-4 reads-packing does not).  rb=16
+        # halves the grid steps: +5% over rb=8, compiles in ~136 s.
+        count = jax.jit(
+            lambda x: count_perread_pallas(x, K, packed="fh", read_block=16)
+        )
     else:
         count = jax.jit(lambda x: count_perread(x, K, impl=impl))
     # Stage 1: compile the bare kernel (primes the in-process Mosaic cache).

@@ -187,3 +187,19 @@ def test_perread_packed_fh_parity():
         packed = np.asarray(count_perread_pallas(codes, 5, packed="fh"))
         got = np.asarray(unpack_counts(packed, b, mode="fh"))
         np.testing.assert_array_equal(got, want)
+
+
+def test_perread_fh_rb16_parity():
+    import numpy as np
+
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, unpack_counts
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(6)
+    codes = rng.integers(0, 4, size=(20, 90)).astype(np.int8)  # pads to 32
+    want = np.asarray(count_perread(codes, 5, impl="matmul"))
+    packed = np.asarray(
+        count_perread_pallas(codes, 5, packed="fh", read_block=16)
+    )
+    got = np.asarray(unpack_counts(packed, 20, mode="fh"))
+    np.testing.assert_array_equal(got, want)
