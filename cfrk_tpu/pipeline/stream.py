@@ -149,18 +149,35 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False):
 
     if mesh is None:
         if mode == "perread":
-            if packed:
-                # fh-packed kernel: ~1.4x faster step, half the D2H,
-                # and it compiles FASTER than the unpacked kernel
-                # (rank-3 blocks; see ops/pallas/perread.py).
-                from ..ops.pallas.perread import count_perread_pallas
+            import jax as _jax
 
-                return lambda arr: count_perread_pallas(
-                    arr, k, canonical=canonical, packed="fh"
-                )
-            return lambda arr: count_perread(
-                arr, k, canonical=canonical, impl=impl, out_dtype=_odt(arr)
+            # fh-packed kernel: ~1.4x faster step, half the D2H, and it
+            # compiles FASTER than the unpacked kernel (rank-3 blocks;
+            # see ops/pallas/perread.py) — so it is the DEFAULT on TPU
+            # in the pallas k-range whenever counts fit 15 bits.  The
+            # dispatch returns ("packed", out) / ("dense", out) so the
+            # drain side knows how to materialise each batch.
+            fh_ok = (
+                packed
+                or (impl in ("auto", "pallas")
+                    and _jax.default_backend() == "tpu"
+                    and 5 <= k <= 8)
             )
+
+            def dispatch(arr):
+                if fh_ok and arr.shape[1] - k + 1 < 2**15:
+                    from ..ops.pallas.perread import count_perread_pallas
+
+                    return "packed", count_perread_pallas(
+                        arr, k, canonical=canonical, packed="fh",
+                        read_block=16,
+                    )
+                return "dense", count_perread(
+                    arr, k, canonical=canonical, impl=impl,
+                    out_dtype=_odt(arr),
+                )
+
+            return dispatch
         return lambda arr: spectrum_op(arr, k, canonical=canonical, impl=impl)
     from ..parallel.sharded import count_perread_sharded, spectrum_sharded
 
@@ -275,11 +292,15 @@ def stream_count_file(
                     from ..ops.perread_sparse import pairs_to_host
 
                     pairs = pairs_to_host(dev_counts, n)
-                elif packed:
+                elif isinstance(dev_counts, tuple) and dev_counts[0] == "packed":
                     from ..ops.pallas.perread import unpack_counts
 
-                    counts = unpack_counts(np.asarray(dev_counts), n, mode="fh")
-                else:
+                    counts = unpack_counts(
+                        np.asarray(dev_counts[1]), n, mode="fh"
+                    )
+                elif isinstance(dev_counts, tuple):  # ("dense", arr)
+                    counts = np.asarray(dev_counts[1])[:n]
+                else:  # mesh-sharded path returns a bare array
                     counts = np.asarray(dev_counts)[:n]
             with m.stage("write"):
                 if sparse_rows:

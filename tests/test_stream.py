@@ -460,3 +460,17 @@ def test_stage_timer_accumulates():
         _time.sleep(0.01)
     assert t.count == 2
     assert t.total >= 0.02
+
+
+def test_stream_packed_flag_still_forces_packed(tmp_path, monkeypatch):
+    """--packed forces the fh kernel even off-TPU (interpret mode) and
+    matches the dense path byte-for-byte (dispatch tagging)."""
+    rng = np.random.default_rng(22)
+    reads = _random_reads(24, rng, lo=30, hi=100)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    out_p = tmp_path / "p.cfrk"
+    out_d = tmp_path / "d.cfrk"
+    stream_count_file(fasta, out_p, 6, batch_size=8, packed=True)
+    stream_count_file(fasta, out_d, 6, batch_size=8)
+    assert out_p.read_bytes() == out_d.read_bytes()
