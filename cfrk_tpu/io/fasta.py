@@ -37,6 +37,7 @@ __all__ = [
     "iter_fastq",
     "iter_reads",
     "iter_fasta_encoded",
+    "iter_encoded_with_offsets",
     "read_fasta",
     "read_fasta_encoded",
 ]
@@ -178,6 +179,73 @@ def iter_fasta_encoded(path) -> Iterator[np.ndarray]:
     Accepts FASTA or FASTQ (sniffed), plain or gzipped."""
     for _, s in iter_reads(path):
         yield encode_seq(s)
+
+
+def iter_encoded_with_offsets(
+    path, start_offset: int | None = None
+) -> Iterator[tuple[np.ndarray, int | None]]:
+    """Stream ``(codes, end_offset)`` with input byte offsets.
+
+    ``end_offset`` is the byte position just PAST each record for PLAIN
+    (uncompressed) files — the streaming driver checkpoints it so
+    resume can ``seek`` instead of re-parsing gigabytes.  For gzip
+    inputs offsets are None (resume falls back to record skipping).
+    ``start_offset`` seeks there before parsing (plain files only; it
+    must point at a record boundary, i.e. a previously yielded
+    end_offset).
+    """
+    f = open(path, "rb")
+    try:
+        if f.peek(2)[:2] == b"\x1f\x8b":
+            f.close()
+            if start_offset:
+                raise ValueError("start_offset unsupported for gzip input")
+            for codes in iter_fasta_encoded(path):
+                yield codes, None
+            return
+        if start_offset:
+            f.seek(start_offset)
+        head = f.peek(64)
+        fastq = head.lstrip(b"\r\n")[:1] == b"@"
+        if fastq:
+            while True:
+                hdr = f.readline()
+                if not hdr:
+                    return
+                if not hdr.rstrip(b"\r\n"):
+                    continue
+                if not hdr.startswith(b"@"):
+                    raise ValueError(f"malformed FASTQ header: {hdr[:40]!r}")
+                seq = f.readline().rstrip(b"\r\n")
+                plus = f.readline()
+                if not plus.startswith(b"+"):
+                    raise ValueError("malformed FASTQ record: missing '+' line")
+                qual = f.readline()
+                if len(qual.rstrip(b"\r\n")) != len(seq):
+                    raise ValueError(
+                        "malformed FASTQ record: quality length mismatch"
+                    )
+                yield encode_seq(seq), f.tell()
+        else:
+            parts: list[bytes] = []
+            in_record = False
+            while True:
+                line_start = f.tell()
+                line = f.readline()
+                if not line:
+                    if in_record:
+                        yield encode_seq(b"".join(parts)), f.tell()
+                    return
+                stripped = line.rstrip(b"\r\n")
+                if stripped.startswith(b">"):
+                    if in_record:
+                        yield encode_seq(b"".join(parts)), line_start
+                    in_record = True
+                    parts = []
+                elif stripped and in_record:
+                    parts.append(stripped)
+    finally:
+        f.close()
 
 
 def read_fasta_encoded(path) -> list[np.ndarray]:

@@ -41,6 +41,10 @@ class ReadBatch:
     codes: np.ndarray
     lengths: np.ndarray
     n_reads: int
+    # Input byte offset just past this batch's last record, when the
+    # source supports it (plain uncompressed files); enables O(1)
+    # checkpoint resume by seek instead of re-streaming.
+    end_offset: int | None = None
 
     @property
     def batch_size(self) -> int:

@@ -25,6 +25,7 @@ per-thread streams), restructured around XLA's execution model:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import queue
 import threading
@@ -65,29 +66,41 @@ def stream_batches(
     batch_size: int,
     *,
     skip_reads: int = 0,
+    start_offset: int | None = None,
     len_base: int = 128,
 ) -> Iterator[ReadBatch]:
     """Stream fixed-shape batches from a FASTA file, preserving read order.
 
     Each batch is padded to the geometric length bucket of its longest
-    read.  ``skip_reads`` drops that many leading records (checkpoint
-    resume re-streams the input — correct for gzip, costs only parse
-    time, which is overlapped).
+    read and carries ``end_offset`` (input byte position past its last
+    record, plain files only).  Resume paths: ``start_offset`` seeks
+    straight to a record boundary (O(1), plain files); ``skip_reads``
+    drops that many leading records by re-parsing (gzip fallback).
     """
+    from ..io.fasta import iter_encoded_with_offsets
+
     buf: list[np.ndarray] = []
-    for i, codes in enumerate(iter_fasta_encoded(path)):
+    last_off: int | None = None
+
+    def flush() -> ReadBatch:
+        longest = max(max(len(r) for r in buf), k)
+        b = pad_reads(buf, batch_size, _len_bucket(longest, len_base))
+        return dataclasses.replace(b, end_offset=last_off)
+
+    for i, (codes, off) in enumerate(
+        iter_encoded_with_offsets(path, start_offset=start_offset)
+    ):
         if i < skip_reads:
             continue
         buf.append(codes)
+        last_off = off
         if len(buf) == batch_size:
-            longest = max(max(len(r) for r in buf), k)
-            yield pad_reads(buf, batch_size, _len_bucket(longest, len_base))
+            yield flush()
             buf = []
     if buf:
-        longest = max(max(len(r) for r in buf), k)
         # Tail batch: keep the full batch_size shape so it hits the same
         # compiled executable as every other batch of its length bucket.
-        yield pad_reads(buf, batch_size, _len_bucket(longest, len_base))
+        yield flush()
 
 
 def _batch_feeder(gen: Iterator[ReadBatch], q: queue.Queue, err: list,
@@ -280,13 +293,22 @@ def stream_count_file(
             f.seek(ckpt.out_bytes)
         w = CfrkWriter(f, continuing=ckpt.reads_done > 0, nonzero=nonzero)
 
-        gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
-        pending: list[tuple[int, jax.Array]] = []
+        if ckpt.reads_done and ckpt.input_offset is not None:
+            # O(1) resume: seek straight to the checkpointed record
+            # boundary (plain uncompressed inputs).
+            gen = stream_batches(
+                path, k, batch_size, start_offset=ckpt.input_offset
+            )
+        else:
+            gen = stream_batches(
+                path, k, batch_size, skip_reads=ckpt.reads_done
+            )
+        pending: list = []
         since_ckpt = 0
 
         def drain_one() -> None:
             nonlocal since_ckpt
-            n, dev_counts = pending.pop(0)
+            n, dev_counts, end_off = pending.pop(0)
             with m.stage("materialize"):
                 if sparse_rows:
                     from ..ops.perread_sparse import pairs_to_host
@@ -308,6 +330,7 @@ def stream_count_file(
                 else:
                     w.write_batch(counts)
             ckpt.reads_done += n
+            ckpt.input_offset = end_off
             since_ckpt += 1
             if since_ckpt >= checkpoint_every:
                 with m.stage("checkpoint"):
@@ -322,7 +345,7 @@ def stream_count_file(
         for batch in _prefetched(gen):
             with m.stage("dispatch"):
                 dev = dispatch(jax.numpy.asarray(batch.codes))
-            pending.append((batch.n_reads, dev))
+            pending.append((batch.n_reads, dev, batch.end_offset))
             m.batches += 1
             m.reads += batch.n_reads
             m.bases += int(batch.lengths.sum())

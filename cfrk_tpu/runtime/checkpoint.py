@@ -58,6 +58,10 @@ class StreamCheckpoint:
     reads_done: int = 0
     out_bytes: int = 0
     spectrum_path: str | None = None
+    # Input byte offset just past the last checkpointed record (plain
+    # uncompressed inputs only): resume seeks here in O(1) instead of
+    # re-parsing reads_done records.  None = offsets unavailable (gzip).
+    input_offset: int | None = None
 
     @staticmethod
     def fingerprint_of(input_path, k: int, mode: str, canonical: bool) -> dict:

@@ -474,3 +474,92 @@ def test_stream_packed_flag_still_forces_packed(tmp_path, monkeypatch):
     stream_count_file(fasta, out_p, 6, batch_size=8, packed=True)
     stream_count_file(fasta, out_d, 6, batch_size=8)
     assert out_p.read_bytes() == out_d.read_bytes()
+
+
+def test_offset_iterator_matches_plain_and_resume(tmp_path):
+    from cfrk_tpu.io.fasta import iter_encoded_with_offsets, iter_fasta_encoded
+
+    rng = np.random.default_rng(30)
+    reads = _random_reads(9, rng, lo=10, hi=40)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    pairs = list(iter_encoded_with_offsets(fasta))
+    assert len(pairs) == 9
+    for (got, off), want in zip(pairs, reads):
+        np.testing.assert_array_equal(got, want)
+        assert isinstance(off, int)
+    # Resuming from record 4's end_offset yields exactly records 5..8.
+    rest = list(iter_encoded_with_offsets(fasta, start_offset=pairs[3][1]))
+    assert len(rest) == 5
+    for (got, _), want in zip(rest, reads[4:]):
+        np.testing.assert_array_equal(got, want)
+    # FASTQ offsets too.
+    fq = tmp_path / "r.fastq"
+    with open(fq, "wb") as f:
+        for i, codes in enumerate(reads):
+            s = decode_codes(codes)
+            f.write(b"@q%d\n" % i + s + b"\n+\n" + b"I" * len(s) + b"\n")
+    pairs_q = list(iter_encoded_with_offsets(fq))
+    assert len(pairs_q) == 9
+    rest_q = list(iter_encoded_with_offsets(fq, start_offset=pairs_q[5][1]))
+    assert len(rest_q) == 3
+    # Gzip: offsets are None, full stream matches.
+    import gzip as _gz
+
+    gz = tmp_path / "r.fasta.gz"
+    gz.write_bytes(_gz.compress(fasta.read_bytes()))
+    pairs_gz = list(iter_encoded_with_offsets(gz))
+    assert all(off is None for _, off in pairs_gz)
+    assert len(pairs_gz) == 9
+
+
+def test_stream_resume_uses_offset_seek(tmp_path, monkeypatch):
+    """Resume with a checkpointed input_offset must NOT re-parse the
+    consumed prefix (seek path), and output equals the full run."""
+    rng = np.random.default_rng(31)
+    reads = _random_reads(24, rng, lo=20, hi=50)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.cfrk"
+    _write_fasta(fasta, reads)
+    k, bs = 3, 8
+    full = tmp_path / "f.cfrk"
+    stream_count_file(fasta, full, k, batch_size=bs)
+    want = full.read_bytes()
+
+    # Build a mid-run checkpoint WITH input_offset via a real partial run
+    # state: compute offsets for the first 2 batches by hand.
+    from cfrk_tpu.format import CfrkWriter
+    from cfrk_tpu.io.fasta import iter_encoded_with_offsets
+    from cfrk_tpu.pipeline.count import count_reads as _cr
+
+    offsets = [off for _, off in iter_encoded_with_offsets(fasta)]
+    with open(out, "wb") as f:
+        w = CfrkWriter(f)
+        w.write_batch(_cr(reads[:16], k, batch_size=bs))
+        f.flush()
+        nbytes = f.tell()
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(fasta, k, "perread", False),
+        reads_done=16,
+        out_bytes=nbytes,
+        input_offset=offsets[15],
+    )
+    ckpt.save(checkpoint_path(out))
+
+    # Poison skip-based parsing: if resume re-parses from the start it
+    # would consume skip_reads and this spy would see i < skip.
+    import cfrk_tpu.pipeline.stream as stream_mod
+
+    real = stream_mod.stream_batches
+    calls = {}
+
+    def spy(path, k2, bs2, **kw):
+        calls.update(kw)
+        return real(path, k2, bs2, **kw)
+
+    monkeypatch.setattr(stream_mod, "stream_batches", spy)
+    m = stream_count_file(fasta, out, k, batch_size=bs, resume=True)
+    assert calls.get("start_offset") == offsets[15]
+    assert "skip_reads" not in calls
+    assert m.reads == 8
+    assert out.read_bytes() == want
