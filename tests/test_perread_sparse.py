@@ -155,3 +155,34 @@ def test_cli_perread_k31(tmp_path):
         assert total == 64 - 31 + 1
         # keys are 2k-bit codes, some certainly above 2**32
         assert max(int(c.split(b":")[0]) for c in cells) > 2**32
+
+
+def test_sparse_large_k_canonical_oracle():
+    import numpy as np
+
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse_large,
+        pairs_to_host,
+    )
+
+    k = 18
+    rng = np.random.default_rng(7)
+    codes = _random_codes(4, 80, rng)
+    idx, counts = pairs_to_host(count_perread_sparse_large(codes, k, True), 4)
+    for r in range(codes.shape[0]):
+        want: dict = {}
+        row = codes[r]
+        for p in range(len(row) - k + 1):
+            win = row[p : p + k]
+            if (win < 0).any():
+                continue
+            fwd = 0
+            for c in win:
+                fwd = fwd * 4 + int(c)
+            rc = 0
+            for c in reversed(win):
+                rc = rc * 4 + (3 - int(c))
+            key = min(fwd, rc)
+            want[key] = want.get(key, 0) + 1
+        got = {int(i): int(c) for i, c in zip(idx[r], counts[r]) if c > 0}
+        assert got == want
