@@ -121,6 +121,14 @@ def count_perread_pallas(
         raise ValueError(f"read length {length} < k={k}")
     if k > 8:
         raise ValueError("per-read dense counting supports k <= 8")
+    if w >= 2**24:
+        # The f32 VMEM accumulator stays exact only below 2**24 per bin;
+        # callers route such contigs to the int32 scatter impl
+        # (ops/perread.py) — refuse rather than silently undercount.
+        raise ValueError(
+            f"{w} windows/read exceeds the f32 exactness bound (2**24); "
+            "use impl='scatter'"
+        )
     if packed and w >= 2**15:
         raise ValueError("packed counts unsafe for >= 2**15 windows/read")
     if packed == "reads" and read_block % 2:

@@ -35,12 +35,11 @@ import jax
 import numpy as np
 
 from ..format import CfrkWriter
-from ..io.fasta import iter_fasta_encoded
 from ..ops.perread import count_perread
 from ..ops.spectrum import spectrum as spectrum_op
 from ..runtime.checkpoint import StreamCheckpoint, checkpoint_path
 from ..runtime.metrics import RunMetrics
-from .batch import ReadBatch, pad_reads
+from .batch import ReadBatch, len_bucket as _len_bucket, pad_reads
 
 __all__ = [
     "stream_batches",
@@ -50,14 +49,6 @@ __all__ = [
 ]
 
 _SENTINEL = None
-
-
-def _len_bucket(n: int, base: int = 128) -> int:
-    """Smallest 128·2^j ≥ n: bounds the set of compiled shapes to O(log L)."""
-    b = base
-    while b < n:
-        b *= 2
-    return b
 
 
 def stream_batches(
@@ -274,8 +265,8 @@ def stream_count_file(
 
     ckpt = StreamCheckpoint(fingerprint=fp)
     if resume and os.path.exists(cpath):
-        prev = StreamCheckpoint.load(cpath)
-        if prev.matches(fp):
+        prev = StreamCheckpoint.load_if_valid(cpath)
+        if prev is not None and prev.matches(fp):
             # The checkpoint only counts if the output really contains
             # the bytes it promises: a missing/short file (crash before
             # the data hit disk) would otherwise be NUL-extended by
@@ -353,6 +344,10 @@ def stream_count_file(
                 drain_one()
         while pending:
             drain_one()
+        # Make the tail durable BEFORE the checkpoint is removed — a
+        # crash after cleanup must not leave a silently truncated file.
+        f.flush()
+        os.fsync(f.fileno())
 
     if os.path.exists(cpath):
         ckpt.cleanup(cpath)
@@ -392,10 +387,13 @@ def stream_spectrum_file(
     ckpt = StreamCheckpoint(fingerprint=fp)
     base = np.zeros(4**k, dtype=np.int64)
     if resume and cpath and os.path.exists(cpath):
-        prev = StreamCheckpoint.load(cpath)
-        if prev.matches(fp):
-            ckpt = prev
-            base = ckpt.load_spectrum()
+        prev = StreamCheckpoint.load_if_valid(cpath)
+        if prev is not None and prev.matches(fp):
+            try:
+                base = prev.load_spectrum()
+                ckpt = prev
+            except (OSError, ValueError, KeyError):
+                pass  # torn sidecar: restart from scratch
 
     # Device accumulator is int32 (device int64 needs the x64 flag);
     # it spills into the host int64 base before the windows added since
@@ -413,7 +411,10 @@ def stream_spectrum_file(
             total_dev = None
         windows_since_spill = 0
 
-    gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
+    if ckpt.reads_done and ckpt.input_offset is not None:
+        gen = stream_batches(path, k, batch_size, start_offset=ckpt.input_offset)
+    else:
+        gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
     since_ckpt = 0
     for batch in _prefetched(gen):
         batch_windows = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
@@ -428,6 +429,7 @@ def stream_spectrum_file(
         m.reads += batch.n_reads
         m.bases += int(batch.lengths.sum())
         ckpt.reads_done += batch.n_reads
+        ckpt.input_offset = batch.end_offset
         since_ckpt += 1
         if cpath and since_ckpt >= checkpoint_every:
             with m.stage("checkpoint"):
@@ -476,12 +478,18 @@ def stream_sparse_spectrum_file(
     ckpt = StreamCheckpoint(fingerprint=fp)
     acc = SparseAccumulator(merge_every=merge_every)
     if resume and cpath and os.path.exists(cpath):
-        prev = StreamCheckpoint.load(cpath)
-        if prev.matches(fp):
-            ckpt = prev
-            acc.keys, acc.counts = ckpt.load_sparse()
+        prev = StreamCheckpoint.load_if_valid(cpath)
+        if prev is not None and prev.matches(fp):
+            try:
+                acc.keys, acc.counts = prev.load_sparse()
+                ckpt = prev
+            except (OSError, ValueError, KeyError):
+                pass  # torn sidecar: restart from scratch
 
-    gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
+    if ckpt.reads_done and ckpt.input_offset is not None:
+        gen = stream_batches(path, k, batch_size, start_offset=ckpt.input_offset)
+    else:
+        gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
     since_ckpt = 0
     for batch in _prefetched(gen):
         with m.stage("dispatch"):
@@ -494,6 +502,7 @@ def stream_sparse_spectrum_file(
         m.reads += batch.n_reads
         m.bases += int(batch.lengths.sum())
         ckpt.reads_done += batch.n_reads
+        ckpt.input_offset = batch.end_offset
         since_ckpt += 1
         if cpath and since_ckpt >= checkpoint_every:
             with m.stage("checkpoint"):

@@ -39,10 +39,9 @@ def cleanup_checkpoint(out_path: str | os.PathLike) -> None:
     cpath = checkpoint_path(out_path)
     if not os.path.exists(cpath):
         return
-    try:
-        ckpt = StreamCheckpoint.load(cpath)
-    except (ValueError, KeyError, TypeError):
-        ckpt = StreamCheckpoint(fingerprint={})
+    ckpt = StreamCheckpoint.load_if_valid(cpath) or StreamCheckpoint(
+        fingerprint={}
+    )
     ckpt.cleanup(cpath)
 
 
@@ -92,7 +91,20 @@ class StreamCheckpoint:
     @staticmethod
     def load(path: str) -> "StreamCheckpoint":
         with open(path) as f:
-            return StreamCheckpoint(**json.load(f))
+            data = json.load(f)
+        # Tolerate unknown fields (forward compatibility: a checkpoint
+        # written by a newer build must not crash an older one).
+        fields = {f.name for f in dataclasses.fields(StreamCheckpoint)}
+        return StreamCheckpoint(**{k: v for k, v in data.items() if k in fields})
+
+    @staticmethod
+    def load_if_valid(path: str) -> "StreamCheckpoint | None":
+        """Load a checkpoint, or None if it is missing/torn/invalid —
+        resume paths fall back to a fresh start instead of crashing."""
+        try:
+            return StreamCheckpoint.load(path)
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
 
     def matches(self, fingerprint: dict) -> bool:
         return self.fingerprint == fingerprint
@@ -113,7 +125,10 @@ class StreamCheckpoint:
     def save_spectrum(self, ckpt_path: str, table: np.ndarray) -> None:
         spath = f"{ckpt_path}.spectrum.{self.reads_done}.npy"
         tmp = spath + ".tmp.npy"
-        np.save(tmp, table)
+        with open(tmp, "wb") as f:
+            np.save(f, table)
+            f.flush()
+            os.fsync(f.fileno())  # data durable BEFORE the JSON claims it
         os.replace(tmp, spath)
         self._pending_cleanup = self._sidecar_swap(spath)
 
@@ -126,7 +141,10 @@ class StreamCheckpoint:
                     counts: np.ndarray) -> None:
         spath = f"{ckpt_path}.sparse.{self.reads_done}.npz"
         tmp = spath + ".tmp.npz"
-        np.savez(tmp, keys=keys, counts=counts)
+        with open(tmp, "wb") as f:
+            np.savez(f, keys=keys, counts=counts)
+            f.flush()
+            os.fsync(f.fileno())  # data durable BEFORE the JSON claims it
         os.replace(tmp, spath)
         self._pending_cleanup = self._sidecar_swap(spath)
 
@@ -141,9 +159,8 @@ class StreamCheckpoint:
         orphaned sidecar generations from interrupted checkpoints)."""
         import glob
 
-        stale = glob.glob(ckpt_path + ".spectrum.*") + glob.glob(
-            ckpt_path + ".sparse.*"
-        )
+        esc = glob.escape(ckpt_path)  # metachars in out paths must not glob
+        stale = glob.glob(esc + ".spectrum.*") + glob.glob(esc + ".sparse.*")
         for p in {ckpt_path, self.spectrum_path, *stale}:
             if p and os.path.exists(p):
                 os.remove(p)

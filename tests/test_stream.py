@@ -563,3 +563,31 @@ def test_stream_resume_uses_offset_seek(tmp_path, monkeypatch):
     assert "skip_reads" not in calls
     assert m.reads == 8
     assert out.read_bytes() == want
+
+
+def test_resume_tolerates_corrupt_checkpoint(tmp_path):
+    rng = np.random.default_rng(32)
+    reads = _random_reads(8, rng)
+    fasta = tmp_path / "r.fasta"
+    out = tmp_path / "r.cfrk"
+    _write_fasta(fasta, reads)
+    (tmp_path / "r.cfrk.ckpt.json").write_text("{torn json")
+    m = stream_count_file(fasta, out, 3, batch_size=4, resume=True)
+    assert m.reads == 8  # fresh start, no crash
+    np.testing.assert_array_equal(
+        parse_cfrk(out.read_bytes()), count_reads(reads, 3)
+    )
+    # Unknown fields from a future build are ignored, not fatal.
+    import json as _json
+
+    ckpt_data = {
+        "fingerprint": StreamCheckpoint.fingerprint_of(fasta, 3, "perread", False),
+        "reads_done": 0,
+        "out_bytes": 0,
+        "spectrum_path": None,
+        "input_offset": None,
+        "field_from_the_future": 42,
+    }
+    (tmp_path / "r.cfrk.ckpt.json").write_text(_json.dumps(ckpt_data))
+    m = stream_count_file(fasta, out, 3, batch_size=4, resume=True)
+    assert m.reads == 8
