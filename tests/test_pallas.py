@@ -203,3 +203,25 @@ def test_perread_fh_rb16_parity():
     )
     got = np.asarray(unpack_counts(packed, 20, mode="fh"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_perread_fused_parity():
+    import numpy as np
+
+    from cfrk_tpu.ops.pallas.perread import (
+        count_perread_pallas_fused,
+        unpack_counts,
+    )
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=(20, 90)).astype(np.int8)
+    codes[rng.random(codes.shape) < 0.03] = -1
+    want = np.asarray(count_perread(codes, 5, impl="matmul"))
+    packed = np.asarray(count_perread_pallas_fused(codes, 5))
+    got = np.asarray(unpack_counts(packed, 20, mode="fh"))
+    np.testing.assert_array_equal(got, want)
+    dense = np.asarray(count_perread_pallas_fused(codes, 5, packed=False))
+    np.testing.assert_array_equal(
+        dense.reshape(dense.shape[0], -1)[:20], want
+    )
