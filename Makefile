@@ -14,7 +14,8 @@ test:
 	$(PY) -m pytest tests/ -q
 
 test-fast:
-	$(PY) -m pytest tests/ -q -x -k "not pallas"
+	$(PY) -m pytest tests/ -q -x --ignore=tests/test_pallas.py \
+	    --ignore=tests/test_fuzz.py
 
 bench:
 	$(PY) bench.py

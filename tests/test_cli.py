@@ -73,22 +73,30 @@ def test_stats_line(fasta, tmp_path, capsys):
     assert stats["reads"] == 3 and stats["k"] == 2
 
 
-def test_sparse_mode(fasta, tmp_path):
-    out = str(tmp_path / "k.tsv")
-    assert main([fasta, "-k", "21", "-o", out, "--mode", "sparse"]) == 0
-    rows = [l.split("\t") for l in open(out).read().splitlines()]
-    # r1 = ACGTACGTAC has no 21-mers; r2/r3 are too short -> empty ok?
-    # use a bigger k-mer source instead: verify against the oracle
+def test_sparse_mode(tmp_path):
+    # Reads must be LONGER than k or the oracle and the output are both
+    # empty and the assertion is vacuous.
+    from cfrk_tpu.io.fasta import decode_codes, read_fasta_encoded
     from cfrk_tpu.ops.reference import window_indices_np
-    from cfrk_tpu.io.fasta import read_fasta_encoded
+    from cfrk_tpu.ops.sparse import decode_key
+
+    rng = np.random.default_rng(9)
+    fasta = tmp_path / "long.fasta"
+    with open(fasta, "wb") as f:
+        for i in range(6):
+            codes = rng.integers(0, 4, size=60).astype(np.int8)
+            f.write(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    out = str(tmp_path / "k.tsv")
+    assert main([str(fasta), "-k", "21", "-o", out, "--mode", "sparse"]) == 0
+    rows = [l.split("\t") for l in open(out).read().splitlines()]
     want = {}
     for r in read_fasta_encoded(fasta):
         for v in window_indices_np(r, 21):
             if v >= 0:
                 want[int(v)] = want.get(int(v), 0) + 1
-    from cfrk_tpu.ops.sparse import decode_key
     want_rows = {decode_key(kk, 21): c for kk, c in want.items()}
     got_rows = {kmer: int(c) for kmer, c in rows}
+    assert len(got_rows) >= 6 * 30  # mostly-unique 21-mers: non-vacuous
     assert got_rows == want_rows
 
 

@@ -106,9 +106,11 @@ def test_native_parser_throughput_sanity():
 
     for g, w in zip(native, python):
         np.testing.assert_array_equal(g, w)
-    # Not a benchmark — just a regression guard that the native path is
-    # not accidentally running the fallback.
-    assert t_native < t_python * 2
+    # Deterministic dispatch guard (a wall-clock comparison is flaky on
+    # loaded CI runners): the extension must actually be loaded here.
+    from cfrk_tpu.io.native import HAVE_NATIVE, _fastaio
+
+    assert HAVE_NATIVE and _fastaio is not None
 
 
 def test_format_pairs_bytes_matches_python():

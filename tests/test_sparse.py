@@ -60,7 +60,7 @@ def test_sparse_spectrum_multibatch_merge(rng):
         for b in (b1, b2)
     ]
     got = merge_sorted_spectra(parts)
-    want = _oracle(np.concatenate([b1, b2], axis=0) if False else list(b1) + list(b2), k, False)
+    want = _oracle(list(b1) + list(b2), k, False)
     assert got == want
 
 

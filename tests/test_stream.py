@@ -463,8 +463,18 @@ def test_stage_timer_accumulates():
 
 
 def test_stream_packed_flag_still_forces_packed(tmp_path, monkeypatch):
-    """--packed forces the fh kernel even off-TPU (interpret mode) and
-    matches the dense path byte-for-byte (dispatch tagging)."""
+    """--packed must actually dispatch the fh kernel (spied), not fall
+    back to the dense path, and the bytes must match the dense run."""
+    import cfrk_tpu.ops.pallas.perread as pk
+
+    calls = []
+    real = pk.count_perread_pallas
+
+    def spy(*a, **kw):
+        calls.append(kw.get("packed"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pk, "count_perread_pallas", spy)
     rng = np.random.default_rng(22)
     reads = _random_reads(24, rng, lo=30, hi=100)
     fasta = tmp_path / "r.fasta"
@@ -472,7 +482,10 @@ def test_stream_packed_flag_still_forces_packed(tmp_path, monkeypatch):
     out_p = tmp_path / "p.cfrk"
     out_d = tmp_path / "d.cfrk"
     stream_count_file(fasta, out_p, 6, batch_size=8, packed=True)
-    stream_count_file(fasta, out_d, 6, batch_size=8)
+    assert calls and all(p == "fh" for p in calls)  # fh kernel really ran
+    n_packed = len(calls)
+    stream_count_file(fasta, out_d, 6, batch_size=8)  # CPU: dense path
+    assert len(calls) == n_packed  # un-flagged run did not use it off-TPU
     assert out_p.read_bytes() == out_d.read_bytes()
 
 
