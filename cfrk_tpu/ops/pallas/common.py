@@ -26,15 +26,25 @@ __all__ = ["prep_indices", "split_k"]
 
 
 def prep_indices(
-    codes: jax.Array, k: int, canonical: bool, wt: int, rb: int
+    codes: jax.Array,
+    k: int,
+    canonical: bool,
+    wt: int,
+    rb: int,
+    reads_major: bool = False,
 ) -> tuple[jax.Array, int]:
-    """codes [B, L] int8 (B divisible by rb) → (idx [nb, Wpad, rb] int32,
-    n_tiles).
+    """codes [B, L] int8 (B divisible by rb) → (idx, n_tiles).
 
-    Wpad = n_tiles * wt; positions past W carry the 4**k sentinel.  The
-    per-read-block transposed layout keeps the kernel's lane dimension
-    equal to the full rb axis (a Mosaic block-shape requirement) while
-    windows run along sublanes.
+    Wpad = n_tiles * wt; positions past W carry the 4**k sentinel.
+
+    ``reads_major=False`` (spectrum kernel): idx [nb, Wpad, rb] — windows
+    in sublanes, reads in lanes; per-read column slices ``[:, r:r+1]``
+    lane-broadcast against a [wt, 4**kh] bin iota (the rank-2 one-hot
+    construction Mosaic lowers natively).
+
+    ``reads_major=True`` (batched per-read kernel): idx [nb, rb, Wpad] —
+    Mosaic's batched ``tpu.matmul`` requires batch dims at position 0,
+    so the one-hots are built [rb, wt, 4**kh] from this layout.
     """
     b, length = codes.shape
     w = length - k + 1
@@ -44,5 +54,7 @@ def prep_indices(
     pad_w = n_tiles * wt - w
     if pad_w:
         idx = jnp.pad(idx, ((0, 0), (0, pad_w)), constant_values=4**k)
-    idx = idx.reshape(b // rb, rb, n_tiles * wt).transpose(0, 2, 1)
+    idx = idx.reshape(b // rb, rb, n_tiles * wt)
+    if not reads_major:
+        idx = idx.transpose(0, 2, 1)
     return idx, n_tiles

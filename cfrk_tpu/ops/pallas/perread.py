@@ -4,19 +4,24 @@ The TPU-native replacement of the reference's ComputeIndex +
 ComputeFreqNew CUDA kernels (reference ``src/kmer_kernel.cu:21-49`` and
 ``:73-90``).  Compared to the XLA einsum path (ops/perread.py), the win
 is memory traffic: the one-hot operands and the float32 accumulator live
-only in VMEM and the int32 count matrix is written to HBM exactly once —
-the XLA path materialises the one-hots and the f32 einsum output in HBM
+only in VMEM and the count matrix is written to HBM exactly once — the
+XLA path materialises the one-hots and the f32 einsum output in HBM
 (~6x the traffic at k=8).
 
 Structure: a [n_read_blocks, n_window_tiles] grid over a transposed
 window-index matrix (see ops/pallas/common.py for why transposed).  Each
-step takes one [wt, rb] tile, builds per-read one-hot matrices
-[wt, 4**kh] / [wt, 4**kl] by lane-broadcast compare, and accumulates
-``one_hot(hi)^T @ one_hot(lo)`` on the MXU into a per-read-block VMEM
-accumulator; the tile axis is innermost so the accumulator carries across
-window tiles and each read block's counts are emitted once.  Window
-tiling means per-read length is unbounded — the reference silently
-dropped positions beyond blockDim.x = 1024 (``src/kmer_kernel.cu:83-85``).
+step takes one [wt, rb] tile, builds rank-3 one-hot tensors
+[wt, rb, 4**kh] / [wt, rb, 4**kl] by minor-dim broadcast compare, and
+accumulates ONE batched ``dot_general`` (batch dim = reads, contraction
+over windows) on the MXU into a per-read-block VMEM accumulator; the
+tile axis is innermost so the accumulator carries across window tiles
+and each read block's counts are emitted once.  The batched contraction
+replaces round 1's per-read Python unroll of ``rb`` small dots — one
+MXU dispatch per grid step instead of ``rb``, which removed ~3 ms/step
+of fixed overhead and cut the cold Mosaic compile from ~150 s to under
+a minute.  Window tiling means per-read length is unbounded — the
+reference silently dropped positions beyond blockDim.x = 1024
+(``src/kmer_kernel.cu:83-85``).
 
 Invalid windows (N bases, padding, past end-of-read) arrive as the
 sentinel index 4**k whose hi component is out of one-hot range, so they
@@ -36,14 +41,19 @@ from .common import prep_indices, split_k
 
 __all__ = [
     "count_perread_pallas",
-    "count_perread_pallas_fused",
     "unpack_counts",
 ]
 
 
 def _perread_kernel(
-    idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb: int, packed
+    idx_ref, out_ref, *rest, kl: int, fh: int, fl: int, rb: int, packed,
+    checksum: bool,
 ):
+    if checksum:
+        chk_ref, acc_ref = rest
+    else:
+        (acc_ref,) = rest
+    i = pl.program_id(0)
     t = pl.program_id(1)
     nt = pl.num_programs(1)
 
@@ -51,43 +61,79 @@ def _perread_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    wt = idx_ref.shape[1]
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (wt, fh), 1)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (wt, fl), 1)
-    for r in range(rb):  # static unroll over the reads of this block
-        col = idx_ref[0, :, r : r + 1]  # [wt, 1] — lane-broadcasts below
-        oh_hi = ((col >> (2 * kl)) == iota_h).astype(jnp.bfloat16)
-        oh_lo = ((col & (fl - 1)) == iota_l).astype(jnp.bfloat16)
-        acc_ref[r, :, :] += jax.lax.dot_general(
-            oh_hi,
-            oh_lo,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    idx = idx_ref[0]  # [rb, wt] int32 (reads-major: batch dim must be 0)
+    wt = idx.shape[1]
+    col = idx[:, :, None]  # minor-dim broadcast against the bin iota
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (rb, wt, fh), 2)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (rb, wt, fl), 2)
+    oh_hi = ((col >> (2 * kl)) == iota_h).astype(jnp.bfloat16)
+    oh_lo = ((col & (fl - 1)) == iota_l).astype(jnp.bfloat16)
+    # One batched MXU contraction over windows: [rb, fh, fl].
+    acc_ref[...] += jax.lax.dot_general(
+        oh_hi,
+        oh_lo,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(t == nt - 1)
     def _emit():
-        if packed == "reads":
-            # Two reads per int32: read j in bits 31..16, read j+rb/2 in
-            # bits 15..0 (values < 2**15, so the sign bit stays clear).
-            a = acc_ref[...].astype(jnp.int32)
-            half = rb // 2
-            out_ref[0] = (a[:half] << 16) | a[half:]
-        elif packed == "fh":
+        a = acc_ref[...].astype(jnp.int32)
+        if checksum:
+            # Fold the counts while they are still in VMEM: proves the
+            # values were computed without charging an HBM read-back.
+            # (chk is a full-array SMEM block — tiny — indexed by the
+            # read-block id; per-block SMEM tiles are not lowerable.)
+            chk_ref[i, 0] = jnp.sum(a & 3)
+        if packed == "fh":
             # Two hi-bins per int32: bin h in bits 31..16 packs with bin
-            # h + fh/2 in bits 15..0 — rank-3 output block (the rank-4
-            # reads-packing compiles pathologically slowly on Mosaic).
-            a = acc_ref[...].astype(jnp.int32)
+            # h + fh/2 in bits 15..0 — rank-3 output block.
             hhalf = fh // 2
-            out_ref[...] = (a[:, :hhalf, :] << 16) | a[:, hhalf:, :]
+            out_ref[...] = (a[:, :hhalf, :] << 16) | (a[:, hhalf:, :])
+        elif packed == "b4":
+            # Four hi-bins per int32, one byte each (valid when every
+            # count < 256): bins h, h+q, h+2q, h+3q with q = fh/4.
+            q = fh // 4
+            out_ref[...] = (
+                (a[:, :q, :] << 24)
+                | (a[:, q : 2 * q, :] << 16)
+                | (a[:, 2 * q : 3 * q, :] << 8)
+                | a[:, 3 * q :, :]
+            )
         else:
-            out_ref[...] = acc_ref[...].astype(jnp.int32)
+            out_ref[...] = a
+
+
+def resolve_packed(packed, w: int):
+    """Resolve a packed-mode request against the windows/read bound.
+
+    ``True`` picks the densest safe packing: "b4" (1 byte/bin) when every
+    count is provably < 256, else "fh" (2 bytes/bin) below 2**15.
+    """
+    if packed is True:
+        if w < 256:
+            return "b4"
+        if w < 2**15:
+            return "fh"
+        raise ValueError(
+            "packed counts unsafe for >= 2**15 windows/read"
+        )
+    if packed in (False, None):
+        return False
+    if packed == "b4" and w >= 256:
+        raise ValueError("b4-packed counts unsafe for >= 256 windows/read")
+    if packed == "fh" and w >= 2**15:
+        raise ValueError("fh-packed counts unsafe for >= 2**15 windows/read")
+    if packed not in ("b4", "fh"):
+        raise ValueError(f"unknown packed mode {packed!r}")
+    return packed
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "canonical", "read_block", "window_block", "interpret", "packed"
+        "k", "canonical", "read_block", "window_block", "interpret", "packed",
+        "checksum",
     ),
 )
 def count_perread_pallas(
@@ -95,28 +141,33 @@ def count_perread_pallas(
     k: int,
     *,
     canonical: bool = False,
-    read_block: int = 8,
+    read_block: int = 16,
     window_block: int = 512,
     interpret: bool | None = None,
     packed=False,
-) -> jax.Array:
+    checksum: bool = False,
+):
     """Dense per-read histograms: codes [B, L] int8 → [B, 4**k] int32.
 
-    ``packed`` (requires windows/read < 2**15) halves the dominant HBM
-    write and any D2H that keeps the packed layout:
+    ``packed`` halves or quarters the dominant HBM write and any D2H
+    that keeps the packed layout:
 
-    * ``"reads"`` (or True): read pair (j, j+rb/2) of each block packs
-      as (hi16 << 16) | lo16 — rank-4 output [n_blocks, rb/2, fh, fl]
-      (Mosaic compiles this rank-4 block pathologically slowly, ~14 min
-      cold).
     * ``"fh"``: hi-bin pair (h, h+fh/2) packs per read — rank-3 output
-      [B_padded, fh/2, fl], the same block rank as unpacked.
+      [B_pad, fh/2, fl] int32, 2 bytes/bin (needs windows/read < 2**15).
+    * ``"b4"``: four hi-bins (h, h+q, h+2q, h+3q), q = fh/4, one byte
+      each — [B_pad, fh/4, fl] int32, 1 byte/bin (needs windows/read
+      < 256, i.e. every count fits a byte — true for short-read data).
+    * ``True``: densest safe mode for this shape.
 
-    Unpack with :func:`unpack_counts` (mode must match).  A plain int16
-    VMEM output block was worse than either (>9 min compile).
+    Unpack with :func:`unpack_counts` (mode must match).
+
+    ``checksum=True`` additionally returns a per-read-block int32 vector
+    ``chk[nb] = sum(counts & 3)`` folded INSIDE the kernel while the
+    counts sit in VMEM.  Consuming only ``chk`` forces the full compute
+    and the HBM write of ``counts`` (both outputs come from one Pallas
+    custom call XLA cannot split) without an artificial read-back —
+    bench.py uses this for honest write-roofline measurement.
     """
-    if packed is True:
-        packed = "reads"
     if codes.ndim != 2:
         raise ValueError(f"codes must be [B, L], got {codes.shape}")
     b, length = codes.shape
@@ -133,52 +184,63 @@ def count_perread_pallas(
             f"{w} windows/read exceeds the f32 exactness bound (2**24); "
             "use impl='scatter'"
         )
-    if packed and w >= 2**15:
-        raise ValueError("packed counts unsafe for >= 2**15 windows/read")
-    if packed == "reads" and read_block % 2:
-        raise ValueError("packed mode needs an even read_block")
+    packed = resolve_packed(packed, w)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     kh, kl = split_k(k)
     fh, fl = 4**kh, 4**kl
-    # Packed mode pairs reads j and j+rb/2 within a block, so rb must
-    # stay even — keep the full (even) read_block and let row padding
-    # fill small batches instead of shrinking rb to an odd b.
-    rb = read_block if packed == "reads" else min(read_block, b)
+    if packed == "b4" and fh < 4:
+        raise ValueError("b4 packing needs k >= 2")
+    if packed == "fh" and fh < 2:
+        raise ValueError("fh packing needs k >= 1")
+    rb = min(read_block, b)
     wt = min(window_block, max(8, w))
-
-    wt = ((wt + 7) // 8) * 8  # sublane alignment
+    wt = ((wt + 7) // 8) * 8
+    if wt < w:
+        # Tiled window axis: wt is the LAST dim of the [1, rb, wt] block,
+        # so partial blocks must be 128-lane aligned (single-tile blocks
+        # span the whole array dim and may be any size).
+        wt = ((wt + 127) // 128) * 128
     pad_b = (-b) % rb
     if pad_b:
         codes = jnp.pad(codes, ((0, pad_b), (0, 0)), constant_values=-1)
     bb = codes.shape[0]
-    idx, n_tiles = prep_indices(codes, k, canonical, wt, rb)
+    idx, n_tiles = prep_indices(codes, k, canonical, wt, rb, reads_major=True)
 
     kernel = functools.partial(
-        _perread_kernel, kl=kl, fh=fh, fl=fl, rb=rb, packed=packed
+        _perread_kernel, kl=kl, fh=fh, fl=fl, rb=rb, packed=packed,
+        checksum=checksum,
     )
-    if packed == "reads":
-        out_specs = pl.BlockSpec(
-            (1, rb // 2, fh, fl), lambda i, t: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        out_shape = jax.ShapeDtypeStruct((bb // rb, rb // 2, fh, fl), jnp.int32)
-    elif packed == "fh":
+    if packed == "fh":
         out_specs = pl.BlockSpec(
             (rb, fh // 2, fl), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((bb, fh // 2, fl), jnp.int32)
+    elif packed == "b4":
+        out_specs = pl.BlockSpec(
+            (rb, fh // 4, fl), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((bb, fh // 4, fl), jnp.int32)
     else:
         out_specs = pl.BlockSpec(
             (rb, fh, fl), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((bb, fh, fl), jnp.int32)
-    out = pl.pallas_call(
+    out_specs = [out_specs]
+    out_shape = [out_shape]
+    if checksum:
+        out_specs.append(
+            pl.BlockSpec(
+                (bb // rb, 1), lambda i, t: (0, 0), memory_space=pltpu.SMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bb // rb, 1), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=(bb // rb, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, wt, rb), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+                (1, rb, wt), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=out_specs,
@@ -186,148 +248,36 @@ def count_perread_pallas(
         scratch_shapes=[pltpu.VMEM((rb, fh, fl), jnp.float32)],
         interpret=interpret,
     )(idx)
-    if packed:
-        return out  # packed layout; see unpack_counts
-    return out[:b].reshape(b, fh * fl)
+    counts = outs[0]
+    if not packed:
+        counts = counts[:b].reshape(b, fh * fl)
+    if checksum:
+        return counts, outs[1].reshape(-1)
+    return counts
 
 
-def unpack_counts(packed, n_reads: int, mode: str = "reads"):
+def unpack_counts(packed, n_reads: int, mode: str = "fh"):
     """Unpack a packed kernel output back to [n_reads, 4**k] int32.
 
     Works on NumPy arrays (host side, after a halved D2H) or jax arrays.
-    mode="reads": [n_blocks, rb/2, fh, fl], read j in the high 16 bits
-    paired with read j+rb/2 in the low.  mode="fh": [B_pad, fh/2, fl],
-    hi-bin h in the high 16 bits paired with bin h+fh/2 in the low.
+    mode="fh": [B_pad, fh/2, fl], hi-bin h in the high 16 bits paired
+    with bin h+fh/2 in the low.  mode="b4": [B_pad, fh/4, fl], four
+    hi-bins one byte each, h in the highest byte.  The byte/halfword
+    extraction masks after the shift, so arithmetic sign-extension of
+    the int32 container is harmless.
     """
     import numpy as np
 
     xp = np if isinstance(packed, np.ndarray) else jnp
-    hi = (packed >> 16) & 0x7FFF
-    lo = packed & 0xFFFF
-    if mode == "reads":
-        nb, half, fh, fl = packed.shape
-        counts = xp.concatenate([hi, lo], axis=1)  # [nb, rb, fh, fl]
-        return counts.reshape(nb * 2 * half, fh * fl)[:n_reads].astype(
-            xp.int32
-        )
     if mode == "fh":
         bpad, hhalf, fl = packed.shape
+        hi = (packed >> 16) & 0x7FFF
+        lo = packed & 0xFFFF
         counts = xp.concatenate([hi, lo], axis=1)  # [bpad, fh, fl]
         return counts.reshape(bpad, 2 * hhalf * fl)[:n_reads].astype(xp.int32)
+    if mode == "b4":
+        bpad, q, fl = packed.shape
+        parts = [(packed >> s) & 0xFF for s in (24, 16, 8, 0)]
+        counts = xp.concatenate(parts, axis=1)  # [bpad, fh, fl]
+        return counts.reshape(bpad, 4 * q * fl)[:n_reads].astype(xp.int32)
     raise ValueError(f"unknown packed mode {mode!r}")
-
-
-def _perread_fused_kernel(
-    codes_ref, out_ref, acc_ref, *, k: int, kl: int, fh: int, fl: int,
-    rb: int, w: int, packed
-):
-    """Fused variant: window indexing (ComputeIndex) happens IN-KERNEL
-    from raw int8 codes, removing the XLA prep pass and the idx matrix's
-    HBM round trip (~17% of step time at 150 bp).  One grid step per
-    read block; no window tiling (guarded: L must fit VMEM)."""
-    c = codes_ref[0].astype(jnp.int32)  # [L, rb]
-    views = [c[j : j + w, :] for j in range(k)]  # static shifted slices
-    valid = views[0] >= 0
-    for v in views[1:]:
-        valid = valid & (v >= 0)
-    idx = jnp.zeros_like(views[0])
-    for v in views:
-        idx = (idx << 2) | jnp.maximum(v, 0)
-    idx = jnp.where(valid, idx, fh * fl)  # sentinel: out of one-hot range
-
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (w, fh), 1)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (w, fl), 1)
-    for r in range(rb):
-        col = idx[:, r : r + 1]  # [w, 1] lane-broadcasts below
-        oh_hi = ((col >> (2 * kl)) == iota_h).astype(jnp.bfloat16)
-        oh_lo = ((col & (fl - 1)) == iota_l).astype(jnp.bfloat16)
-        acc_ref[r, :, :] = jax.lax.dot_general(
-            oh_hi,
-            oh_lo,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    a = acc_ref[...].astype(jnp.int32)
-    if packed == "fh":
-        hhalf = fh // 2
-        out_ref[...] = (a[:, :hhalf, :] << 16) | a[:, hhalf:, :]
-    else:
-        out_ref[...] = a
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "canonical", "read_block", "interpret", "packed"),
-)
-def count_perread_pallas_fused(
-    codes: jax.Array,
-    k: int,
-    *,
-    canonical: bool = False,
-    read_block: int = 16,
-    interpret: bool | None = None,
-    packed="fh",
-) -> jax.Array:
-    """Fused index+histogram kernel (short/medium reads, k <= 8).
-
-    codes [B, L] int8 → packed "fh" [B_pad, fh/2, fl] (default) or dense
-    [B_pad, fh, fl] int32 when packed=False; unpack/slice as with
-    :func:`count_perread_pallas`.  Guards: L <= 2048 (whole read block
-    lives in VMEM; longer reads use the window-tiled kernel), no
-    canonical yet (falls back upstream).
-    """
-    if codes.ndim != 2:
-        raise ValueError(f"codes must be [B, L], got {codes.shape}")
-    b, length = codes.shape
-    w = length - k + 1
-    if w <= 0:
-        raise ValueError(f"read length {length} < k={k}")
-    if k > 8:
-        raise ValueError("per-read dense counting supports k <= 8")
-    if length > 2048:
-        raise ValueError("fused kernel supports L <= 2048; use the tiled kernel")
-    if canonical:
-        raise ValueError("fused kernel does not implement canonical; use "
-                         "count_perread_pallas")
-    if packed == "fh" and w >= 2**15:
-        raise ValueError("packed counts unsafe for >= 2**15 windows/read")
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu",)
-    kh, kl = split_k(k)
-    fh, fl = 4**kh, 4**kl
-    rb = read_block
-    pad_b = (-b) % rb
-    if pad_b:
-        codes = jnp.pad(codes, ((0, pad_b), (0, 0)), constant_values=-1)
-    bb = codes.shape[0]
-    # [nb, L, rb]: reads in lanes, positions in sublanes (same layout
-    # rationale as prep_indices, but int8 codes instead of int32 idx).
-    ct = codes.reshape(bb // rb, rb, length).transpose(0, 2, 1)
-
-    kernel = functools.partial(
-        _perread_fused_kernel, k=k, kl=kl, fh=fh, fl=fl, rb=rb, w=w,
-        packed=packed,
-    )
-    if packed == "fh":
-        out_specs = pl.BlockSpec(
-            (rb, fh // 2, fl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        out_shape = jax.ShapeDtypeStruct((bb, fh // 2, fl), jnp.int32)
-    else:
-        out_specs = pl.BlockSpec(
-            (rb, fh, fl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        out_shape = jax.ShapeDtypeStruct((bb, fh, fl), jnp.int32)
-    return pl.pallas_call(
-        kernel,
-        grid=(bb // rb,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, length, rb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((rb, fh, fl), jnp.float32)],
-        interpret=interpret,
-    )(ct)

@@ -39,7 +39,12 @@ from ..ops.perread import count_perread
 from ..ops.spectrum import spectrum as spectrum_op
 from ..runtime.checkpoint import StreamCheckpoint, checkpoint_path
 from ..runtime.metrics import RunMetrics
-from .batch import ReadBatch, len_bucket as _len_bucket, pad_reads
+from .batch import (
+    ReadBatch,
+    len_bucket as _len_bucket,
+    pad_reads,
+    pad_reads_flat,
+)
 
 __all__ = [
     "stream_batches",
@@ -69,6 +74,17 @@ def stream_batches(
     drops that many leading records by re-parsing (gzip fallback).
     """
     from ..io.fasta import iter_encoded_with_offsets
+    from ..io.native import HAVE_NATIVE
+
+    if HAVE_NATIVE and not skip_reads and not _is_gzip(path):
+        # Chunked native ingest: the C++ parser encodes 64 MB blocks in
+        # one pass and the flat packer assembles batches without any
+        # per-read Python loop — the reference's single-pass C ingest
+        # (src/fastaIO.h:24-102) at streaming scale.
+        yield from _stream_batches_flat(
+            path, k, batch_size, start_offset, len_base
+        )
+        return
 
     buf: list[np.ndarray] = []
     last_off: int | None = None
@@ -92,6 +108,49 @@ def stream_batches(
         # Tail batch: keep the full batch_size shape so it hits the same
         # compiled executable as every other batch of its length bucket.
         yield flush()
+
+
+def _is_gzip(path) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def _stream_batches_flat(
+    path, k: int, batch_size: int, start_offset: int | None, len_base: int
+) -> Iterator[ReadBatch]:
+    """Native-ingest batch assembly (plain files): flat blocks in,
+    fixed-shape padded batches out.  Shape semantics identical to the
+    per-read path (geometric length bucket of each batch's longest
+    read; tail batch keeps the full batch_size shape)."""
+    from ..io.native import iter_record_blocks_native
+
+    flat = np.empty(0, np.int8)
+    lens = np.empty(0, np.int64)
+    offs = np.empty(0, np.int64)
+
+    def cut_batch(n: int) -> ReadBatch:
+        nonlocal flat, lens, offs
+        nbytes = int(lens[:n].sum())
+        longest = max(int(lens[:n].max(initial=0)), k)
+        b = pad_reads_flat(
+            flat[:nbytes], lens[:n], batch_size, _len_bucket(longest, len_base)
+        )
+        b = dataclasses.replace(b, end_offset=int(offs[n - 1]))
+        flat = flat[nbytes:]
+        lens = lens[n:]
+        offs = offs[n:]
+        return b
+
+    for bflat, blens, boffs in iter_record_blocks_native(
+        path, start_offset=start_offset
+    ):
+        flat = np.concatenate([flat, bflat]) if flat.size else np.asarray(bflat)
+        lens = np.concatenate([lens, blens]) if lens.size else np.asarray(blens)
+        offs = np.concatenate([offs, boffs]) if offs.size else np.asarray(boffs)
+        while len(lens) >= batch_size:
+            yield cut_batch(batch_size)
+    if len(lens):
+        yield cut_batch(len(lens))
 
 
 def _batch_feeder(gen: Iterator[ReadBatch], q: queue.Queue, err: list,
@@ -141,9 +200,20 @@ def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]
         t.join(timeout=5)
 
 
-def _make_dispatch(k, canonical, impl, mesh, mode, packed=False):
+def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
     """Batch → device-counts callable, single-device or mesh-sharded."""
     import jax.numpy as jnp
+
+    if mesh is not None and seqpar:
+        from ..parallel.seqpar import count_perread_seqpar, spectrum_seqpar
+
+        if mode == "perread":
+            return lambda arr: count_perread_seqpar(
+                arr, k, mesh, canonical=canonical, impl=impl
+            )
+        return lambda arr: spectrum_seqpar(
+            arr, k, mesh, canonical=canonical, impl=impl
+        )
 
     def _odt(arr):
         # int16 counts halve HBM write + D2H traffic; safe whenever the
@@ -155,13 +225,15 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False):
         if mode == "perread":
             import jax as _jax
 
-            # fh-packed kernel: ~1.4x faster step, half the D2H, and it
-            # compiles FASTER than the unpacked kernel (rank-3 blocks;
-            # see ops/pallas/perread.py) — so it is the DEFAULT on TPU
-            # in the pallas k-range whenever counts fit 15 bits.  The
-            # dispatch returns ("packed", out) / ("dense", out) so the
-            # drain side knows how to materialise each batch.
-            fh_ok = (
+            # Packed kernel output: fewer HBM-write bytes AND less D2H,
+            # and the packed emits compile fine (rank-3 blocks; see
+            # ops/pallas/perread.py) — so it is the DEFAULT on TPU in
+            # the pallas k-range whenever counts fit the packing bound.
+            # The dispatch returns (packed_mode, out) with packed_mode
+            # in {"b4", "fh", "dense"} so the drain side knows how to
+            # materialise each batch (b4 = 1 byte/bin for short reads,
+            # fh = 2 bytes/bin up to 2**15 windows/read).
+            pk_ok = (
                 packed
                 or (impl in ("auto", "pallas")
                     and _jax.default_backend() == "tpu"
@@ -169,11 +241,16 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False):
             )
 
             def dispatch(arr):
-                if fh_ok and arr.shape[1] - k + 1 < 2**15:
-                    from ..ops.pallas.perread import count_perread_pallas
+                w = arr.shape[1] - k + 1
+                if pk_ok and w < 2**15:
+                    from ..ops.pallas.perread import (
+                        count_perread_pallas,
+                        resolve_packed,
+                    )
 
-                    return "packed", count_perread_pallas(
-                        arr, k, canonical=canonical, packed="fh",
+                    pm = resolve_packed(True, w)
+                    return pm, count_perread_pallas(
+                        arr, k, canonical=canonical, packed=pm,
                         read_block=16,
                     )
                 return "dense", count_perread(
@@ -211,6 +288,7 @@ def stream_count_file(
     checkpoint_every: int = 1,
     nonzero: bool = False,
     mesh=None,
+    seqpar: bool = False,
     packed: bool = False,
     metrics: RunMetrics | None = None,
 ) -> RunMetrics:
@@ -221,8 +299,9 @@ def stream_count_file(
     stopped.  The checkpoint sidecar is removed on successful completion.
     With ``mesh`` given, each batch is sharded rows-over-devices
     (zero-collective data parallelism; batch_size must divide evenly).
-    ``packed=True`` (single-device, k <= 8) uses the packed-pair Pallas
-    kernel: half the D2H, unpacked on host.
+    ``packed=True`` (single-device, k <= 8) uses the packed Pallas
+    kernel (1 or 2 bytes/bin depending on read length): less HBM write
+    and D2H, unpacked on host.
 
     For 8 < k <= 15 the dense [B, 4**k] rows are impossible; the driver
     switches to the sort-based sparse per-read op and requires
@@ -255,8 +334,11 @@ def stream_count_file(
         else:
             dispatch = lambda arr: count_perread_sparse_large(arr, k, canonical)  # noqa: E731
     else:
-        dispatch = _make_dispatch(k, canonical, impl, mesh, "perread", packed)
-    _check_mesh_batch(mesh, batch_size)
+        dispatch = _make_dispatch(
+            k, canonical, impl, mesh, "perread", packed, seqpar
+        )
+    if not seqpar:  # seqpar shards positions, not batch rows
+        _check_mesh_batch(mesh, batch_size)
     m = metrics or RunMetrics(k=k, mode="perread")
     fp = StreamCheckpoint.fingerprint_of(
         path, k, "perread-nonzero" if nonzero else "perread", canonical
@@ -305,11 +387,14 @@ def stream_count_file(
                     from ..ops.perread_sparse import pairs_to_host
 
                     pairs = pairs_to_host(dev_counts, n)
-                elif isinstance(dev_counts, tuple) and dev_counts[0] == "packed":
+                elif isinstance(dev_counts, tuple) and dev_counts[0] in (
+                    "fh",
+                    "b4",
+                ):
                     from ..ops.pallas.perread import unpack_counts
 
                     counts = unpack_counts(
-                        np.asarray(dev_counts[1]), n, mode="fh"
+                        np.asarray(dev_counts[1]), n, mode=dev_counts[0]
                     )
                 elif isinstance(dev_counts, tuple):  # ("dense", arr)
                     counts = np.asarray(dev_counts[1])[:n]
@@ -365,6 +450,7 @@ def stream_spectrum_file(
     resume: bool = False,
     checkpoint_every: int = 16,
     mesh=None,
+    seqpar: bool = False,
     cleanup: bool = True,
     metrics: RunMetrics | None = None,
 ) -> tuple[np.ndarray, RunMetrics]:
@@ -378,8 +464,11 @@ def stream_spectrum_file(
     each batch's table is computed sharded (psum/psum_scatter merge)
     before the device accumulate.
     """
-    _check_mesh_batch(mesh, batch_size)
-    dispatch = _make_dispatch(k, canonical, impl, mesh, "spectrum")
+    if not seqpar:  # seqpar shards positions, not batch rows
+        _check_mesh_batch(mesh, batch_size)
+    dispatch = _make_dispatch(
+        k, canonical, impl, mesh, "spectrum", seqpar=seqpar
+    )
     m = metrics or RunMetrics(k=k, mode="spectrum")
     fp = StreamCheckpoint.fingerprint_of(path, k, "spectrum", canonical)
     cpath = checkpoint_path(out_path) if out_path else None
@@ -460,6 +549,8 @@ def stream_sparse_spectrum_file(
     checkpoint_every: int = 64,
     merge_every: int = 32,
     cleanup: bool = True,
+    mesh=None,
+    slack: float = 2.0,
     metrics: RunMetrics | None = None,
 ):
     """Stream a FASTA file into a sparse spectrum for large k (16..31).
@@ -468,8 +559,19 @@ def stream_sparse_spectrum_file(
     memory: per-batch sorted triples fold into one merged (keys, counts)
     pair every ``merge_every`` batches (ops/sparse.SparseAccumulator);
     checkpoints persist the merged arrays as ``.npz``.
+
+    With ``mesh`` (1-axis or (dp, tp)): each batch routes its keys
+    through the all_to_all bucket exchange (parallel/bucket.py, the
+    BASELINE config-4 path) so the sort + RLE runs sharded on-chip;
+    bucket-box overflow retries with doubled ``slack`` automatically and
+    later batches start at the discovered capacity.
     """
     from ..ops.sparse import SparseAccumulator, sparse_spectrum
+
+    if mesh is not None:
+        from ..parallel.bucket import sparse_spectrum_sharded_retry
+
+        _check_mesh_batch(mesh, batch_size)
 
     m = metrics or RunMetrics(k=k, mode="sparse")
     fp = StreamCheckpoint.fingerprint_of(path, k, "sparse", canonical)
@@ -493,9 +595,15 @@ def stream_sparse_spectrum_file(
     since_ckpt = 0
     for batch in _prefetched(gen):
         with m.stage("dispatch"):
-            hi, lo, counts = sparse_spectrum(
-                jax.numpy.asarray(batch.codes), k, canonical
-            )
+            if mesh is not None:
+                hi, lo, counts, slack = sparse_spectrum_sharded_retry(
+                    jax.numpy.asarray(batch.codes), k, mesh,
+                    canonical=canonical, slack=slack,
+                )
+            else:
+                hi, lo, counts = sparse_spectrum(
+                    jax.numpy.asarray(batch.codes), k, canonical
+                )
         with m.stage("materialize"):
             acc.add(np.asarray(hi), np.asarray(lo), np.asarray(counts))
         m.batches += 1

@@ -104,7 +104,11 @@ def test_perread_int16_overflow_guard():
 def test_perread_packed_output_parity():
     import numpy as np
 
-    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, unpack_counts
+    from cfrk_tpu.ops.pallas.perread import (
+        count_perread_pallas,
+        resolve_packed,
+        unpack_counts,
+    )
     from cfrk_tpu.ops.perread import count_perread
 
     rng = np.random.default_rng(1)
@@ -112,9 +116,27 @@ def test_perread_packed_output_parity():
         codes = rng.integers(0, 4, size=(b, 90)).astype(np.int8)
         codes[rng.random(codes.shape) < 0.03] = -1
         want = np.asarray(count_perread(codes, 5, impl="matmul"))
+        mode = resolve_packed(True, 90 - 5 + 1)
+        assert mode == "b4"  # short reads pick the 1-byte/bin packing
         packed = np.asarray(count_perread_pallas(codes, 5, packed=True))
-        got = np.asarray(unpack_counts(packed, b))
+        got = np.asarray(unpack_counts(packed, b, mode=mode))
         np.testing.assert_array_equal(got, want)
+
+
+def test_resolve_packed_modes():
+    import pytest as _pytest
+
+    from cfrk_tpu.ops.pallas.perread import resolve_packed
+
+    assert resolve_packed(True, 100) == "b4"
+    assert resolve_packed(True, 1000) == "fh"
+    assert resolve_packed(False, 100) is False
+    with _pytest.raises(ValueError, match="packed counts unsafe"):
+        resolve_packed(True, 2**15)
+    with _pytest.raises(ValueError, match="b4-packed counts unsafe"):
+        resolve_packed("b4", 300)
+    with _pytest.raises(ValueError, match="unknown packed mode"):
+        resolve_packed("reads", 10)
 
 
 def test_perread_packed_window_guard():
@@ -151,11 +173,11 @@ def test_packed_odd_batch_pads_and_guards():
     rng = np.random.default_rng(3)
     codes = rng.integers(0, 4, size=(5, 60)).astype(np.int8)  # odd small b
     packed = np.asarray(count_perread_pallas(codes, 5, packed=True))
-    got = np.asarray(unpack_counts(packed, 5))
+    got = np.asarray(unpack_counts(packed, 5, mode="b4"))
     want = np.asarray(count_perread(codes, 5, impl="matmul"))
     np.testing.assert_array_equal(got, want)
-    with _pytest.raises(ValueError, match="even read_block"):
-        count_perread_pallas(codes, 5, packed=True, read_block=3)
+    with _pytest.raises(ValueError, match="b4-packed counts unsafe"):
+        count_perread_pallas(np.zeros((8, 300), dtype=np.int8), 2, packed="b4")
 
 
 def test_perread_packed_canonical_parity():
@@ -168,7 +190,7 @@ def test_perread_packed_canonical_parity():
     codes = rng.integers(0, 4, size=(16, 70)).astype(np.int8)
     codes[rng.random(codes.shape) < 0.02] = -1
     packed = np.asarray(count_perread_pallas(codes, 6, canonical=True, packed=True))
-    got = np.asarray(unpack_counts(packed, 16))
+    got = np.asarray(unpack_counts(packed, 16, mode="b4"))
     want = np.asarray(count_perread(codes, 6, canonical=True, impl="matmul"))
     np.testing.assert_array_equal(got, want)
 
@@ -205,23 +227,51 @@ def test_perread_fh_rb16_parity():
     np.testing.assert_array_equal(got, want)
 
 
-def test_perread_fused_parity():
+def test_perread_b4_long_read_parity():
+    """b4 packing across multiple window tiles (w close to the 256 bound)."""
     import numpy as np
 
-    from cfrk_tpu.ops.pallas.perread import (
-        count_perread_pallas_fused,
-        unpack_counts,
-    )
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, unpack_counts
     from cfrk_tpu.ops.perread import count_perread
 
     rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=(6, 250)).astype(np.int8)
+    codes[rng.random(codes.shape) < 0.03] = -1
+    want = np.asarray(count_perread(codes, 5, impl="matmul"))
+    packed = np.asarray(
+        count_perread_pallas(codes, 5, packed="b4", window_block=64)
+    )
+    got = np.asarray(unpack_counts(packed, 6, mode="b4"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_perread_checksum_output():
+    """checksum=True returns per-block sums of (counts & 3), folded
+    in-kernel — the honest-bench hook (see bench.py)."""
+    import numpy as np
+
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, unpack_counts
+    from cfrk_tpu.ops.perread import count_perread
+
+    rng = np.random.default_rng(8)
     codes = rng.integers(0, 4, size=(20, 90)).astype(np.int8)
     codes[rng.random(codes.shape) < 0.03] = -1
     want = np.asarray(count_perread(codes, 5, impl="matmul"))
-    packed = np.asarray(count_perread_pallas_fused(codes, 5))
-    got = np.asarray(unpack_counts(packed, 20, mode="fh"))
-    np.testing.assert_array_equal(got, want)
-    dense = np.asarray(count_perread_pallas_fused(codes, 5, packed=False))
-    np.testing.assert_array_equal(
-        dense.reshape(dense.shape[0], -1)[:20], want
+
+    counts, chk = count_perread_pallas(codes, 5, read_block=8, checksum=True)
+    np.testing.assert_array_equal(np.asarray(counts)[:20], want)
+    # 20 reads pad to 24 = 3 blocks of 8; padded rows count zero.
+    chk = np.asarray(chk)
+    assert chk.shape == (3,)
+    padded = np.zeros((24, want.shape[1]), dtype=np.int64)
+    padded[:20] = want
+    expect = (padded & 3).reshape(3, 8, -1).sum(axis=(1, 2))
+    np.testing.assert_array_equal(chk, expect)
+
+    # checksum composes with packing.
+    packed, chk2 = count_perread_pallas(
+        codes, 5, read_block=8, packed="b4", checksum=True
     )
+    np.testing.assert_array_equal(np.asarray(chk2), expect)
+    got = np.asarray(unpack_counts(np.asarray(packed), 20, mode="b4"))
+    np.testing.assert_array_equal(got, want)

@@ -463,8 +463,8 @@ def test_stage_timer_accumulates():
 
 
 def test_stream_packed_flag_still_forces_packed(tmp_path, monkeypatch):
-    """--packed must actually dispatch the fh kernel (spied), not fall
-    back to the dense path, and the bytes must match the dense run."""
+    """--packed must actually dispatch the packed kernel (spied), not
+    fall back to the dense path, and the bytes must match the dense run."""
     import cfrk_tpu.ops.pallas.perread as pk
 
     calls = []
@@ -482,7 +482,8 @@ def test_stream_packed_flag_still_forces_packed(tmp_path, monkeypatch):
     out_p = tmp_path / "p.cfrk"
     out_d = tmp_path / "d.cfrk"
     stream_count_file(fasta, out_p, 6, batch_size=8, packed=True)
-    assert calls and all(p == "fh" for p in calls)  # fh kernel really ran
+    # short reads resolve to the 1-byte/bin b4 packing
+    assert calls and all(p == "b4" for p in calls)  # packed kernel really ran
     n_packed = len(calls)
     stream_count_file(fasta, out_d, 6, batch_size=8)  # CPU: dense path
     assert len(calls) == n_packed  # un-flagged run did not use it off-TPU
