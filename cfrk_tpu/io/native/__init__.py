@@ -19,6 +19,7 @@ __all__ = [
     "HAVE_NATIVE",
     "parse_encode_bytes",
     "read_fasta_encoded_native",
+    "iter_record_blocks_native",
     "format_rows_bytes",
     "format_pairs_bytes",
 ]
@@ -47,6 +48,56 @@ def parse_encode_bytes(data: bytes) -> list[np.ndarray]:
     from ..fasta import encode_seq, iter_fasta
 
     return [encode_seq(s) for _, s in iter_fasta(_io.BytesIO(data))]
+
+
+def iter_record_blocks_native(
+    path, start_offset: int | None = None, block_size: int = 64 << 20
+):
+    """Stream (flat_codes int8, lengths int64, end_offsets int64) blocks
+    through the chunked C++ parser (plain uncompressed files only).
+
+    Each yielded block covers the records COMPLETED within ~block_size
+    bytes of input; ``end_offsets`` are absolute file positions just past
+    each record — the checkpoint seek points (same contract as
+    io.fasta.iter_encoded_with_offsets).  Incomplete trailing records
+    carry over to the next block; a record larger than the block doubles
+    the read size until it fits.  This replaces the per-line Python
+    ``readline`` loop for streaming-scale ingest (the reference's ingest
+    was a single C pass, reference src/fastaIO.h:24-102).
+    """
+    if _fastaio is None:
+        raise RuntimeError("native extension not built")
+    with open(path, "rb") as f:
+        if start_offset:
+            f.seek(start_offset)
+        base = start_offset or 0
+        carry = b""
+        fastq = None
+        bs = block_size
+        while True:
+            data = f.read(bs)
+            final = len(data) == 0
+            buf = carry + data if carry else data
+            if not buf:
+                return
+            if fastq is None:
+                fastq = buf.lstrip(b"\r\n")[:1] == b"@"
+            codes_b, lens_b, offs_b, consumed = _fastaio.parse_encode_stream(
+                buf, fastq, final
+            )
+            lens = np.frombuffer(lens_b, dtype=np.int64)
+            if len(lens):
+                yield (
+                    np.frombuffer(codes_b, dtype=np.int8),
+                    lens,
+                    np.frombuffer(offs_b, dtype=np.int64) + base,
+                )
+            if final:
+                return
+            if consumed == 0:
+                bs *= 2  # record larger than the block: widen the read
+            carry = buf[consumed:]
+            base += consumed
 
 
 def read_fasta_encoded_native(path) -> list[np.ndarray]:

@@ -50,6 +50,12 @@ const EncodeLut kLut;
  * concatenated without interior newlines; blank lines are skipped;
  * \r\n line endings are handled.
  */
+/* FASTQ validation errors, matching iter_fastq (cfrk_tpu/io/fasta.py):
+ * raised as ValueError after re-acquiring the GIL. */
+const char* kErrHeader = "malformed FASTQ header";
+const char* kErrPlus = "malformed FASTQ record: missing '+' line";
+const char* kErrQual = "malformed FASTQ record: quality length mismatch";
+
 PyObject* parse_encode(PyObject*, PyObject* arg) {
   Py_buffer view;
   if (PyObject_GetBuffer(arg, &view, PyBUF_SIMPLE) != 0) return nullptr;
@@ -61,6 +67,7 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
   codes.reserve((size_t)n);
   bool in_record = false;
   int64_t cur_len = 0;
+  const char* errmsg = nullptr;
 
   Py_BEGIN_ALLOW_THREADS
   Py_ssize_t sniff = 0;
@@ -69,6 +76,7 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
 
   Py_ssize_t i = sniff;
   int fq_line = 0; /* 0=header 1=seq 2=plus 3=qual */
+  int64_t seq_len = 0;
   while (i < n) {
     /* line = [i, eol) */
     Py_ssize_t eol = i;
@@ -83,9 +91,22 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
         i = eol + 1;
         continue;
       }
+      if (fq_line == 0 && p[i] != '@') {
+        errmsg = kErrHeader;
+        break;
+      }
       if (fq_line == 1) {
         for (Py_ssize_t j = i; j < end; j++) codes.push_back(kLut.t[p[j]]);
-        lengths.push_back(end - i);
+        seq_len = end - i;
+        lengths.push_back(seq_len);
+      }
+      if (fq_line == 2 && (end == i || p[i] != '+')) {
+        errmsg = kErrPlus;
+        break;
+      }
+      if (fq_line == 3 && end - i != seq_len) {
+        errmsg = kErrQual;
+        break;
       }
       fq_line = (fq_line + 1) & 3;
     } else if (end > i) {
@@ -101,10 +122,23 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
     }
     i = eol + 1;
   }
+  if (!errmsg && fastq && fq_line != 0) {
+    /* EOF mid-record.  Mirror iter_fastq reading empty lines at EOF:
+     * missing plus line -> kErrPlus; missing qual -> mismatch unless
+     * the sequence was itself empty. */
+    if (fq_line < 3)
+      errmsg = kErrPlus;
+    else if (seq_len != 0)
+      errmsg = kErrQual;
+  }
   if (!fastq && in_record) lengths.push_back(cur_len);
   Py_END_ALLOW_THREADS
 
   PyBuffer_Release(&view);
+  if (errmsg) {
+    PyErr_SetString(PyExc_ValueError, errmsg);
+    return nullptr;
+  }
   PyObject* codes_b =
       PyBytes_FromStringAndSize((const char*)codes.data(), (Py_ssize_t)codes.size());
   if (!codes_b) return nullptr;
@@ -117,6 +151,172 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
   PyObject* out = PyTuple_Pack(2, codes_b, lens_b);
   Py_DECREF(codes_b);
   Py_DECREF(lens_b);
+  return out;
+}
+
+/* parse_encode_stream(data, is_fastq, final)
+ *     -> (codes: bytes, lengths: bytes/int64-LE, end_offsets: bytes/int64-LE,
+ *         consumed: int)
+ *
+ * Chunked variant for streaming ingest (the reference's ingest was one
+ * C pass over the whole file, src/fastaIO.h:24-102; at streaming scale
+ * we parse 64 MB blocks instead).  Parses only records COMPLETE within
+ * `data`; `consumed` is the byte position where the next chunk must
+ * resume (the caller carries data[consumed:] and prepends it to the
+ * next block).  `end_offsets[i]` is the position just past record i,
+ * relative to this buffer — the caller rebases by the file offset of
+ * the buffer start; these are the checkpoint/resume seek points (same
+ * contract as io.fasta.iter_encoded_with_offsets).  A FASTA record is
+ * complete at the next '>' line or at `final` EOF; a FASTQ record when
+ * its 4 lines are complete.  `is_fastq` comes from the caller's sniff
+ * of the file head (a mid-file chunk cannot sniff itself).
+ */
+PyObject* parse_encode_stream(PyObject*, PyObject* args) {
+  Py_buffer view;
+  int is_fastq, final_chunk;
+  if (!PyArg_ParseTuple(args, "y*pp", &view, &is_fastq, &final_chunk))
+    return nullptr;
+  const unsigned char* p = (const unsigned char*)view.buf;
+  const Py_ssize_t n = view.len;
+
+  std::vector<int8_t> codes;
+  std::vector<int64_t> lengths;
+  std::vector<int64_t> offsets;
+  codes.reserve((size_t)n);
+  const char* errmsg = nullptr;
+  Py_ssize_t consumed = 0;
+
+  Py_BEGIN_ALLOW_THREADS
+  if (is_fastq) {
+    Py_ssize_t i = 0;
+    while (i < n && !errmsg) {
+      /* skip blank lines at header position */
+      while (i < n && (p[i] == '\n' || p[i] == '\r')) {
+        /* only skip blank LINES: \r must be line-final */
+        Py_ssize_t j = i;
+        while (j < n && p[j] == '\r') j++;
+        if (j < n && p[j] == '\n') {
+          i = j + 1;
+        } else {
+          break; /* '\r' not followed by '\n': part of a (weird) line */
+        }
+      }
+      if (i >= n) break;
+      const Py_ssize_t rec = i;
+      /* 4 lines: header, seq, plus, qual — all must be complete */
+      Py_ssize_t ls[4], le[4];
+      Py_ssize_t pos = i;
+      bool ok = true;
+      for (int l = 0; l < 4; l++) {
+        Py_ssize_t eol = pos;
+        while (eol < n && p[eol] != '\n') eol++;
+        if (eol >= n && !final_chunk) {
+          ok = false;
+          break;
+        }
+        Py_ssize_t end = eol;
+        if (end > pos && p[end - 1] == '\r') end--;
+        ls[l] = pos;
+        le[l] = end;
+        pos = eol < n ? eol + 1 : n;
+        if (eol >= n && l < 3) {
+          /* EOF (final) mid-record: mirror iter_fastq's empty reads */
+          for (int m = l + 1; m < 4; m++) {
+            ls[m] = n;
+            le[m] = n;
+          }
+          break;
+        }
+      }
+      if (!ok) break; /* incomplete record: consumed stays at rec */
+      if (le[0] == ls[0] || p[ls[0]] != '@') {
+        errmsg = kErrHeader;
+        break;
+      }
+      const Py_ssize_t seq_len = le[1] - ls[1];
+      if (le[2] == ls[2] || p[ls[2]] != '+') {
+        errmsg = kErrPlus;
+        break;
+      }
+      if (le[3] - ls[3] != seq_len) {
+        errmsg = kErrQual;
+        break;
+      }
+      for (Py_ssize_t j = ls[1]; j < le[1]; j++)
+        codes.push_back(kLut.t[p[j]]);
+      lengths.push_back(seq_len);
+      offsets.push_back(pos);
+      consumed = pos;
+      i = pos;
+      (void)rec;
+    }
+  } else {
+    Py_ssize_t i = 0;
+    bool in_record = false;
+    Py_ssize_t rec_start = 0;
+    size_t rec_code_start = 0;
+    bool incomplete = false;
+    while (i < n) {
+      Py_ssize_t eol = i;
+      while (eol < n && p[eol] != '\n') eol++;
+      if (eol >= n && !final_chunk) {
+        incomplete = true; /* unterminated line: re-parse next chunk */
+        break;
+      }
+      Py_ssize_t end = eol;
+      if (end > i && p[end - 1] == '\r') end--;
+      if (end > i) {
+        if (p[i] == '>') {
+          if (in_record) {
+            lengths.push_back((int64_t)(codes.size() - rec_code_start));
+            offsets.push_back(i); /* start of the next header line */
+            consumed = i;
+          }
+          in_record = true;
+          rec_start = i;
+          rec_code_start = codes.size();
+        } else if (in_record) {
+          for (Py_ssize_t j = i; j < end; j++)
+            codes.push_back(kLut.t[p[j]]);
+        }
+      }
+      i = eol < n ? eol + 1 : n;
+    }
+    if (final_chunk) {
+      if (in_record) {
+        lengths.push_back((int64_t)(codes.size() - rec_code_start));
+        offsets.push_back(n);
+      }
+      consumed = n;
+    } else if (in_record || incomplete) {
+      /* Trailing record may continue in the next chunk: drop its
+       * partial codes and hand the bytes back via `consumed`. */
+      codes.resize(rec_code_start);
+      consumed = in_record ? rec_start : i;
+    } else {
+      consumed = i;
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&view);
+  if (errmsg) {
+    PyErr_SetString(PyExc_ValueError, errmsg);
+    return nullptr;
+  }
+  PyObject* codes_b = PyBytes_FromStringAndSize((const char*)codes.data(),
+                                                (Py_ssize_t)codes.size());
+  PyObject* lens_b = PyBytes_FromStringAndSize(
+      (const char*)lengths.data(), (Py_ssize_t)(lengths.size() * sizeof(int64_t)));
+  PyObject* offs_b = PyBytes_FromStringAndSize(
+      (const char*)offsets.data(), (Py_ssize_t)(offsets.size() * sizeof(int64_t)));
+  if (!codes_b || !lens_b || !offs_b) {
+    Py_XDECREF(codes_b);
+    Py_XDECREF(lens_b);
+    Py_XDECREF(offs_b);
+    return nullptr;
+  }
+  PyObject* out = Py_BuildValue("(NNNn)", codes_b, lens_b, offs_b, consumed);
   return out;
 }
 
@@ -287,6 +487,9 @@ PyObject* format_pairs64(PyObject*, PyObject* args) {
 PyMethodDef kMethods[] = {
     {"parse_encode", parse_encode, METH_O,
      "parse_encode(fasta_bytes) -> (codes_int8_bytes, lengths_int64le_bytes)"},
+    {"parse_encode_stream", parse_encode_stream, METH_VARARGS,
+     "parse_encode_stream(chunk, is_fastq, final) -> "
+     "(codes, lengths_i64, end_offsets_i64, consumed)"},
     {"format_rows", format_rows, METH_VARARGS,
      "format_rows(counts_int32le, n_rows, n_cols, first) -> cfrk bytes"},
     {"format_pairs", format_pairs, METH_VARARGS,

@@ -20,7 +20,14 @@ from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
-__all__ = ["ReadBatch", "pad_reads", "iter_batches", "len_bucket", "round_up"]
+__all__ = [
+    "ReadBatch",
+    "pad_reads",
+    "pad_reads_flat",
+    "iter_batches",
+    "len_bucket",
+    "round_up",
+]
 
 PAD = -1
 
@@ -81,6 +88,42 @@ def pad_reads(
         codes[i, : len(r)] = r
         lengths[i] = len(r)
     return ReadBatch(codes=codes, lengths=lengths, n_reads=n)
+
+
+def pad_reads_flat(
+    flat: np.ndarray,
+    lengths: np.ndarray,
+    batch_size: int | None = None,
+    max_len: int | None = None,
+    len_multiple: int = 128,
+) -> ReadBatch:
+    """Vectorised :func:`pad_reads` for a FLAT code buffer + lengths.
+
+    ``flat`` is the concatenation of the reads' codes in order (the
+    native chunked parser's output layout, io/native); ``lengths`` their
+    per-read lengths.  Row-major boolean scatter places each read into
+    its padded row without a Python per-read loop — the difference is
+    ~100x at streaming scale.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    b = batch_size or n
+    if n > b:
+        raise ValueError(f"{n} reads > batch_size {b}")
+    longest = int(lengths.max(initial=0))
+    ml = max_len or round_up(max(longest, 1), len_multiple)
+    if longest > ml:
+        raise ValueError(f"read of length {longest} exceeds max_len {ml}")
+    if int(lengths.sum()) != len(flat):
+        raise ValueError("lengths do not sum to the flat buffer size")
+    codes = np.full((b, ml), PAD, dtype=np.int8)
+    # mask rows are prefixes, so the True positions in row-major order
+    # are exactly the reads' codes laid end to end.
+    mask = np.arange(ml, dtype=np.int64)[None, :] < lengths[:, None]
+    codes[:n][mask] = flat
+    out_lengths = np.zeros(b, dtype=np.int32)
+    out_lengths[:n] = lengths
+    return ReadBatch(codes=codes, lengths=out_lengths, n_reads=n)
 
 
 def len_bucket(n: int, base: int = 128) -> int:

@@ -156,3 +156,133 @@ def test_format_pairs64_matches_python():
     want = b"\n".join(format_rows_pairs(idx, counts))
     assert format_pairs_bytes(idx, counts) == want
     assert format_pairs_bytes(idx, counts, first=False) == b"\n" + want
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_chunked_stream_parser_matches_python(tmp_path):
+    """iter_record_blocks_native must reproduce iter_encoded_with_offsets
+    (records, lengths AND byte offsets) across chunk boundaries: parse
+    with a tiny block size so records straddle blocks."""
+    from cfrk_tpu.io.fasta import iter_encoded_with_offsets
+    from cfrk_tpu.io.native import iter_record_blocks_native
+
+    rng = np.random.default_rng(0)
+    reads = []
+    for i in range(97):
+        n = int(rng.integers(1, 300))
+        reads.append(bytes(rng.choice(np.frombuffer(b"ACGTNacgt", dtype=np.uint8), size=n)))
+    for fmt in ("fasta", "fastq"):
+        p = tmp_path / f"x.{fmt}"
+        with open(p, "wb") as f:
+            for i, r in enumerate(reads):
+                if fmt == "fasta":
+                    # multi-line records exercise the carry logic
+                    f.write(b">read%d\n" % i)
+                    for j in range(0, len(r), 61):
+                        f.write(r[j : j + 61] + b"\n")
+                else:
+                    f.write(b"@read%d\n" % i + r + b"\n+\n" + b"I" * len(r) + b"\n")
+        want = list(iter_encoded_with_offsets(p))
+        for block in (64, 1 << 20):  # straddling and single-block
+            got_codes, got_lens, got_offs = [], [], []
+            for flat, lens, offs in iter_record_blocks_native(p, block_size=block):
+                starts = np.concatenate(([0], np.cumsum(lens)))
+                for i in range(len(lens)):
+                    got_codes.append(flat[starts[i] : starts[i + 1]])
+                got_lens.extend(lens.tolist())
+                got_offs.extend(offs.tolist())
+            assert len(got_codes) == len(want)
+            for (wc, woff), gc, goff in zip(want, got_codes, got_offs):
+                np.testing.assert_array_equal(gc, wc)
+                assert goff == woff
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_chunked_stream_parser_start_offset(tmp_path):
+    """Resume from a checkpointed offset: records after it must match."""
+    from cfrk_tpu.io.native import iter_record_blocks_native
+
+    p = tmp_path / "x.fasta"
+    p.write_bytes(b">a\nACGT\n>b\nGGTT\nAAC\n>c\nTT\n")
+    all_offs = []
+    all_reads = []
+    for flat, lens, offs in iter_record_blocks_native(p):
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        for i in range(len(lens)):
+            all_reads.append(flat[starts[i] : starts[i + 1]])
+        all_offs.extend(offs.tolist())
+    resumed = []
+    for flat, lens, offs in iter_record_blocks_native(p, start_offset=all_offs[0]):
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        for i in range(len(lens)):
+            resumed.append(flat[starts[i] : starts[i + 1]])
+        assert (offs > all_offs[0]).all()
+    assert len(resumed) == 2
+    for g, w in zip(resumed, all_reads[1:]):
+        np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_fastq_validation_matches_python():
+    """Malformed FASTQ must raise ValueError from BOTH parsers with the
+    same class of error (ADVICE round 1: the C++ branch was silent)."""
+    import io
+
+    from cfrk_tpu.io.fasta import iter_fastq
+    from cfrk_tpu.io.native import _fastaio
+
+    bad = {
+        "missing '+' line": b"@r1\nACGT\nIIII\n@r2\nGG\n+\nII\n",
+        "quality length mismatch": b"@r1\nACGT\n+\nIII\n",
+        "malformed FASTQ header": b"@r1\nACGT\n+\nIIII\nr2\nGG\n+\nII\n",
+        "truncated": b"@r1\nACGT\n",
+    }
+    for name, data in bad.items():
+        with pytest.raises(ValueError):
+            list(iter_fastq(io.BytesIO(data)))
+        with pytest.raises(ValueError):
+            _fastaio.parse_encode(data)
+        with pytest.raises(ValueError):
+            _fastaio.parse_encode_stream(data, True, True)
+
+
+def test_pad_reads_flat_matches_pad_reads():
+    from cfrk_tpu.pipeline.batch import pad_reads, pad_reads_flat
+
+    rng = np.random.default_rng(5)
+    reads = [
+        rng.integers(-1, 4, size=int(rng.integers(0, 40))).astype(np.int8)
+        for _ in range(23)
+    ]
+    flat = np.concatenate(reads) if reads else np.empty(0, np.int8)
+    lens = np.array([len(r) for r in reads], dtype=np.int64)
+    a = pad_reads(reads, 32, 64)
+    b = pad_reads_flat(flat, lens, 32, 64)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_array_equal(a.lengths, b.lengths)
+    assert a.n_reads == b.n_reads
+    with pytest.raises(ValueError, match="do not sum"):
+        pad_reads_flat(flat[:-1], lens, 32, 64)
+
+
+def test_stream_batches_native_vs_python_parity(tmp_path, monkeypatch):
+    """stream_batches must produce IDENTICAL batches through the native
+    flat path and the pure-Python per-record path."""
+    import cfrk_tpu.pipeline.stream as st
+
+    rng = np.random.default_rng(9)
+    p = tmp_path / "x.fasta"
+    with open(p, "wb") as f:
+        for i in range(37):
+            n = int(rng.integers(1, 200))
+            f.write(b">r%d\n" % i + bytes(rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8), size=n)) + b"\n")
+
+    native = list(st.stream_batches(p, 5, 8))
+    monkeypatch.setattr("cfrk_tpu.io.native.HAVE_NATIVE", False)
+    python = list(st.stream_batches(p, 5, 8))
+    assert len(native) == len(python) == 5
+    for a, b in zip(native, python):
+        np.testing.assert_array_equal(a.codes, b.codes)
+        np.testing.assert_array_equal(a.lengths, b.lengths)
+        assert a.n_reads == b.n_reads
+        assert a.end_offset == b.end_offset
