@@ -176,6 +176,49 @@ def build_parser() -> argparse.ArgumentParser:
         help="append per-task JSONL provenance records (durations, errors)",
     )
     p.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        metavar="N",
+        help=(
+            "shard work over the first N local devices as one SPMD mesh "
+            "(default: all devices when more than one is visible; "
+            "--devices 1 forces single-device).  Replaces the "
+            "reference's per-process GPU fan-out, src/main.cu:281-289"
+        ),
+    )
+    p.add_argument(
+        "--tp",
+        type=int,
+        default=1,
+        metavar="N",
+        help=(
+            "table-parallel degree for --mode spectrum: the 4**k table "
+            "is reduce-scattered so each chip keeps 4**k/N bins "
+            "(dp = devices/N)"
+        ),
+    )
+    p.add_argument(
+        "--seqpar",
+        action="store_true",
+        help=(
+            "shard the POSITION axis over the devices (sequence "
+            "parallelism for few very long contigs; halo exchange via "
+            "ppermute).  The reference silently dropped bases past 1024 "
+            "per read, src/kmer_kernel.cu:83-85"
+        ),
+    )
+    p.add_argument(
+        "--slack",
+        type=float,
+        default=2.0,
+        metavar="X",
+        help=(
+            "sparse sharded mode: initial bucket-box capacity factor for "
+            "the all_to_all exchange (auto-doubles on overflow)"
+        ),
+    )
+    p.add_argument(
         "--distributed",
         action="store_true",
         help=(
@@ -336,6 +379,45 @@ def main(argv=None) -> int:
         maybe_initialize_distributed(force=True)
         if len(args.inputs) > 1:
             args.inputs = host_shard(args.inputs)
+        else:
+            # One input, N processes: every host would run the identical
+            # job and race on the same output path.  Run it on process 0
+            # only; the others exit cleanly.
+            import jax
+
+            if jax.process_count() > 1:
+                if jax.process_index() != 0:
+                    print(
+                        "# single input with --distributed: process "
+                        f"{jax.process_index()} has no work (process 0 "
+                        "runs it); shard the input file for multi-host "
+                        "throughput",
+                        file=sys.stderr,
+                    )
+                    return 0
+                print(
+                    "# single input with --distributed runs on process 0 "
+                    "only — split the input into shards for multi-host "
+                    "throughput",
+                    file=sys.stderr,
+                )
+
+    args.mesh = _build_mesh(args)
+    if (
+        args.mesh is not None
+        and not args.seqpar
+        and args.batch_size % args.mesh.size
+    ):
+        # Row-sharded batches must divide across the devices.  Batches
+        # are padded to the full batch size anyway (identical output),
+        # so rounding up only changes the padding, not the result.
+        new = -(-args.batch_size // args.mesh.size) * args.mesh.size
+        print(
+            f"# batch size {args.batch_size} -> {new} "
+            f"(multiple of the {args.mesh.size}-device mesh)",
+            file=sys.stderr,
+        )
+        args.batch_size = new
 
     import contextlib
 
@@ -351,6 +433,43 @@ def main(argv=None) -> int:
         if len(args.inputs) > 1:
             return _run_workflow(args)
         return _run_inputs(args, t0)
+
+
+def _build_mesh(args):
+    """Resolve --devices/--tp/--seqpar into a mesh (or None).
+
+    Default policy: auto-mesh over ALL visible devices when more than
+    one is present (the reference exposed its scale-out at the entry
+    point too, swift/cfrk.swf:14-20 — here it is one SPMD program
+    instead of one process per shard).  ``--devices 1`` opts out.
+    """
+    import jax
+
+    devs = jax.devices()
+    n = args.devices if args.devices is not None else len(devs)
+    if n > len(devs):
+        raise SystemExit(
+            f"--devices {n} but only {len(devs)} visible "
+            "(use --list-devices)"
+        )
+    if n <= 1 and args.tp == 1 and not args.seqpar:
+        return None
+    if args.seqpar:
+        from .parallel.seqpar import make_seq_mesh
+
+        if args.tp > 1:
+            raise SystemExit("--seqpar and --tp are mutually exclusive")
+        return make_seq_mesh(devs[:n])
+    if args.mode == "sparse" and args.tp > 1:
+        raise SystemExit(
+            "--mode sparse shards keys over one axis; use --tp 1"
+        )
+    from .parallel.mesh import make_mesh
+
+    try:
+        return make_mesh(devs[:n], tp=args.tp)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def _run_workflow(args) -> int:
@@ -378,6 +497,9 @@ def _run_workflow(args) -> int:
             resume=args.resume,
             checkpoint_every=args.checkpoint_every,
             min_count=args.min_count,
+            mesh=args.mesh,
+            seqpar=args.seqpar,
+            slack=args.slack,
         ),
         max_parallel_tasks=args.max_parallel_tasks,
         retries=args.retries,
@@ -424,7 +546,7 @@ def _run_inputs(args, t0) -> int:
                 canonical=args.canonical, batch_size=args.batch_size,
                 out_path=out, resume=args.resume,
                 checkpoint_every=args.checkpoint_every or 64,
-                cleanup=False,
+                cleanup=False, mesh=args.mesh, slack=args.slack,
             )
             with open(out, "w") as f:
                 for key, cnt in zip(keys.tolist(), cnts.tolist()):
@@ -447,6 +569,7 @@ def _run_inputs(args, t0) -> int:
                     batch_size=args.batch_size, resume=args.resume,
                     checkpoint_every=args.checkpoint_every or 1,
                     nonzero=args.nonzero, packed=args.packed,
+                    mesh=args.mesh, seqpar=args.seqpar,
                 )
             else:
                 from .runtime.checkpoint import cleanup_checkpoint
@@ -457,7 +580,7 @@ def _run_inputs(args, t0) -> int:
                     batch_size=args.batch_size, out_path=out,
                     resume=args.resume,
                     checkpoint_every=args.checkpoint_every or 16,
-                    cleanup=False,
+                    cleanup=False, mesh=args.mesh, seqpar=args.seqpar,
                 )
                 _write_spectrum(out, table, args.spectrum_format, args.min_count)
                 cleanup_checkpoint(out)
@@ -490,6 +613,8 @@ def _run_inputs(args, t0) -> int:
                 impl=args.impl,
                 batch_size=args.batch_size,
                 max_len=args.max_len,
+                mesh=args.mesh,
+                seqpar=args.seqpar,
             )
             total_reads += counts.shape[0]
             with CfrkWriter(out, nonzero=args.nonzero) as w:
@@ -503,6 +628,8 @@ def _run_inputs(args, t0) -> int:
                 canonical=args.canonical,
                 batch_size=args.batch_size,
                 max_len=args.max_len,
+                mesh=args.mesh,
+                slack=args.slack,
             )
             with open(out, "w") as f:
                 for key in sorted(table):
@@ -516,6 +643,8 @@ def _run_inputs(args, t0) -> int:
                 impl=args.impl,
                 batch_size=args.batch_size,
                 max_len=args.max_len,
+                mesh=args.mesh,
+                seqpar=args.seqpar,
             )
             _write_spectrum(out, table, args.spectrum_format, args.min_count)
     if args.stats:

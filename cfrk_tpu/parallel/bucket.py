@@ -33,7 +33,7 @@ from jax import shard_map
 
 from ..ops.sparse import INVALID_SENTINEL, LO_BASES, kmer_keys, _rle
 
-__all__ = ["sparse_spectrum_sharded"]
+__all__ = ["sparse_spectrum_sharded", "sparse_spectrum_sharded_retry"]
 
 
 def _bucket_of(hi: jax.Array, lo: jax.Array, k: int, n_dev: int) -> jax.Array:
@@ -132,6 +132,39 @@ def sparse_spectrum_sharded(
     (hi, lo, counts, overflowed): the first three sharded over the mesh
     axis (concatenated = globally sorted unique k-mers with counts),
     ``overflowed`` a per-device bool (True = bucket box overflow, counts
-    incomplete — retry with higher slack).
+    incomplete — retry with higher slack, or use
+    :func:`sparse_spectrum_sharded_retry` which does it for you).
     """
     return _sparse_sharded_fn(mesh, k, canonical, slack)(codes)
+
+
+def sparse_spectrum_sharded_retry(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+    slack: float = 2.0,
+):
+    """:func:`sparse_spectrum_sharded` with automatic overflow recovery.
+
+    Doubles the bucket-box slack and re-runs whenever any device reports
+    overflow (skewed k-mer distributions, e.g. low-complexity genomes).
+    Terminates: at slack >= n_devices every box can hold a device's
+    whole key stream, so overflow is impossible.  Returns
+    (hi, lo, counts, slack_used) — callers carry ``slack_used`` forward
+    so later batches of the same stream start at the working capacity
+    instead of re-discovering it (each slack value compiles once).
+    """
+    import numpy as np
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    s = slack
+    while True:
+        hi, lo, counts, overflowed = sparse_spectrum_sharded(
+            codes, k, mesh, canonical=canonical, slack=s
+        )
+        if s >= n_dev or not bool(np.any(np.asarray(overflowed))):
+            return hi, lo, counts, s
+        s = min(s * 2.0, float(n_dev))

@@ -56,11 +56,22 @@ def count_reads(
     impl: str = "auto",
     batch_size: int | None = 8192,
     max_len: int | None = None,
+    mesh=None,
+    seqpar: bool = False,
 ) -> np.ndarray:
-    """Per-read dense histograms for a ragged list of encoded reads."""
+    """Per-read dense histograms for a ragged list of encoded reads.
+
+    ``mesh``: shard batch rows data-parallel over a (dp, tp) mesh
+    (zero-collective; parallel/sharded.py).  ``seqpar`` instead shards
+    the POSITION axis of a 1-D ``sp`` mesh — for few very long contigs
+    (parallel/seqpar.py); requires a seq mesh from ``make_seq_mesh``.
+    """
     if not reads:
         return np.zeros((0, 4**k), dtype=np.int32)
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+    if mesh is not None and not seqpar:
+        # every row block must land on a device: round the batch up.
+        bs = -(-bs // mesh.size) * mesh.size
     out = np.zeros((len(reads), 4**k), dtype=np.int32)
     row = 0
     pending: list[tuple[int, int, jax.Array]] = []
@@ -72,10 +83,25 @@ def count_reads(
             if batch.max_len - k + 1 < 2**15
             else jax.numpy.int32
         )
-        counts = count_perread(
-            jax.numpy.asarray(batch.codes), k,
-            canonical=canonical, impl=impl, out_dtype=odt,
-        )
+        if mesh is not None and seqpar:
+            from ..parallel.seqpar import count_perread_seqpar
+
+            counts = count_perread_seqpar(
+                jax.numpy.asarray(batch.codes), k, mesh,
+                canonical=canonical, impl=impl,
+            )
+        elif mesh is not None:
+            from ..parallel.sharded import count_perread_sharded
+
+            counts = count_perread_sharded(
+                jax.numpy.asarray(batch.codes), k, mesh,
+                canonical=canonical, impl=impl,
+            )
+        else:
+            counts = count_perread(
+                jax.numpy.asarray(batch.codes), k,
+                canonical=canonical, impl=impl, out_dtype=odt,
+            )
         # Keep device queue deep: materialise the previous batch while this
         # one computes (async dispatch does the overlap).
         pending.append((row, batch.n_reads, counts))
@@ -101,13 +127,39 @@ def spectrum_file(
     impl: str = "auto",
     batch_size: int | None = 8192,
     max_len: int | None = None,
+    mesh=None,
+    seqpar: bool = False,
 ) -> np.ndarray:
-    """Global spectrum of a FASTA file: returns [4**k] int64."""
+    """Global spectrum of a FASTA file: returns [4**k] int64.
+
+    With ``mesh``, per-batch tables are computed sharded (psum over dp,
+    psum_scatter bins over tp — parallel/sharded.py) and accumulated in
+    that layout; the final host gather assembles the full table.
+    """
     reads = read_fasta_encoded(path)
     total = np.zeros(4**k, dtype=np.int64)
     if not reads:
         return total
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+    if mesh is not None and not seqpar:
+        bs = -(-bs // mesh.size) * mesh.size
+    if mesh is not None:
+        if seqpar:
+            from ..parallel.seqpar import spectrum_seqpar
+
+            dispatch = lambda arr: spectrum_seqpar(  # noqa: E731
+                arr, k, mesh, canonical=canonical, impl=impl
+            )
+        else:
+            from ..parallel.sharded import spectrum_sharded
+
+            dispatch = lambda arr: spectrum_sharded(  # noqa: E731
+                arr, k, mesh, canonical=canonical, impl=impl
+            )
+    else:
+        dispatch = lambda arr: spectrum_op(  # noqa: E731
+            arr, k, canonical=canonical, impl=impl
+        )
     # Accumulate on device (int32), spilling to the host int64 total
     # before any bin could overflow — avoids a full-table D2H per batch.
     dev = None
@@ -116,15 +168,13 @@ def spectrum_file(
     for batch in iter_batches(reads, bs, ml):
         bw = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
         if dev is not None and windows + bw >= limit:
-            total += np.asarray(dev, dtype=np.int64)
+            total += np.asarray(dev, dtype=np.int64).reshape(-1)
             dev, windows = None, 0
-        part = spectrum_op(
-            jax.numpy.asarray(batch.codes), k, canonical=canonical, impl=impl
-        )
+        part = dispatch(jax.numpy.asarray(batch.codes))
         dev = part if dev is None else dev + part
         windows += bw
     if dev is not None:
-        total += np.asarray(dev, dtype=np.int64)
+        total += np.asarray(dev, dtype=np.int64).reshape(-1)
     return total
 
 
@@ -135,11 +185,15 @@ def sparse_spectrum_file(
     canonical: bool = False,
     batch_size: int | None = 8192,
     max_len: int | None = None,
+    mesh=None,
+    slack: float = 2.0,
 ) -> dict:
     """Sparse spectrum of a FASTA file for large k (16..31).
 
     Returns {int_kmer_code: count}.  Device side sorts + run-length
-    encodes per batch (ops/sparse.py); batches merge on host.
+    encodes per batch (ops/sparse.py); batches merge on host.  With
+    ``mesh``, keys route through the all_to_all bucket exchange
+    (parallel/bucket.py) with automatic overflow retry.
     """
     from ..ops.sparse import SparseAccumulator, sparse_spectrum
 
@@ -147,9 +201,21 @@ def sparse_spectrum_file(
     if not reads:
         return {}
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+    if mesh is not None:
+        from ..parallel.bucket import sparse_spectrum_sharded_retry
+
+        bs = -(-bs // mesh.size) * mesh.size
     acc = SparseAccumulator()
     for batch in iter_batches(reads, bs, ml):
-        hi, lo, counts = sparse_spectrum(jax.numpy.asarray(batch.codes), k, canonical)
+        if mesh is not None:
+            hi, lo, counts, slack = sparse_spectrum_sharded_retry(
+                jax.numpy.asarray(batch.codes), k, mesh,
+                canonical=canonical, slack=slack,
+            )
+        else:
+            hi, lo, counts = sparse_spectrum(
+                jax.numpy.asarray(batch.codes), k, canonical
+            )
         acc.add(np.asarray(hi), np.asarray(lo), np.asarray(counts))
     return acc.result()
 

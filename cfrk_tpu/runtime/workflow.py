@@ -170,6 +170,9 @@ def count_one_factory(
     resume: bool = False,
     checkpoint_every: int | None = None,
     min_count: int = 1,
+    mesh=None,
+    seqpar: bool = False,
+    slack: float = 2.0,
 ):
     """Build a ``count_one(input, output)`` callable for :func:`run_workflow`
     from CLI-level options (shared by the CLI and programmatic users).
@@ -185,6 +188,7 @@ def count_one_factory(
                     inp, out, k, canonical=canonical, impl=impl,
                     batch_size=batch_size, nonzero=nonzero, packed=packed,
                     resume=resume, checkpoint_every=checkpoint_every or 1,
+                    mesh=mesh, seqpar=seqpar,
                 )
                 return m.reads
             if k > 8:
@@ -204,6 +208,7 @@ def count_one_factory(
             counts = count_file(
                 inp, k, canonical=canonical, impl=impl,
                 batch_size=batch_size, max_len=max_len,
+                mesh=mesh, seqpar=seqpar,
             )
             with CfrkWriter(out, nonzero=nonzero) as w:
                 w.write_batch(counts)
@@ -214,10 +219,15 @@ def count_one_factory(
             if stream:
                 from ..pipeline.stream import stream_sparse_spectrum_file
 
+                # cleanup=False: the resume checkpoint must survive until
+                # the REAL output file below exists — a crash during the
+                # output write would otherwise lose all streaming
+                # progress (same ordering as cli._run_inputs).
                 keys, cnts, m = stream_sparse_spectrum_file(
                     inp, k, canonical=canonical, batch_size=batch_size,
                     out_path=out, resume=resume,
                     checkpoint_every=checkpoint_every or 64,
+                    cleanup=False, mesh=mesh, slack=slack,
                 )
                 n = m.reads
                 items = zip(keys.tolist(), cnts.tolist())
@@ -226,7 +236,7 @@ def count_one_factory(
 
                 table = sparse_spectrum_file(
                     inp, k, canonical=canonical, batch_size=batch_size,
-                    max_len=max_len,
+                    max_len=max_len, mesh=mesh, slack=slack,
                 )
                 n = 0
                 items = ((key, table[key]) for key in sorted(table))
@@ -234,15 +244,22 @@ def count_one_factory(
                 for key, cnt in items:
                     if cnt >= min_count:
                         f.write(f"{decode_key(key, k)}\t{cnt}\n")
+            if stream:
+                from .checkpoint import cleanup_checkpoint
+
+                cleanup_checkpoint(out)
             return n
         # spectrum
         if stream:
             from ..pipeline.stream import stream_spectrum_file
 
+            # cleanup=False + cleanup_checkpoint(out) after the write,
+            # as above: keep resume progress until the output exists.
             table, m = stream_spectrum_file(
                 inp, k, canonical=canonical, impl=impl,
                 batch_size=batch_size, out_path=out, resume=resume,
                 checkpoint_every=checkpoint_every or 16,
+                cleanup=False, mesh=mesh, seqpar=seqpar,
             )
             n = m.reads
         else:
@@ -251,11 +268,16 @@ def count_one_factory(
             table = spectrum_file(
                 inp, k, canonical=canonical, impl=impl,
                 batch_size=batch_size, max_len=max_len,
+                mesh=mesh, seqpar=seqpar,
             )
             n = 0
         from ..cli import _write_spectrum
 
         _write_spectrum(out, table, spectrum_format, min_count)
+        if stream:
+            from .checkpoint import cleanup_checkpoint
+
+            cleanup_checkpoint(out)
         return n
 
     return count_one
