@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "MAX_SPARSE_K",
@@ -40,7 +41,10 @@ __all__ = [
 
 MAX_SPARSE_K = 31
 LO_BASES = 15
-INVALID_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# np (not jnp): a module-level jnp scalar would initialise the XLA
+# backend at import time, which breaks jax.distributed.initialize()
+# for every downstream user (it must run before any backend touch).
+INVALID_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _horner_u32(views):

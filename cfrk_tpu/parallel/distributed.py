@@ -33,13 +33,31 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
     Returns True if initialisation ran.  Safe to call unconditionally:
     without coordinator env vars (and force=False) it is a no-op, so
     single-host runs need no changes.
+
+    On managed clusters (GKE TPU pods, SLURM) ``initialize()``
+    auto-detects everything.  For manual launches the standard triplet
+    is read from ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` and passed explicitly (jax only auto-detects on
+    recognised cluster environments).
     """
     import jax
 
     if not force and not any(os.environ.get(v) for v in _COORD_VARS):
         return False
+    kwargs = {}
+    addr = next(
+        (os.environ[v] for v in _COORD_VARS if os.environ.get(v)), None
+    )
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr and nproc is not None and pid is not None:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         if "already initialized" in str(e):
             return False

@@ -53,7 +53,10 @@ def explicit_dests(argv, parser) -> set:
 
     Needed because argparse cannot distinguish "not given" from
     "explicitly set to the default" — without this, a config value
-    would clobber an explicit ``--batch-size 8192``.
+    would clobber an explicit ``--batch-size 8192``.  Argparse prefix
+    abbreviations (``--batch`` for ``--batch-size``) resolve the same
+    way argparse itself does: an unambiguous prefix of exactly one long
+    option counts as explicit.
     """
     opts = parser._option_string_actions
     out = set()
@@ -62,6 +65,16 @@ def explicit_dests(argv, parser) -> set:
             continue
         name = tok.split("=", 1)[0]
         action = opts.get(name)
+        if action is None and name.startswith("--") and len(name) > 2:
+            # argparse allows unambiguous long-option abbreviation.
+            matches = {
+                a.dest
+                for opt, a in opts.items()
+                if opt.startswith("--") and opt.startswith(name)
+            }
+            if len(matches) == 1:
+                out.add(matches.pop())
+            continue
         if action is not None:
             out.add(action.dest)
     return out
