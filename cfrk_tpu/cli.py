@@ -78,8 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--impl",
         default="auto",
-        choices=["auto", "compare", "matmul", "scatter", "pallas", "host"],
-        help="kernel implementation (auto picks per backend/k)",
+        choices=[
+            "auto", "compare", "matmul", "scatter", "pallas", "host", "sort",
+        ],
+        help=(
+            "kernel implementation (auto picks per backend/k; 'sort' = "
+            "device sort+RLE spectrum accumulation, auto for k >= 11 "
+            "on TPU)"
+        ),
     )
     p.add_argument("--batch-size", type=int, default=8192, help="reads per device batch")
     p.add_argument("--max-len", type=int, default=None, help="pad reads to this length")

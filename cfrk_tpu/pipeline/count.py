@@ -143,6 +143,16 @@ def spectrum_file(
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
     if mesh is not None and not seqpar:
         bs = -(-bs // mesh.size) * mesh.size
+    if _use_sorted_spectrum(k, impl, seqpar):
+        # Mid-k dense tables (4**11..4**15 bins) defeat both the VMEM
+        # Pallas kernel and XLA scatter (serialised on TPU).  Sort+RLE
+        # the keys on device per batch (for k <= 15 the sparse key IS
+        # the dense index), merge sparsely on host, densify once.
+        keys, counts = _sorted_spectrum_batches(
+            iter_batches(reads, bs, ml), k, canonical, mesh
+        )
+        total[keys] = counts
+        return total
     if mesh is not None:
         if seqpar:
             from ..parallel.seqpar import spectrum_seqpar
@@ -176,6 +186,46 @@ def spectrum_file(
     if dev is not None:
         total += np.asarray(dev, dtype=np.int64).reshape(-1)
     return total
+
+
+def _use_sorted_spectrum(k: int, impl: str, seqpar: bool = False) -> bool:
+    """Route mid-k dense spectra through the sort+RLE machinery.
+
+    Auto on TPU for k >= 11: the Pallas dense kernel's VMEM accumulator
+    caps at k=10 and XLA scatter serialises (~25 Mbases/s measured,
+    docs/PERF.md).  Explicit ``impl='sort'`` forces it anywhere (CPU
+    tests); seqpar shards positions and keeps the dense accumulator.
+    """
+    if seqpar or k <= 10:
+        return False
+    if impl == "sort":
+        return True
+    import jax
+
+    return impl == "auto" and jax.default_backend() == "tpu"
+
+
+def _sorted_spectrum_batches(batches, k, canonical, mesh):
+    """Accumulate batches sparsely (device sort+RLE); returns the merged
+    (keys, counts) arrays.  With a mesh, keys route through the
+    all_to_all bucket exchange with overflow retry."""
+    from ..ops.sparse import SparseAccumulator, sparse_spectrum
+
+    if mesh is not None:
+        from ..parallel.bucket import sparse_spectrum_sharded_retry
+
+    acc = SparseAccumulator()
+    slack = 2.0
+    for batch in batches:
+        arr = jax.numpy.asarray(batch.codes)
+        if mesh is not None:
+            hi, lo, counts, slack = sparse_spectrum_sharded_retry(
+                arr, k, mesh, canonical=canonical, slack=slack
+            )
+        else:
+            hi, lo, counts = sparse_spectrum(arr, k, canonical)
+        acc.add(np.asarray(hi), np.asarray(lo), np.asarray(counts))
+    return acc.result_arrays()
 
 
 def sparse_spectrum_file(

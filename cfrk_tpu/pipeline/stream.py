@@ -464,6 +464,23 @@ def stream_spectrum_file(
     each batch's table is computed sharded (psum/psum_scatter merge)
     before the device accumulate.
     """
+    from .count import _use_sorted_spectrum
+
+    if _use_sorted_spectrum(k, impl, seqpar):
+        # Mid-k dense spectra (k >= 11) stream through the sparse
+        # sort+RLE machinery (same computation, same checkpoints) and
+        # densify once at the end — XLA scatter into the 4**k device
+        # table serialises, and the Pallas accumulator caps at k=10.
+        keys, counts, m2 = stream_sparse_spectrum_file(
+            path, k, canonical=canonical, batch_size=batch_size,
+            out_path=out_path, resume=resume,
+            checkpoint_every=checkpoint_every, mesh=mesh,
+            cleanup=cleanup, metrics=metrics,
+        )
+        total = np.zeros(4**k, dtype=np.int64)
+        total[keys] = counts
+        return total, m2
+
     if not seqpar:  # seqpar shards positions, not batch rows
         _check_mesh_batch(mesh, batch_size)
     dispatch = _make_dispatch(

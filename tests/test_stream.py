@@ -605,3 +605,44 @@ def test_resume_tolerates_corrupt_checkpoint(tmp_path):
     (tmp_path / "r.cfrk.ckpt.json").write_text(_json.dumps(ckpt_data))
     m = stream_count_file(fasta, out, 3, batch_size=4, resume=True)
     assert m.reads == 8
+
+
+def test_spectrum_sorted_path_matches_scatter(tmp_path):
+    """The k>=11 sort+RLE spectrum route (auto on TPU, impl='sort'
+    anywhere) must match the scatter path exactly, in-memory and
+    streaming, single-device and mesh."""
+    import jax
+
+    from cfrk_tpu.parallel.mesh import make_mesh
+    from cfrk_tpu.pipeline.count import spectrum_file
+    from cfrk_tpu.pipeline.stream import stream_spectrum_file
+
+    rng = np.random.default_rng(33)
+    reads = _random_reads(40, rng, lo=20, hi=80)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+
+    k = 11
+    want = spectrum_file(fasta, k, impl="scatter")
+    got = spectrum_file(fasta, k, impl="sort")
+    np.testing.assert_array_equal(got, want)
+
+    got_c = spectrum_file(fasta, k, impl="sort", canonical=True)
+    want_c = spectrum_file(fasta, k, impl="scatter", canonical=True)
+    np.testing.assert_array_equal(got_c, want_c)
+
+    mesh = make_mesh(jax.devices())
+    got_m = spectrum_file(fasta, k, impl="sort", mesh=mesh, batch_size=16)
+    np.testing.assert_array_equal(got_m, want)
+
+    out = tmp_path / "s.spectrum"
+    got_s, m = stream_spectrum_file(
+        fasta, k, impl="sort", batch_size=16, out_path=str(out)
+    )
+    np.testing.assert_array_equal(got_s, want)
+    assert m.reads == 40
+
+    got_sm, _ = stream_spectrum_file(
+        fasta, k, impl="sort", batch_size=16, out_path=str(out), mesh=mesh
+    )
+    np.testing.assert_array_equal(got_sm, want)
