@@ -1,7 +1,7 @@
 """Headline benchmark: dense per-read k-mer counting throughput on 1 chip.
 
 Workload (BASELINE.json config 2): synthetic reads of 150 bp, k=8, dense
-4**8-bin per-read histograms via the fused Pallas kernel
+4**8-bin per-read histograms via the batched-dot Pallas kernel
 (cfrk_tpu/ops/pallas/perread.py) — the TPU replacement of the reference's
 ComputeIndex + ComputeFreqNew CUDA pipeline
 (reference src/kmer_kernel.cu:21-49,73-90).
@@ -11,25 +11,39 @@ Prints ONE JSON line:
      "vs_baseline": fraction_of_speed_of_light}
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-the achieved fraction of the chip's speed-of-light for this op.  Dense
-k=8 per-read counting emits 4**8 bins per 150 bp read, so the roofline
-is HBM bandwidth, not MXU flops.  The kernel packs hi-bin pairs into
-one int32 ("fh" packing: 2 bytes per bin), and the model charges one
-write of the packed matrix plus one read (the checksum that forces
-materialisation).
+the achieved fraction of the chip's speed-of-light for this op, under a
+PER-IMPLEMENTATION roofline:
 
-Measurement notes (tunneled-TPU constraints):
-* the bare jitted kernel is compiled FIRST (~4 min through the remote
-  Mosaic tunnel); only then is the 64-step ``lax.scan`` wrapper jitted —
-  with the kernel already in the in-process Mosaic cache the scan
-  compiles in seconds, whereas jitting the scan cold blows the bench
-  timeout.  The timed run is the scan: back-to-back device steps with no
-  host dispatch in the loop.
-* every step feeds a non-algebraically-foldable checksum (sum of
-  counts & 3), so no step can be elided; the timed section ends with a
-  single scalar fetch, which is an honest end-to-end sync
-  (``block_until_ready`` returns early under the axon tunnel and bulk
-  D2H is ~5 MB/s).
+* pallas (packed): SOL = max(MXU time of the one-hot contractions,
+  HBM time of ONE write of the packed count matrix).  No read-back is
+  charged — materialisation is proven differently (below).
+* matmul fallback: the einsum path materialises int32 counts and the
+  measurement loop reads them back in a SEPARATE executable, so SOL
+  charges one write + one read of the int32 matrix.
+
+Round-1 lesson (VERDICT): a checksum fused into the same jitted program
+does NOT force materialisation — XLA fuses the einsum into the reduction
+and the recorded number exceeded speed-of-light (vs_baseline 1.45).
+This bench forces honesty structurally:
+
+* pallas path: the kernel emits a second output chk[block] =
+  sum(counts & 3) folded IN-KERNEL (ops/pallas/perread.py,
+  checksum=True).  Consuming chk keeps the custom call alive; the
+  counts HBM write is part of the same un-splittable Mosaic kernel.
+* matmul path: step 1 (jit A) returns the count matrix; step 2 (jit B)
+  reduces it.  XLA cannot fuse across executables, so the counts hit
+  HBM between them.
+* ``assert frac <= 1.0`` — a number above its own speed of light is a
+  measurement bug by definition and fails the bench loudly.
+
+Measurement notes (tunneled-TPU constraints, .claude/skills/verify):
+* the bare kernel is compiled FIRST (remote Mosaic compile, minutes);
+  the ``lax.scan`` wrapper then compiles in seconds.
+* the timed scan cycles DISTINCT input batches via a data-dependent
+  index (a loop-invariant input gets the kernel hoisted: ~3x inflation,
+  verified in round 1).
+* the timed section ends by fetching one scalar that data-depends on
+  every step (block_until_ready returns early under the axon tunnel).
 """
 
 from __future__ import annotations
@@ -47,7 +61,6 @@ DISTINCT = 4  # distinct input batches cycled through the loop
 
 
 def _chip_specs(platform: str) -> dict:
-    """Rough per-chip peak specs for the roofline, by platform."""
     if platform in ("tpu", "axon"):
         # TPU v5e: ~197 Tflop/s bf16, ~819 GB/s HBM.
         return {"flops": 197e12, "hbm_bw": 819e9}
@@ -56,15 +69,22 @@ def _chip_specs(platform: str) -> dict:
 
 
 def speed_of_light_bases_per_s(
-    platform: str, batch: int, read_len: int, k: int, count_bytes: float = 2.0
+    platform: str,
+    batch: int,
+    read_len: int,
+    k: int,
+    *,
+    count_bytes: float,
+    read_back: bool,
 ) -> float:
+    """Per-impl roofline: max(MXU contraction time, count-matrix HBM
+    traffic).  ``count_bytes``/bin and whether a read-back is charged
+    depend on the implementation measured (module docstring)."""
     specs = _chip_specs(platform)
     w = read_len - k + 1
     four_k = 4**k
-    flops = 2.0 * batch * w * four_k          # one-hot outer-product matmuls
-    # count write + checksum read; 2 B/bin for the fh-packed kernel,
-    # 4 B/bin for the int32 fallback paths.
-    io_bytes = 2.0 * batch * four_k * count_bytes
+    flops = 2.0 * batch * w * four_k  # one-hot outer-product matmuls
+    io_bytes = batch * four_k * count_bytes * (2.0 if read_back else 1.0)
     t = max(flops / specs["flops"], io_bytes / specs["hbm_bw"])
     return batch * read_len / t
 
@@ -74,8 +94,6 @@ def main(impl_override: str | None = None) -> None:
 
     import jax
 
-    # Persistent compilation cache (helps on setups where it applies; the
-    # remote-compile tunnel bypasses it, hence the loop structure below).
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -83,13 +101,11 @@ def main(impl_override: str | None = None) -> None:
 
     import jax.numpy as jnp
 
-    from cfrk_tpu.ops.perread import count_perread
-
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     batch = BATCH if on_tpu else 256
     n_batches = N_BATCHES if on_tpu else 4
-    impl = impl_override or ("pallas" if on_tpu else "auto")
+    impl = impl_override or ("pallas" if on_tpu else "matmul")
 
     rng = np.random.default_rng(0)
     xs = jnp.asarray(
@@ -97,43 +113,67 @@ def main(impl_override: str | None = None) -> None:
     )
 
     if impl == "pallas":
-        from cfrk_tpu.ops.pallas.perread import count_perread_pallas
+        from cfrk_tpu.ops.pallas.perread import count_perread_pallas, resolve_packed
 
-        # fh-packed: half the HBM write, rank-3 blocks (compiles FASTER
-        # than unpacked; the rank-4 reads-packing does not).  rb=16
-        # halves the grid steps: +5% over rb=8, compiles in ~136 s.
-        count = jax.jit(
-            lambda x: count_perread_pallas(x, K, packed="fh", read_block=16)
-        )
+        pk = resolve_packed(True, READ_LEN - K + 1)  # b4 for 150 bp
+
+        @jax.jit
+        def step_chk(x):
+            _counts, chk = count_perread_pallas(
+                x, K, packed=pk, read_block=16, checksum=True
+            )
+            return jnp.sum(chk)
+
+        # Stage 1: compile the bare kernel (primes the Mosaic cache);
+        # the scan wrapper below then compiles in seconds.
+        _ = int(np.asarray(step_chk(xs[0])))
+
+        def run(xs):
+            def body(c, i):
+                return c + step_chk(xs[i % DISTINCT]), ()
+
+            c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_batches))
+            return c
+
+        fn = jax.jit(run)
+        _ = int(np.asarray(fn(xs)))  # compile scan + warm up
+
+        t0 = time.perf_counter()
+        checksum = int(np.asarray(fn(xs)))
+        dt = time.perf_counter() - t0
+        count_bytes, read_back = (1.0 if pk == "b4" else 2.0), False
     else:
-        count = jax.jit(lambda x: count_perread(x, K, impl=impl))
-    # Stage 1: compile the bare kernel (primes the in-process Mosaic cache).
-    _ = int(jnp.sum(count(xs[0]) & 3, dtype=jnp.int32))
+        from cfrk_tpu.ops.perread import count_perread
 
-    # Stage 2: the scan wrapper now compiles fast and runs with zero host
-    # dispatch between steps.
-    def run(xs):
-        def body(chk, i):
-            counts = count(xs[i % DISTINCT])
-            return chk + jnp.sum(counts & 3, dtype=jnp.int32), ()
+        # Two separate executables: produce (A) and consume (B).  The
+        # count matrix must cross HBM between them — the fusion that
+        # inflated round 1's number is structurally impossible.
+        produce = jax.jit(lambda x: count_perread(x, K, impl=impl))
+        consume = jax.jit(lambda c: jnp.sum(c & 3, dtype=jnp.int32))
+        _ = int(np.asarray(consume(produce(xs[0]))))  # compile both
 
-        chk, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_batches))
-        return chk
-
-    fn = jax.jit(run)
-    _ = int(fn(xs))  # compile scan + warm up
-
-    t0 = time.perf_counter()
-    checksum = int(fn(xs))
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chk = None
+        for i in range(n_batches):
+            part = consume(produce(xs[i % DISTINCT]))  # async enqueue
+            chk = part if chk is None else chk + part
+        checksum = int(np.asarray(chk))  # one end-of-run sync
+        dt = time.perf_counter() - t0
+        count_bytes, read_back = 4.0, True
 
     bases = n_batches * batch * READ_LEN
     bases_per_s = bases / dt
     sol = speed_of_light_bases_per_s(
         platform, batch, READ_LEN, K,
-        count_bytes=2.0 if impl == "pallas" else 4.0,
+        count_bytes=count_bytes, read_back=read_back,
     )
+    frac = bases_per_s / sol
     assert checksum > 0
+    assert frac <= 1.0, (
+        f"measured {bases_per_s:.3e} bases/s exceeds the {sol:.3e} "
+        "speed-of-light — the measurement is broken (elided work or "
+        "wrong roofline), refusing to report it"
+    )
     print(
         json.dumps(
             {
@@ -143,7 +183,7 @@ def main(impl_override: str | None = None) -> None:
                 ),
                 "value": round(bases_per_s, 1),
                 "unit": "bases/s",
-                "vs_baseline": round(bases_per_s / sol, 4),
+                "vs_baseline": round(frac, 4),
             }
         )
     )
@@ -153,11 +193,10 @@ def _guarded() -> None:
     """Attempt the Pallas measurement in a CHILD process under a
     deadline, falling back to the XLA matmul path inline.
 
-    The remote Mosaic compile of the fused kernel varies from ~2 s
-    (warm cache) to ~8 min (cold, loaded server); the driver runs this
-    script under a hard timeout, so a hung/slow compile must not eat
-    the whole budget and leave no output.  Exactly ONE JSON line is
-    printed either way."""
+    The remote Mosaic compile varies from ~2 s (warm cache) to ~10 min
+    (cold, loaded server); the driver runs this script under a hard
+    timeout, so a hung/slow compile must not eat the whole budget and
+    leave no output.  Exactly ONE JSON line is printed either way."""
     import os
     import subprocess
     import sys
@@ -185,7 +224,6 @@ def _guarded() -> None:
         child_err = (e.stderr or b"").decode(errors="replace") if isinstance(
             e.stderr, bytes
         ) else (e.stderr or "")
-    # Fallback: pure-XLA path, fast reliable compile (~1 min).
     print(
         f"# pallas attempt {reason} after {time.perf_counter() - t0:.0f}s; "
         f"falling back to matmul",

@@ -67,24 +67,39 @@ def iter_record_blocks_native(
     """
     if _fastaio is None:
         raise RuntimeError("native extension not built")
-    with open(path, "rb") as f:
+    from concurrent.futures import ThreadPoolExecutor
+
+    with open(path, "rb") as f, ThreadPoolExecutor(1) as pool:
         if start_offset:
             f.seek(start_offset)
         base = start_offset or 0
         carry = b""
         fastq = None
         bs = block_size
-        while True:
+
+        def read_parse(carry, bs, fastq):
+            """Read + C-parse one block (GIL released in the parser);
+            runs one block AHEAD of the consumer so downstream packing
+            overlaps the parse."""
             data = f.read(bs)
             final = len(data) == 0
             buf = carry + data if carry else data
             if not buf:
+                return None
+            fq = buf.lstrip(b"\r\n")[:1] == b"@" if fastq is None else fastq
+            return buf, fq, final, _fastaio.parse_encode_stream(buf, fq, final)
+
+        fut = pool.submit(read_parse, carry, bs, fastq)
+        while True:
+            got = fut.result()
+            if got is None:
                 return
-            if fastq is None:
-                fastq = buf.lstrip(b"\r\n")[:1] == b"@"
-            codes_b, lens_b, offs_b, consumed = _fastaio.parse_encode_stream(
-                buf, fastq, final
-            )
+            buf, fastq, final, (codes_b, lens_b, offs_b, consumed) = got
+            if not final:
+                if consumed == 0:
+                    bs *= 2  # record larger than the block: widen
+                carry = buf[consumed:]
+                fut = pool.submit(read_parse, carry, bs, fastq)
             lens = np.frombuffer(lens_b, dtype=np.int64)
             if len(lens):
                 yield (
@@ -94,9 +109,6 @@ def iter_record_blocks_native(
                 )
             if final:
                 return
-            if consumed == 0:
-                bs *= 2  # record larger than the block: widen the read
-            carry = buf[consumed:]
             base += consumed
 
 

@@ -24,6 +24,15 @@
 #include <cstring>
 #include <vector>
 
+/* Find the end of the line starting at i (position of '\n' or n).
+ * memchr is SIMD-accelerated in glibc — line scanning at >10 GB/s vs
+ * ~0.4 GB/s for a per-byte loop. */
+static inline Py_ssize_t find_eol(const unsigned char* p, Py_ssize_t i,
+                                  Py_ssize_t n) {
+  const void* hit = memchr(p + i, '\n', (size_t)(n - i));
+  return hit ? (const unsigned char*)hit - p : n;
+}
+
 namespace {
 
 /* byte -> 2-bit code, -1 for anything not ACGTacgt (identical to the
@@ -79,8 +88,7 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
   int64_t seq_len = 0;
   while (i < n) {
     /* line = [i, eol) */
-    Py_ssize_t eol = i;
-    while (eol < n && p[eol] != '\n') eol++;
+    Py_ssize_t eol = find_eol(p, i, n);
     Py_ssize_t end = eol;
     if (end > i && p[end - 1] == '\r') end--;
     if (fastq) {
@@ -96,7 +104,10 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
         break;
       }
       if (fq_line == 1) {
-        for (Py_ssize_t j = i; j < end; j++) codes.push_back(kLut.t[p[j]]);
+        size_t base = codes.size();
+        codes.resize(base + (size_t)(end - i));
+        int8_t* dst = codes.data() + base;
+        for (Py_ssize_t j = i; j < end; j++) *dst++ = kLut.t[p[j]];
         seq_len = end - i;
         lengths.push_back(seq_len);
       }
@@ -115,8 +126,10 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
         in_record = true;
         cur_len = 0;
       } else if (in_record) {
-        for (Py_ssize_t j = i; j < end; j++)
-          codes.push_back(kLut.t[p[j]]);
+        size_t base = codes.size();
+        codes.resize(base + (size_t)(end - i));
+        int8_t* dst = codes.data() + base;
+        for (Py_ssize_t j = i; j < end; j++) *dst++ = kLut.t[p[j]];
         cur_len += end - i;
       }
     }
@@ -208,8 +221,7 @@ PyObject* parse_encode_stream(PyObject*, PyObject* args) {
       Py_ssize_t pos = i;
       bool ok = true;
       for (int l = 0; l < 4; l++) {
-        Py_ssize_t eol = pos;
-        while (eol < n && p[eol] != '\n') eol++;
+        Py_ssize_t eol = find_eol(p, pos, n);
         if (eol >= n && !final_chunk) {
           ok = false;
           break;
@@ -242,8 +254,12 @@ PyObject* parse_encode_stream(PyObject*, PyObject* args) {
         errmsg = kErrQual;
         break;
       }
-      for (Py_ssize_t j = ls[1]; j < le[1]; j++)
-        codes.push_back(kLut.t[p[j]]);
+      {
+        size_t base = codes.size();
+        codes.resize(base + (size_t)seq_len);
+        int8_t* dst = codes.data() + base;
+        for (Py_ssize_t j = ls[1]; j < le[1]; j++) *dst++ = kLut.t[p[j]];
+      }
       lengths.push_back(seq_len);
       offsets.push_back(pos);
       consumed = pos;
@@ -257,8 +273,7 @@ PyObject* parse_encode_stream(PyObject*, PyObject* args) {
     size_t rec_code_start = 0;
     bool incomplete = false;
     while (i < n) {
-      Py_ssize_t eol = i;
-      while (eol < n && p[eol] != '\n') eol++;
+      Py_ssize_t eol = find_eol(p, i, n);
       if (eol >= n && !final_chunk) {
         incomplete = true; /* unterminated line: re-parse next chunk */
         break;
@@ -276,8 +291,10 @@ PyObject* parse_encode_stream(PyObject*, PyObject* args) {
           rec_start = i;
           rec_code_start = codes.size();
         } else if (in_record) {
-          for (Py_ssize_t j = i; j < end; j++)
-            codes.push_back(kLut.t[p[j]]);
+          size_t base = codes.size();
+          codes.resize(base + (size_t)(end - i));
+          int8_t* dst = codes.data() + base;
+          for (Py_ssize_t j = i; j < end; j++) *dst++ = kLut.t[p[j]];
         }
       }
       i = eol < n ? eol + 1 : n;
@@ -317,6 +334,69 @@ PyObject* parse_encode_stream(PyObject*, PyObject* args) {
     return nullptr;
   }
   PyObject* out = Py_BuildValue("(NNNn)", codes_b, lens_b, offs_b, consumed);
+  return out;
+}
+
+/* pack_records(flat: bytes/int8, lengths: bytes/int64-LE, batch_rows,
+ *              row_len) -> bytes
+ *
+ * Assemble a padded [batch_rows, row_len] int8 batch from a flat code
+ * buffer + per-record lengths: row i = record i's codes then -1 padding;
+ * rows past the record count are all -1.  memcpy/memset per record —
+ * the multi-GB/s replacement of the Python boolean-scatter packer
+ * (pipeline/batch.pad_reads_flat), and the analog of the reference's
+ * OpenMP chunk copies (src/main.cu:186-190).
+ */
+PyObject* pack_records(PyObject*, PyObject* args) {
+  Py_buffer flat_view, lens_view;
+  Py_ssize_t batch_rows, row_len;
+  if (!PyArg_ParseTuple(args, "y*y*nn", &flat_view, &lens_view, &batch_rows,
+                        &row_len))
+    return nullptr;
+  const int8_t* flat = (const int8_t*)flat_view.buf;
+  const int64_t* lens = (const int64_t*)lens_view.buf;
+  const Py_ssize_t n_rec = lens_view.len / (Py_ssize_t)sizeof(int64_t);
+  if (n_rec > batch_rows) {
+    PyBuffer_Release(&flat_view);
+    PyBuffer_Release(&lens_view);
+    PyErr_SetString(PyExc_ValueError, "more records than batch rows");
+    return nullptr;
+  }
+  int64_t total = 0;
+  bool too_long = false;
+  for (Py_ssize_t i = 0; i < n_rec; i++) {
+    total += lens[i];
+    if (lens[i] > row_len) too_long = true;
+  }
+  if (too_long || total != (int64_t)flat_view.len) {
+    PyBuffer_Release(&flat_view);
+    PyBuffer_Release(&lens_view);
+    PyErr_SetString(
+        PyExc_ValueError,
+        too_long ? "record longer than row_len"
+                 : "lengths do not sum to the flat buffer size");
+    return nullptr;
+  }
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, batch_rows * row_len);
+  if (!out) {
+    PyBuffer_Release(&flat_view);
+    PyBuffer_Release(&lens_view);
+    return nullptr;
+  }
+  int8_t* dst = (int8_t*)PyBytes_AS_STRING(out);
+  Py_BEGIN_ALLOW_THREADS
+  const int8_t* src = flat;
+  for (Py_ssize_t i = 0; i < n_rec; i++) {
+    const int64_t L = lens[i];
+    std::memcpy(dst, src, (size_t)L);
+    std::memset(dst + L, 0xFF, (size_t)(row_len - L)); /* -1 padding */
+    src += L;
+    dst += row_len;
+  }
+  std::memset(dst, 0xFF, (size_t)((batch_rows - n_rec) * row_len));
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&flat_view);
+  PyBuffer_Release(&lens_view);
   return out;
 }
 
@@ -490,6 +570,9 @@ PyMethodDef kMethods[] = {
     {"parse_encode_stream", parse_encode_stream, METH_VARARGS,
      "parse_encode_stream(chunk, is_fastq, final) -> "
      "(codes, lengths_i64, end_offsets_i64, consumed)"},
+    {"pack_records", pack_records, METH_VARARGS,
+     "pack_records(flat_int8, lengths_i64, batch_rows, row_len) -> "
+     "padded int8 bytes"},
     {"format_rows", format_rows, METH_VARARGS,
      "format_rows(counts_int32le, n_rows, n_cols, first) -> cfrk bytes"},
     {"format_pairs", format_pairs, METH_VARARGS,

@@ -10,18 +10,17 @@ XLA path materialises the one-hots and the f32 einsum output in HBM
 
 Structure: a [n_read_blocks, n_window_tiles] grid over a transposed
 window-index matrix (see ops/pallas/common.py for why transposed).  Each
-step takes one [wt, rb] tile, builds rank-3 one-hot tensors
-[wt, rb, 4**kh] / [wt, rb, 4**kl] by minor-dim broadcast compare, and
-accumulates ONE batched ``dot_general`` (batch dim = reads, contraction
-over windows) on the MXU into a per-read-block VMEM accumulator; the
-tile axis is innermost so the accumulator carries across window tiles
-and each read block's counts are emitted once.  The batched contraction
-replaces round 1's per-read Python unroll of ``rb`` small dots — one
-MXU dispatch per grid step instead of ``rb``, which removed ~3 ms/step
-of fixed overhead and cut the cold Mosaic compile from ~150 s to under
-a minute.  Window tiling means per-read length is unbounded — the
-reference silently dropped positions beyond blockDim.x = 1024
-(``src/kmer_kernel.cu:83-85``).
+step takes one [wt, rb] tile, builds per-read one-hot matrices
+[wt, 4**kh] / [wt, 4**kl] by lane-broadcast compare, and accumulates
+``one_hot(hi)^T @ one_hot(lo)`` on the MXU into a per-read-block VMEM
+accumulator; the tile axis is innermost so the accumulator carries
+across window tiles and each read block's counts are emitted once.
+(A single batched rank-3 ``dot_general`` instead of the per-read unroll
+was tried and measured WORSE on real Mosaic: 517 s cold compile and
+7.1 ms/step vs ~150 s and ~2.9 ms — Mosaic's batched matmul lowering is
+pathological, so the unroll stays.)  Window tiling means per-read
+length is unbounded — the reference silently dropped positions beyond
+blockDim.x = 1024 (``src/kmer_kernel.cu:83-85``).
 
 Invalid windows (N bases, padding, past end-of-read) arrive as the
 sentinel index 4**k whose hi component is out of one-hot range, so they
@@ -61,20 +60,22 @@ def _perread_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    idx = idx_ref[0]  # [rb, wt] int32 (reads-major: batch dim must be 0)
-    wt = idx.shape[1]
-    col = idx[:, :, None]  # minor-dim broadcast against the bin iota
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (rb, wt, fh), 2)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (rb, wt, fl), 2)
-    oh_hi = ((col >> (2 * kl)) == iota_h).astype(jnp.bfloat16)
-    oh_lo = ((col & (fl - 1)) == iota_l).astype(jnp.bfloat16)
-    # One batched MXU contraction over windows: [rb, fh, fl].
-    acc_ref[...] += jax.lax.dot_general(
-        oh_hi,
-        oh_lo,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    wt = idx_ref.shape[1]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (wt, fh), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (wt, fl), 1)
+    for r in range(rb):  # static unroll over the reads of this block
+        # A batched (rank-3) dot_general was tried here and REJECTED by
+        # measurement: Mosaic lowers it pathologically (517 s cold
+        # compile, 7.1 ms/step vs ~150 s / ~2.9 ms for this unroll).
+        col = idx_ref[0, :, r : r + 1]  # [wt, 1] — lane-broadcasts below
+        oh_hi = ((col >> (2 * kl)) == iota_h).astype(jnp.bfloat16)
+        oh_lo = ((col & (fl - 1)) == iota_l).astype(jnp.bfloat16)
+        acc_ref[r, :, :] += jax.lax.dot_general(
+            oh_hi,
+            oh_lo,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(t == nt - 1)
     def _emit():
@@ -195,17 +196,12 @@ def count_perread_pallas(
         raise ValueError("fh packing needs k >= 1")
     rb = min(read_block, b)
     wt = min(window_block, max(8, w))
-    wt = ((wt + 7) // 8) * 8
-    if wt < w:
-        # Tiled window axis: wt is the LAST dim of the [1, rb, wt] block,
-        # so partial blocks must be 128-lane aligned (single-tile blocks
-        # span the whole array dim and may be any size).
-        wt = ((wt + 127) // 128) * 128
+    wt = ((wt + 7) // 8) * 8  # sublane alignment
     pad_b = (-b) % rb
     if pad_b:
         codes = jnp.pad(codes, ((0, pad_b), (0, 0)), constant_values=-1)
     bb = codes.shape[0]
-    idx, n_tiles = prep_indices(codes, k, canonical, wt, rb, reads_major=True)
+    idx, n_tiles = prep_indices(codes, k, canonical, wt, rb)
 
     kernel = functools.partial(
         _perread_kernel, kl=kl, fh=fh, fl=fl, rb=rb, packed=packed,
@@ -240,7 +236,7 @@ def count_perread_pallas(
         grid=(bb // rb, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, rb, wt), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM
+                (1, wt, rb), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=out_specs,

@@ -116,11 +116,24 @@ def pad_reads_flat(
         raise ValueError(f"read of length {longest} exceeds max_len {ml}")
     if int(lengths.sum()) != len(flat):
         raise ValueError("lengths do not sum to the flat buffer size")
-    codes = np.full((b, ml), PAD, dtype=np.int8)
-    # mask rows are prefixes, so the True positions in row-major order
-    # are exactly the reads' codes laid end to end.
-    mask = np.arange(ml, dtype=np.int64)[None, :] < lengths[:, None]
-    codes[:n][mask] = flat
+    from ..io.native import _fastaio
+
+    flat = np.ascontiguousarray(flat, dtype=np.int8)
+    if _fastaio is not None:
+        # memcpy/memset per record in C — multi-GB/s.  The arrays pass
+        # through the buffer protocol (no serialisation copies); the
+        # result view stays read-only, which every consumer honours
+        # (device transfer copies anyway).
+        packed = _fastaio.pack_records(
+            flat, np.ascontiguousarray(lengths), b, ml
+        )
+        codes = np.frombuffer(packed, dtype=np.int8).reshape(b, ml)
+    else:
+        codes = np.full((b, ml), PAD, dtype=np.int8)
+        # mask rows are prefixes, so the True positions in row-major
+        # order are exactly the reads' codes laid end to end.
+        mask = np.arange(ml, dtype=np.int64)[None, :] < lengths[:, None]
+        codes[:n][mask] = flat
     out_lengths = np.zeros(b, dtype=np.int32)
     out_lengths[:n] = lengths
     return ReadBatch(codes=codes, lengths=out_lengths, n_reads=n)

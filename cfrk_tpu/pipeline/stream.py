@@ -174,12 +174,19 @@ def _batch_feeder(gen: Iterator[ReadBatch], q: queue.Queue, err: list,
         put(_SENTINEL)
         gen.close()  # release the input file handle promptly
 
-def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]:
+def _prefetched(
+    gen: Iterator[ReadBatch],
+    depth: int = 4,
+    metrics: RunMetrics | None = None,
+) -> Iterator[ReadBatch]:
     """Run ``gen`` in a background thread with a bounded queue.
 
     If the consumer stops early (error downstream), the feeder is
     signalled via ``stop`` so it does not block forever on a full queue
-    holding the input file open."""
+    holding the input file open.  With ``metrics``, the time the
+    CONSUMER blocks waiting for the parser is accumulated under the
+    "parse_wait" stage — the *exposed* ingest time (zero when parsing
+    fully overlaps device compute)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list = []
     stop = threading.Event()
@@ -189,7 +196,11 @@ def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]
     t.start()
     try:
         while True:
-            item = q.get()
+            if metrics is not None:
+                with metrics.stage("parse_wait"):
+                    item = q.get()
+            else:
+                item = q.get()
             if item is _SENTINEL:
                 if err:
                     raise err[0]
@@ -198,6 +209,25 @@ def _prefetched(gen: Iterator[ReadBatch], depth: int = 4) -> Iterator[ReadBatch]
     finally:
         stop.set()
         t.join(timeout=5)
+
+
+def _resume_batches(path, k: int, batch_size: int, ckpt) -> Iterator[ReadBatch]:
+    """Batch stream honouring a checkpoint: O(1) seek for plain files,
+    re-parse + skip for gzip (with a loud warning — decompress first for
+    large inputs; a gzip stream has no random access, so byte-offset
+    resume cannot apply)."""
+    if ckpt.reads_done and ckpt.input_offset is not None:
+        return stream_batches(path, k, batch_size, start_offset=ckpt.input_offset)
+    if ckpt.reads_done and _is_gzip(path):
+        import sys
+
+        print(
+            f"# resume on gzip input re-parses {ckpt.reads_done} records "
+            "from the start (no random access in a gzip stream); "
+            "decompress the input first for large runs",
+            file=sys.stderr,
+        )
+    return stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
 
 
 def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
@@ -366,16 +396,8 @@ def stream_count_file(
             f.seek(ckpt.out_bytes)
         w = CfrkWriter(f, continuing=ckpt.reads_done > 0, nonzero=nonzero)
 
-        if ckpt.reads_done and ckpt.input_offset is not None:
-            # O(1) resume: seek straight to the checkpointed record
-            # boundary (plain uncompressed inputs).
-            gen = stream_batches(
-                path, k, batch_size, start_offset=ckpt.input_offset
-            )
-        else:
-            gen = stream_batches(
-                path, k, batch_size, skip_reads=ckpt.reads_done
-            )
+        # O(1) seek resume for plain files; gzip warns and re-parses.
+        gen = _resume_batches(path, k, batch_size, ckpt)
         pending: list = []
         since_ckpt = 0
 
@@ -418,7 +440,7 @@ def stream_count_file(
                     ckpt.save(cpath)
                 since_ckpt = 0
 
-        for batch in _prefetched(gen):
+        for batch in _prefetched(gen, metrics=m):
             with m.stage("dispatch"):
                 dev = dispatch(jax.numpy.asarray(batch.codes))
             pending.append((batch.n_reads, dev, batch.end_offset))
@@ -517,12 +539,9 @@ def stream_spectrum_file(
             total_dev = None
         windows_since_spill = 0
 
-    if ckpt.reads_done and ckpt.input_offset is not None:
-        gen = stream_batches(path, k, batch_size, start_offset=ckpt.input_offset)
-    else:
-        gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
+    gen = _resume_batches(path, k, batch_size, ckpt)
     since_ckpt = 0
-    for batch in _prefetched(gen):
+    for batch in _prefetched(gen, metrics=m):
         batch_windows = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
         if windows_since_spill + batch_windows >= SPILL_LIMIT:
             with m.stage("materialize"):
@@ -605,12 +624,9 @@ def stream_sparse_spectrum_file(
             except (OSError, ValueError, KeyError):
                 pass  # torn sidecar: restart from scratch
 
-    if ckpt.reads_done and ckpt.input_offset is not None:
-        gen = stream_batches(path, k, batch_size, start_offset=ckpt.input_offset)
-    else:
-        gen = stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
+    gen = _resume_batches(path, k, batch_size, ckpt)
     since_ckpt = 0
-    for batch in _prefetched(gen):
+    for batch in _prefetched(gen, metrics=m):
         with m.stage("dispatch"):
             if mesh is not None:
                 hi, lo, counts, slack = sparse_spectrum_sharded_retry(

@@ -646,3 +646,42 @@ def test_spectrum_sorted_path_matches_scatter(tmp_path):
         fasta, k, impl="sort", batch_size=16, out_path=str(out), mesh=mesh
     )
     np.testing.assert_array_equal(got_sm, want)
+
+
+def test_gzip_resume_warns_and_completes(tmp_path, capsys):
+    """Resuming a gzip input cannot seek (VERDICT round 1 #10): it must
+    re-parse with a loud stderr notice and still produce exact output."""
+    import gzip as _gzip
+
+    rng = np.random.default_rng(44)
+    reads = _random_reads(20, rng, lo=20, hi=60)
+    plain = tmp_path / "r.fasta"
+    _write_fasta(plain, reads)
+    gz = tmp_path / "r.fasta.gz"
+    gz.write_bytes(_gzip.compress(plain.read_bytes()))
+    out = tmp_path / "r.cfrk"
+    k = 3
+
+    full = tmp_path / "full.cfrk"
+    stream_count_file(gz, full, k, batch_size=8)
+    want = full.read_bytes()
+
+    # Interrupted run: first 8 reads done, no input_offset (gzip).
+    from cfrk_tpu.format import CfrkWriter
+    from cfrk_tpu.pipeline.count import count_reads as _cr
+
+    with open(out, "wb") as f:
+        CfrkWriter(f).write_batch(_cr(reads[:8], k, batch_size=8))
+        f.flush()
+        nbytes = f.tell()
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(gz, k, "perread", False),
+        reads_done=8,
+        out_bytes=nbytes,
+    )
+    ckpt.save(checkpoint_path(out))
+
+    m = stream_count_file(gz, out, k, batch_size=8, resume=True)
+    assert m.reads == 12
+    assert out.read_bytes() == want
+    assert "decompress the input first" in capsys.readouterr().err

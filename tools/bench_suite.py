@@ -9,6 +9,17 @@
                   tools/scaling_bench.py / dryrun_multichip)
 4. sparse_k31   — canonical k=31 sort+RLE sparse spectrum (config 4's
                   single-chip core; all_to_all routing in dryrun_multichip)
+5. ingest       — host-side streaming ingest (chunked C++ parser + flat
+                  packer) over an on-disk synthetic FASTA, no device work
+                  (config 5's host-bound stage; --ingest-reads to scale
+                  to >= 10M reads)
+6. stream       — the full streaming driver end-to-end (parse overlap,
+                  device counting, write, checkpoints) with the
+                  per-stage breakdown from RunMetrics (config 5's
+                  pipeline; size with --stream-reads — NOTE through the
+                  axon tunnel D2H runs ~5 MB/s, so large per-read
+                  streams only reflect real TPU hardware when run
+                  directly on it)
 
 Sizes default small enough for the tunneled single chip; scale with
 --reads.  Run: python tools/bench_suite.py [--reads N] [--cpu]
@@ -45,8 +56,19 @@ def main() -> None:
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
+        "--ingest-reads", type=int, default=2_000_000,
+        help="reads in the on-disk ingest bench (10_000_000 = config 5)",
+    )
+    ap.add_argument(
+        "--stream-reads", type=int, default=100_000,
+        help="reads through the full streaming driver bench",
+    )
+    ap.add_argument(
         "--only", default=None,
-        help="comma-separated subset: golden,perread_k8,spectrum_k15,sparse_k31",
+        help=(
+            "comma-separated subset: golden,perread_k8,spectrum_k15,"
+            "sparse_k31,ingest,stream"
+        ),
     )
     args = ap.parse_args()
 
@@ -125,6 +147,68 @@ def main() -> None:
         chk = int(fn(x))
         dt = time.perf_counter() - t0
         _emit("sparse_k31_canonical", dt, bases, "bases/s", {"checksum": chk})
+
+    # 5 + 6: on-disk streaming benches share one synthetic FASTA.
+    import tempfile
+
+    def synth_fasta(path, n_reads, read_len, seed=0):
+        """Write a synthetic FASTA; returns total bases.  Vectorised
+        block writes — generating 10M reads takes seconds, not minutes."""
+        block = 100_000
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        g = np.random.default_rng(seed)
+        total = 0
+        with open(path, "wb") as f:
+            for start in range(0, n_reads, block):
+                n = min(block, n_reads - start)
+                seqs = lut[g.integers(0, 4, size=(n, read_len))]
+                rows = []
+                for i in range(n):
+                    rows.append(b">r%d\n" % (start + i))
+                    rows.append(seqs[i].tobytes())
+                    rows.append(b"\n")
+                f.write(b"".join(rows))
+                total += n * read_len
+        return total
+
+    if want("ingest"):
+        from cfrk_tpu.pipeline.stream import stream_batches
+
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "ingest.fasta")
+            n_bases = synth_fasta(path, args.ingest_reads, args.read_len)
+            file_bytes = os.path.getsize(path)
+            t0 = time.perf_counter()
+            reads = 0
+            for b in stream_batches(path, 8, 8192):
+                reads += b.n_reads
+            dt = time.perf_counter() - t0
+            assert reads == args.ingest_reads
+            _emit(
+                "ingest_stream_batches", dt, file_bytes, "bytes/s",
+                {"reads": reads, "mbases_per_s": round(n_bases / dt / 1e6, 1)},
+            )
+
+    if want("stream"):
+        from cfrk_tpu.pipeline.stream import stream_count_file
+
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "stream.fasta")
+            n_bases = synth_fasta(path, args.stream_reads, args.read_len)
+            out = os.path.join(td, "out.cfrk")
+            t0 = time.perf_counter()
+            m = stream_count_file(path, out, 8, batch_size=8192)
+            dt = time.perf_counter() - t0
+            _emit(
+                "stream_perread_k8", dt, n_bases, "bases/s",
+                {
+                    "reads": m.reads,
+                    "stages_s": {
+                        n: round(t, 3) for n, t in sorted(m.stages.items())
+                    },
+                    "out_bytes": os.path.getsize(out),
+                },
+            )
 
 
 if __name__ == "__main__":
