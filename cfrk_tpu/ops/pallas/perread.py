@@ -46,7 +46,7 @@ __all__ = [
 
 def _perread_kernel(
     idx_ref, out_ref, *rest, kl: int, fh: int, fl: int, rb: int, packed,
-    checksum: bool,
+    checksum: bool, oh_dtype, acc_dtype,
 ):
     if checksum:
         chk_ref, acc_ref = rest
@@ -68,13 +68,13 @@ def _perread_kernel(
         # measurement: Mosaic lowers it pathologically (517 s cold
         # compile, 7.1 ms/step vs ~150 s / ~2.9 ms for this unroll).
         col = idx_ref[0, :, r : r + 1]  # [wt, 1] — lane-broadcasts below
-        oh_hi = ((col >> (2 * kl)) == iota_h).astype(jnp.bfloat16)
-        oh_lo = ((col & (fl - 1)) == iota_l).astype(jnp.bfloat16)
+        oh_hi = ((col >> (2 * kl)) == iota_h).astype(oh_dtype)
+        oh_lo = ((col & (fl - 1)) == iota_l).astype(oh_dtype)
         acc_ref[r, :, :] += jax.lax.dot_general(
             oh_hi,
             oh_lo,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
         )
 
     @pl.when(t == nt - 1)
@@ -134,7 +134,7 @@ def resolve_packed(packed, w: int):
     jax.jit,
     static_argnames=(
         "k", "canonical", "read_block", "window_block", "interpret", "packed",
-        "checksum",
+        "checksum", "mxu_dtype",
     ),
 )
 def count_perread_pallas(
@@ -147,6 +147,7 @@ def count_perread_pallas(
     interpret: bool | None = None,
     packed=False,
     checksum: bool = False,
+    mxu_dtype: str = "bf16",
 ):
     """Dense per-read histograms: codes [B, L] int8 → [B, 4**k] int32.
 
@@ -161,6 +162,10 @@ def count_perread_pallas(
     * ``True``: densest safe mode for this shape.
 
     Unpack with :func:`unpack_counts` (mode must match).
+
+    ``mxu_dtype``: "bf16" (default — one-hots bf16, f32 accumulation,
+    exact below 2**24 windows/read) or "int8" (int8 one-hots, int32
+    accumulation: 2x MXU peak on v5e and exact for ANY window count).
 
     ``checksum=True`` additionally returns a per-read-block int32 vector
     ``chk[nb] = sum(counts & 3)`` folded INSIDE the kernel while the
@@ -177,13 +182,16 @@ def count_perread_pallas(
         raise ValueError(f"read length {length} < k={k}")
     if k > 8:
         raise ValueError("per-read dense counting supports k <= 8")
-    if w >= 2**24:
+    if mxu_dtype not in ("bf16", "int8"):
+        raise ValueError(f"mxu_dtype must be 'bf16' or 'int8', got {mxu_dtype!r}")
+    if w >= 2**24 and mxu_dtype == "bf16":
         # The f32 VMEM accumulator stays exact only below 2**24 per bin;
         # callers route such contigs to the int32 scatter impl
-        # (ops/perread.py) — refuse rather than silently undercount.
+        # (ops/perread.py) or the int8 kernel — refuse rather than
+        # silently undercount.
         raise ValueError(
             f"{w} windows/read exceeds the f32 exactness bound (2**24); "
-            "use impl='scatter'"
+            "use impl='scatter' or mxu_dtype='int8'"
         )
     packed = resolve_packed(packed, w)
     if interpret is None:
@@ -203,9 +211,12 @@ def count_perread_pallas(
     bb = codes.shape[0]
     idx, n_tiles = prep_indices(codes, k, canonical, wt, rb)
 
+    oh_dtype, acc_dtype = (
+        (jnp.int8, jnp.int32) if mxu_dtype == "int8" else (jnp.bfloat16, jnp.float32)
+    )
     kernel = functools.partial(
         _perread_kernel, kl=kl, fh=fh, fl=fl, rb=rb, packed=packed,
-        checksum=checksum,
+        checksum=checksum, oh_dtype=oh_dtype, acc_dtype=acc_dtype,
     )
     if packed == "fh":
         out_specs = pl.BlockSpec(
@@ -241,7 +252,7 @@ def count_perread_pallas(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((rb, fh, fl), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rb, fh, fl), acc_dtype)],
         interpret=interpret,
     )(idx)
     counts = outs[0]

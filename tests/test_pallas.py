@@ -275,3 +275,23 @@ def test_perread_checksum_output():
     np.testing.assert_array_equal(np.asarray(chk2), expect)
     got = np.asarray(unpack_counts(np.asarray(packed), 20, mode="b4"))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [2, 5, 8])
+def test_perread_int8_mxu_parity(rng, k):
+    """int8 one-hots + int32 accumulation must match the bf16 kernel
+    and the oracle exactly (and packed/checksum compose with it)."""
+    from cfrk_tpu.ops.pallas.perread import unpack_counts
+
+    codes = _batch(rng, 20, 120)
+    want = count_perread_np(list(codes), k)
+    got = np.asarray(
+        count_perread_pallas(jnp.asarray(codes), k, mxu_dtype="int8")
+    )
+    np.testing.assert_array_equal(got, want)
+    packed, chk = count_perread_pallas(
+        jnp.asarray(codes), k, mxu_dtype="int8", packed=True, checksum=True
+    )
+    got2 = unpack_counts(np.asarray(packed), 20, mode="b4")
+    np.testing.assert_array_equal(got2, want)
+    assert int(np.asarray(chk).sum()) == int((want & 3).sum())

@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--wb", type=int, default=512)
     ap.add_argument("--packed", default="none", choices=["none", "fh", "b4"])
     ap.add_argument("--checksum", action="store_true")
+    ap.add_argument("--mxu", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--distinct", type=int, default=4)
     args = ap.parse_args()
@@ -62,6 +63,7 @@ def main() -> None:
             window_block=args.wb,
             packed=packed,
             checksum=args.checksum,
+            mxu_dtype=args.mxu,
         )
 
     if args.checksum:
@@ -100,6 +102,7 @@ def main() -> None:
                 "rb": args.rb,
                 "packed": args.packed,
                 "checksum": args.checksum,
+                "mxu": args.mxu,
                 "compile_s": round(compile_s, 1),
                 "scan_compile_s": round(scan_compile_s, 1),
                 "steps": args.steps,
