@@ -635,6 +635,12 @@ def test_spectrum_sorted_path_matches_scatter(tmp_path):
     got_m = spectrum_file(fasta, k, impl="sort", mesh=mesh, batch_size=16)
     np.testing.assert_array_equal(got_m, want)
 
+    # (dp, tp) mesh: the bucket exchange only uses the dp axis (tp
+    # columns compute redundantly) but the result must stay exact.
+    mesh_tp = make_mesh(jax.devices(), tp=2)
+    got_tp = spectrum_file(fasta, k, impl="sort", mesh=mesh_tp, batch_size=16)
+    np.testing.assert_array_equal(got_tp, want)
+
     out = tmp_path / "s.spectrum"
     got_s, m = stream_spectrum_file(
         fasta, k, impl="sort", batch_size=16, out_path=str(out)
