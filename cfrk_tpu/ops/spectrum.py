@@ -75,6 +75,12 @@ def spectrum(
     acc_dtype=None,
 ) -> jax.Array:
     """Global dense spectrum: codes [..., L] int8 → counts [4**k] int32."""
+    if impl == "sort":
+        raise ValueError(
+            "impl='sort' is a driver-level route (spectrum_file / "
+            "stream_spectrum_file accumulate sparsely and densify once); "
+            "spectrum() itself is dense per batch"
+        )
     n_windows = math.prod(codes.shape[:-1]) * max(codes.shape[-1] - k + 1, 0)
     if n_windows >= 2**24 and impl in ("auto", "matmul", "pallas"):
         # f32 accumulation is exact only below 2**24; a degenerate batch
