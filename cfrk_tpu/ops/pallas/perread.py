@@ -147,7 +147,7 @@ def count_perread_pallas(
     interpret: bool | None = None,
     packed=False,
     checksum: bool = False,
-    mxu_dtype: str = "bf16",
+    mxu_dtype: str = "int8",
 ):
     """Dense per-read histograms: codes [B, L] int8 → [B, 4**k] int32.
 
@@ -163,9 +163,10 @@ def count_perread_pallas(
 
     Unpack with :func:`unpack_counts` (mode must match).
 
-    ``mxu_dtype``: "bf16" (default — one-hots bf16, f32 accumulation,
-    exact below 2**24 windows/read) or "int8" (int8 one-hots, int32
-    accumulation: 2x MXU peak on v5e and exact for ANY window count).
+    ``mxu_dtype``: "int8" (default — int8 one-hots, int32 accumulation:
+    2x MXU peak on v5e, exact for ANY window count, measured 468 vs
+    375 Mbases/s for bf16 at k=8/150 bp) or "bf16" (f32 accumulation,
+    exact below 2**24 windows/read).
 
     ``checksum=True`` additionally returns a per-read-block int32 vector
     ``chk[nb] = sum(counts & 3)`` folded INSIDE the kernel while the
