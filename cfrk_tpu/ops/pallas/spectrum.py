@@ -23,7 +23,10 @@ from .common import prep_indices, split_k
 __all__ = ["spectrum_pallas"]
 
 
-def _spectrum_kernel(idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb: int):
+def _spectrum_kernel(
+    idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb: int,
+    oh_dtype, acc_dtype,
+):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -35,13 +38,13 @@ def _spectrum_kernel(idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (wt, fl), 1)
     for r in range(rb):  # static unroll over the reads of this tile
         col = idx_ref[0, :, r : r + 1]  # [wt, 1] — lane-broadcasts below
-        oh_hi = ((col >> (2 * kl)) == iota_h).astype(jnp.bfloat16)
-        oh_lo = ((col & (fl - 1)) == iota_l).astype(jnp.bfloat16)
+        oh_hi = ((col >> (2 * kl)) == iota_h).astype(oh_dtype)
+        oh_lo = ((col & (fl - 1)) == iota_l).astype(oh_dtype)
         acc_ref[...] += jax.lax.dot_general(
             oh_hi,
             oh_lo,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
         )
 
     @pl.when(i == pl.num_programs(0) - 1)
@@ -50,7 +53,11 @@ def _spectrum_kernel(idx_ref, out_ref, acc_ref, *, kl: int, fh: int, fl: int, rb
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "canonical", "read_block", "window_block", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "canonical", "read_block", "window_block", "interpret",
+        "mxu_dtype",
+    ),
 )
 def spectrum_pallas(
     codes: jax.Array,
@@ -60,8 +67,19 @@ def spectrum_pallas(
     read_block: int = 8,
     window_block: int = 2048,
     interpret: bool | None = None,
+    mxu_dtype: str = "int8",
 ) -> jax.Array:
-    """Global dense spectrum: codes [B, L] int8 → [4**k] int32."""
+    """Global dense spectrum: codes [B, L] int8 → [4**k] int32.
+
+    This op is MXU-bound (deep contractions into one resident table),
+    so ``mxu_dtype="int8"`` (default: int8 one-hots, int32 accumulation
+    — 2x the bf16 MXU peak on v5e, exact for any window count) matters
+    more here than for the HBM-bound per-read kernel; "bf16" keeps the
+    f32-accumulator variant (exact below 2**24 windows per table cell,
+    guarded by the caller in ops/spectrum.py).
+    """
+    if mxu_dtype not in ("bf16", "int8"):
+        raise ValueError(f"mxu_dtype must be 'bf16' or 'int8', got {mxu_dtype!r}")
     if codes.ndim != 2:
         raise ValueError(f"codes must be [B, L], got {codes.shape}")
     b, length = codes.shape
@@ -95,7 +113,13 @@ def spectrum_pallas(
     wt = ((wt + 7) // 8) * 8  # sublane alignment
     idx, n_tiles = prep_indices(codes, k, canonical, wt, rb)
 
-    kernel = functools.partial(_spectrum_kernel, kl=kl, fh=fh, fl=fl, rb=rb)
+    oh_dtype, acc_dtype = (
+        (jnp.int8, jnp.int32) if mxu_dtype == "int8" else (jnp.bfloat16, jnp.float32)
+    )
+    kernel = functools.partial(
+        _spectrum_kernel, kl=kl, fh=fh, fl=fl, rb=rb,
+        oh_dtype=oh_dtype, acc_dtype=acc_dtype,
+    )
     # Flatten (read_block, tile) into ONE sequential grid axis so a single
     # accumulator survives the whole pass.
     out = pl.pallas_call(
@@ -110,7 +134,7 @@ def spectrum_pallas(
         ],
         out_specs=pl.BlockSpec((fh, fl), lambda s: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((fh, fl), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((fh, fl), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((fh, fl), acc_dtype)],
         interpret=interpret,
     )(idx)
     return out.reshape(fh * fl)

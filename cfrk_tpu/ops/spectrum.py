@@ -82,9 +82,18 @@ def spectrum(
             "spectrum() itself is dense per batch"
         )
     n_windows = math.prod(codes.shape[:-1]) * max(codes.shape[-1] - k + 1, 0)
-    if n_windows >= 2**24 and impl in ("auto", "matmul", "pallas"):
-        # f32 accumulation is exact only below 2**24; a degenerate batch
-        # (all one k-mer) could exceed it.  Scatter accumulates in int32.
+    if n_windows >= 2**24 and (
+        impl == "matmul"
+        or (
+            impl == "auto"
+            and not (k <= 10 and jax.default_backend() == "tpu")
+        )
+    ):
+        # f32 einsum accumulation is exact only below 2**24; a
+        # degenerate batch (all one k-mer) could exceed it.  Scatter
+        # accumulates in int32.  The pallas kernel (the TPU auto choice)
+        # accumulates in int32 too (int8 MXU mode) — exact for any
+        # window count, no reroute needed.
         impl = "scatter"
     if k > MAX_DENSE_SPECTRUM_K:
         raise ValueError(
@@ -93,8 +102,9 @@ def spectrum(
         )
     if impl == "auto":
         if k <= 10 and jax.default_backend() == "tpu":
-            # Deep-contraction MXU kernel, ~4x the XLA scatter
-            # throughput; the VMEM accumulator fits through k=10 (4 MB).
+            # Deep-contraction MXU kernel (int8/int32 accumulation,
+            # ~4x the XLA scatter throughput); the VMEM accumulator
+            # fits through k=10 (4 MB int32).
             impl = "pallas"
         else:
             impl = "matmul" if k <= 6 else "scatter"

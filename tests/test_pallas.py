@@ -295,3 +295,17 @@ def test_perread_int8_mxu_parity(rng, k):
     got2 = unpack_counts(np.asarray(packed), 20, mode="b4")
     np.testing.assert_array_equal(got2, want)
     assert int(np.asarray(chk).sum()) == int((want & 3).sum())
+
+
+@pytest.mark.parametrize("k", [2, 5, 8])
+def test_spectrum_int8_mxu_parity(rng, k):
+    codes = _batch(rng, 16, 120)
+    want = spectrum_np(list(codes), k)
+    got = np.asarray(
+        spectrum_pallas(jnp.asarray(codes), k, mxu_dtype="int8")
+    )
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+    got_bf = np.asarray(
+        spectrum_pallas(jnp.asarray(codes), k, mxu_dtype="bf16")
+    )
+    np.testing.assert_array_equal(got_bf.astype(np.int64), want)
