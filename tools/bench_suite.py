@@ -67,7 +67,7 @@ def main() -> None:
         "--only", default=None,
         help=(
             "comma-separated subset: golden,perread_k8,spectrum_k15,"
-            "sparse_k31,ingest,stream"
+            "spectrum_k15_sort,sparse_k31,ingest,stream"
         ),
     )
     args = ap.parse_args()
@@ -132,6 +132,24 @@ def main() -> None:
         chk = int(fn(x))
         dt = time.perf_counter() - t0
         _emit(f"spectrum_k{ks}_dense", dt, bases, "bases/s", {"checksum": chk})
+
+    # 3b. k=15 spectrum via the sort+RLE route (the TPU auto path for
+    #     k >= 11; the scatter number above is the baseline it beats).
+    if want("spectrum_k15_sort"):
+        from cfrk_tpu.ops.sparse import sparse_spectrum
+
+        ks = 15 if jax.default_backend() == "tpu" else 11
+
+        def run_sort(a):
+            hi, lo, counts = sparse_spectrum(a, ks, False)
+            return jnp.sum(counts & 3)
+
+        fn = jax.jit(run_sort)
+        _ = int(fn(x))
+        t0 = time.perf_counter()
+        chk = int(fn(x))
+        dt = time.perf_counter() - t0
+        _emit(f"spectrum_k{ks}_sort", dt, bases, "bases/s", {"checksum": chk})
 
     # 4. canonical k=31 sparse (sort + RLE).
     if want("sparse_k31"):
