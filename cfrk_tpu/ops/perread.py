@@ -102,10 +102,15 @@ def count_perread(
     w = codes.shape[-1] - k + 1
     if out_dtype == jnp.int16 and w >= 2**15:
         raise ValueError("int16 counts unsafe for >= 2**15 windows/read")
-    if w >= 2**24 and impl in ("auto", "matmul", "pallas"):
-        # The f32 accumulators stay exact only below 2**24 per bin; a
-        # repeat-dominated contig with >= 16.8M windows could saturate
-        # one.  Scatter accumulates in int32.
+    if w >= 2**24 and (
+        impl == "matmul"
+        or (impl == "auto" and jax.default_backend() != "tpu")
+    ):
+        # The f32 einsum accumulators stay exact only below 2**24 per
+        # bin; a repeat-dominated contig with >= 16.8M windows could
+        # saturate one.  Scatter accumulates in int32.  The pallas
+        # kernel (the TPU auto choice) defaults to int8/int32 MXU
+        # accumulation — exact for any window count.
         impl = "scatter"
     if k > MAX_PERREAD_K:
         raise ValueError(
