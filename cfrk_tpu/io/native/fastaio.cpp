@@ -22,6 +22,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 /* Find the end of the line starting at i (position of '\n' or n).
@@ -184,6 +185,70 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
  * its 4 lines are complete.  `is_fastq` comes from the caller's sniff
  * of the file head (a mid-file chunk cannot sniff itself).
  */
+/* One FASTA segment [lo, hi) parsed with the sequential rules.
+ * Non-tail segments end exactly at the start of a '>' line, so they
+ * parse with final=true (their last record provably ends at hi, and
+ * its end offset IS hi — the start of the next header — matching the
+ * sequential emit rule).  Only the tail segment may hold an incomplete
+ * trailing record. */
+struct SegOut {
+  std::vector<int8_t> codes;
+  std::vector<int64_t> lengths;
+  std::vector<int64_t> offsets;
+  Py_ssize_t consumed = 0;
+};
+
+void parse_fasta_segment(const unsigned char* p, Py_ssize_t lo,
+                         Py_ssize_t hi, bool final_chunk, SegOut* out) {
+  std::vector<int8_t>& codes = out->codes;
+  Py_ssize_t i = lo;
+  bool in_record = false;
+  Py_ssize_t rec_start = lo;
+  size_t rec_code_start = 0;
+  bool incomplete = false;
+  while (i < hi) {
+    Py_ssize_t eol = find_eol(p, i, hi);
+    if (eol >= hi && !final_chunk) {
+      incomplete = true; /* unterminated line: re-parse next chunk */
+      break;
+    }
+    Py_ssize_t end = eol;
+    if (end > i && p[end - 1] == '\r') end--;
+    if (end > i) {
+      if (p[i] == '>') {
+        if (in_record) {
+          out->lengths.push_back((int64_t)(codes.size() - rec_code_start));
+          out->offsets.push_back(i); /* start of the next header line */
+          out->consumed = i;
+        }
+        in_record = true;
+        rec_start = i;
+        rec_code_start = codes.size();
+      } else if (in_record) {
+        size_t base = codes.size();
+        codes.resize(base + (size_t)(end - i));
+        int8_t* dst = codes.data() + base;
+        for (Py_ssize_t j = i; j < end; j++) *dst++ = kLut.t[p[j]];
+      }
+    }
+    i = eol < hi ? eol + 1 : hi;
+  }
+  if (final_chunk) {
+    if (in_record) {
+      out->lengths.push_back((int64_t)(codes.size() - rec_code_start));
+      out->offsets.push_back(hi);
+    }
+    out->consumed = hi;
+  } else if (in_record || incomplete) {
+    /* Trailing record may continue in the next chunk: drop its
+     * partial codes and hand the bytes back via `consumed`. */
+    codes.resize(rec_code_start);
+    out->consumed = in_record ? rec_start : i;
+  } else {
+    out->consumed = i;
+  }
+}
+
 PyObject* parse_encode_stream(PyObject*, PyObject* args) {
   Py_buffer view;
   int is_fastq, final_chunk;
@@ -267,52 +332,56 @@ PyObject* parse_encode_stream(PyObject*, PyObject* args) {
       (void)rec;
     }
   } else {
-    Py_ssize_t i = 0;
-    bool in_record = false;
-    Py_ssize_t rec_start = 0;
-    size_t rec_code_start = 0;
-    bool incomplete = false;
-    while (i < n) {
-      Py_ssize_t eol = find_eol(p, i, n);
-      if (eol >= n && !final_chunk) {
-        incomplete = true; /* unterminated line: re-parse next chunk */
-        break;
-      }
-      Py_ssize_t end = eol;
-      if (end > i && p[end - 1] == '\r') end--;
-      if (end > i) {
-        if (p[i] == '>') {
-          if (in_record) {
-            lengths.push_back((int64_t)(codes.size() - rec_code_start));
-            offsets.push_back(i); /* start of the next header line */
-            consumed = i;
-          }
-          in_record = true;
-          rec_start = i;
-          rec_code_start = codes.size();
-        } else if (in_record) {
-          size_t base = codes.size();
-          codes.resize(base + (size_t)(end - i));
-          int8_t* dst = codes.data() + base;
-          for (Py_ssize_t j = i; j < end; j++) *dst++ = kLut.t[p[j]];
-        }
-      }
-      i = eol < n ? eol + 1 : n;
+    /* FASTA parses segment-parallel: split at '>' line starts (every
+     * "\n>" is a record boundary) and parse each segment with the same
+     * sequential rules; only the tail segment can hold an incomplete
+     * record.  ~Tx the single-thread parse for streaming ingest. */
+    int T = 1;
+    const Py_ssize_t kParMin = 8 << 20;
+    if (n >= kParMin) {
+      unsigned hc = std::thread::hardware_concurrency();
+      T = hc ? (int)(hc < 4 ? hc : 4) : 1;
     }
-    if (final_chunk) {
-      if (in_record) {
-        lengths.push_back((int64_t)(codes.size() - rec_code_start));
-        offsets.push_back(n);
-      }
-      consumed = n;
-    } else if (in_record || incomplete) {
-      /* Trailing record may continue in the next chunk: drop its
-       * partial codes and hand the bytes back via `consumed`. */
-      codes.resize(rec_code_start);
-      consumed = in_record ? rec_start : i;
-    } else {
-      consumed = i;
+    std::vector<Py_ssize_t> bounds;
+    bounds.push_back(0);
+    for (int t = 1; t < T; t++) {
+      Py_ssize_t target = n * t / T;
+      if (target <= bounds.back()) target = bounds.back();
+      const void* hit =
+          target < n ? memmem(p + target, (size_t)(n - target), "\n>", 2)
+                     : nullptr;
+      bounds.push_back(hit ? ((const unsigned char*)hit - p) + 1 : n);
     }
+    bounds.push_back(n);
+    std::vector<std::pair<Py_ssize_t, Py_ssize_t>> segs;
+    for (size_t t = 0; t + 1 < bounds.size(); t++)
+      if (bounds[t] < bounds[t + 1]) segs.push_back({bounds[t], bounds[t + 1]});
+    if (segs.empty()) segs.push_back({0, n});
+
+    std::vector<SegOut> outs(segs.size());
+    std::vector<std::thread> workers;
+    for (size_t t = 0; t < segs.size(); t++) {
+      const bool tail = t + 1 == segs.size();
+      workers.emplace_back(parse_fasta_segment, p, segs[t].first,
+                           segs[t].second,
+                           tail ? (bool)final_chunk : true, &outs[t]);
+    }
+    for (auto& w : workers) w.join();
+
+    size_t ncodes = 0, nrec = 0;
+    for (auto& o : outs) {
+      ncodes += o.codes.size();
+      nrec += o.lengths.size();
+    }
+    codes.reserve(ncodes);
+    lengths.reserve(nrec);
+    offsets.reserve(nrec);
+    for (auto& o : outs) {
+      codes.insert(codes.end(), o.codes.begin(), o.codes.end());
+      lengths.insert(lengths.end(), o.lengths.begin(), o.lengths.end());
+      offsets.insert(offsets.end(), o.offsets.begin(), o.offsets.end());
+    }
+    consumed = outs.back().consumed;
   }
   Py_END_ALLOW_THREADS
 
