@@ -201,6 +201,7 @@ struct SegOut {
 void parse_fasta_segment(const unsigned char* p, Py_ssize_t lo,
                          Py_ssize_t hi, bool final_chunk, SegOut* out) {
   std::vector<int8_t>& codes = out->codes;
+  codes.reserve((size_t)(hi - lo)); /* no mid-parse reallocation */
   Py_ssize_t i = lo;
   bool in_record = false;
   Py_ssize_t rec_start = lo;
