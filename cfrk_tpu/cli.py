@@ -371,6 +371,13 @@ def main(argv=None) -> int:
             f"dense spectrum needs k <= 15 (4**{args.k} bins); "
             "use --mode sparse for larger k"
         )
+    if args.impl == "sort" and args.mode != "spectrum":
+        raise SystemExit(
+            "--impl sort is the sorted-spectrum accumulation route; "
+            "it only applies to --mode spectrum"
+        )
+    if args.impl == "sort" and args.seqpar:
+        raise SystemExit("--impl sort and --seqpar are mutually exclusive")
     if len(args.inputs) > 1 and not args.out_dir:
         raise SystemExit("multiple inputs require --out-dir")
     if args.out_dir:
@@ -451,11 +458,15 @@ def _build_mesh(args):
     """
     import jax
 
-    devs = jax.devices()
+    # LOCAL devices only: under --distributed each process runs its own
+    # independent per-file jobs (host_shard deals inputs), so a mesh
+    # spanning other processes' devices would enqueue mismatched
+    # collectives and deadlock.  Single-process: local == all.
+    devs = jax.local_devices()
     n = args.devices if args.devices is not None else len(devs)
     if n > len(devs):
         raise SystemExit(
-            f"--devices {n} but only {len(devs)} visible "
+            f"--devices {n} but only {len(devs)} addressable "
             "(use --list-devices)"
         )
     if n <= 1 and args.tp == 1 and not args.seqpar:
@@ -482,6 +493,18 @@ def _run_workflow(args) -> int:
     """Multi-file run: the Swift/K workflow layer analog
     (reference swift/cfrk.swf:14-20), with retries + provenance."""
     from .runtime.workflow import count_one_factory, run_workflow
+
+    if args.mesh is not None and args.max_parallel_tasks > 1:
+        # Two threads enqueueing COLLECTIVE programs (psum/all_to_all)
+        # on the same devices can interleave per-device launch order and
+        # deadlock; a mesh-sharded run already uses every chip, so
+        # concurrency buys nothing — serialise the tasks.
+        print(
+            "# mesh run: --max-parallel-tasks forced to 1 (concurrent "
+            "collective programs on shared devices can deadlock)",
+            file=sys.stderr,
+        )
+        args.max_parallel_tasks = 1
 
     pairs = [
         (inp, _out_path(inp, args.out_dir, args.mode))

@@ -17,6 +17,8 @@ import numpy as np
 
 __all__ = [
     "HAVE_NATIVE",
+    "HAVE_STREAM_NATIVE",
+    "HAVE_PACK_NATIVE",
     "parse_encode_bytes",
     "read_fasta_encoded_native",
     "iter_record_blocks_native",
@@ -31,6 +33,12 @@ try:
 except ImportError:  # extension not built — pure-Python fallback
     _fastaio = None
     HAVE_NATIVE = False
+
+# A stale prebuilt .so from an older checkout imports fine but lacks the
+# newer entry points; gate each fast path on the symbols it needs so
+# stale builds degrade to the pure-Python path instead of crashing.
+HAVE_STREAM_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "parse_encode_stream")
+HAVE_PACK_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "pack_records")
 
 
 def parse_encode_bytes(data: bytes) -> list[np.ndarray]:

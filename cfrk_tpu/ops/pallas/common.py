@@ -26,25 +26,19 @@ __all__ = ["prep_indices", "split_k"]
 
 
 def prep_indices(
-    codes: jax.Array,
-    k: int,
-    canonical: bool,
-    wt: int,
-    rb: int,
-    reads_major: bool = False,
+    codes: jax.Array, k: int, canonical: bool, wt: int, rb: int
 ) -> tuple[jax.Array, int]:
-    """codes [B, L] int8 (B divisible by rb) → (idx, n_tiles).
+    """codes [B, L] int8 (B divisible by rb) → (idx [nb, Wpad, rb] int32,
+    n_tiles).
 
-    Wpad = n_tiles * wt; positions past W carry the 4**k sentinel.
-
-    ``reads_major=False`` (spectrum kernel): idx [nb, Wpad, rb] — windows
-    in sublanes, reads in lanes; per-read column slices ``[:, r:r+1]``
-    lane-broadcast against a [wt, 4**kh] bin iota (the rank-2 one-hot
-    construction Mosaic lowers natively).
-
-    ``reads_major=True`` (batched per-read kernel): idx [nb, rb, Wpad] —
-    Mosaic's batched ``tpu.matmul`` requires batch dims at position 0,
-    so the one-hots are built [rb, wt, 4**kh] from this layout.
+    Wpad = n_tiles * wt; positions past W carry the 4**k sentinel.  The
+    per-read-block transposed layout keeps the kernel's lane dimension
+    equal to the full rb axis (a Mosaic block-shape requirement) while
+    windows run along sublanes; per-read column slices ``[:, r:r+1]``
+    lane-broadcast against a [wt, 4**kh] bin iota — the rank-2 one-hot
+    construction Mosaic lowers natively.  (A reads-major layout feeding
+    a batched rank-3 matmul was measured and rejected — see
+    ops/pallas/perread.py.)
     """
     b, length = codes.shape
     w = length - k + 1
@@ -54,7 +48,5 @@ def prep_indices(
     pad_w = n_tiles * wt - w
     if pad_w:
         idx = jnp.pad(idx, ((0, 0), (0, pad_w)), constant_values=4**k)
-    idx = idx.reshape(b // rb, rb, n_tiles * wt)
-    if not reads_major:
-        idx = idx.transpose(0, 2, 1)
+    idx = idx.reshape(b // rb, rb, n_tiles * wt).transpose(0, 2, 1)
     return idx, n_tiles

@@ -104,13 +104,18 @@ def count_perread(
         raise ValueError("int16 counts unsafe for >= 2**15 windows/read")
     if w >= 2**24 and (
         impl == "matmul"
-        or (impl == "auto" and jax.default_backend() != "tpu")
+        or (
+            impl == "auto"
+            and 4**k > 64  # k <= 3 resolves to compare: int32, exact
+            and not (jax.default_backend() == "tpu" and k >= 5)
+        )
     ):
         # The f32 einsum accumulators stay exact only below 2**24 per
         # bin; a repeat-dominated contig with >= 16.8M windows could
         # saturate one.  Scatter accumulates in int32.  The pallas
-        # kernel (the TPU auto choice) defaults to int8/int32 MXU
-        # accumulation — exact for any window count.
+        # kernel (the TPU auto choice for k >= 5) defaults to
+        # int8/int32 MXU accumulation — exact for any window count —
+        # but auto-k=4 would land on the f32 matmul, so it reroutes.
         impl = "scatter"
     if k > MAX_PERREAD_K:
         raise ValueError(

@@ -116,10 +116,10 @@ def pad_reads_flat(
         raise ValueError(f"read of length {longest} exceeds max_len {ml}")
     if int(lengths.sum()) != len(flat):
         raise ValueError("lengths do not sum to the flat buffer size")
-    from ..io.native import _fastaio
+    from ..io.native import HAVE_PACK_NATIVE, _fastaio
 
     flat = np.ascontiguousarray(flat, dtype=np.int8)
-    if _fastaio is not None:
+    if HAVE_PACK_NATIVE:
         # memcpy/memset per record in C — multi-GB/s.  The arrays pass
         # through the buffer protocol (no serialisation copies); the
         # result view stays read-only, which every consumer honours

@@ -221,13 +221,16 @@ def _use_sorted_spectrum(k: int, impl: str, seqpar: bool = False) -> bool:
 
     Auto on TPU for k >= 11: the Pallas dense kernel's VMEM accumulator
     caps at k=10 and XLA scatter serialises (~25 Mbases/s measured,
-    docs/PERF.md).  Explicit ``impl='sort'`` forces it anywhere (CPU
-    tests); seqpar shards positions and keeps the dense accumulator.
+    docs/PERF.md).  Explicit ``impl='sort'`` forces it anywhere, for
+    ANY k (CPU tests, comparisons); seqpar shards positions and keeps
+    the dense accumulator.
     """
-    if seqpar or k <= 10:
+    if seqpar:
         return False
     if impl == "sort":
         return True
+    if k <= 10:
+        return False
     import jax
 
     return impl == "auto" and jax.default_backend() == "tpu"

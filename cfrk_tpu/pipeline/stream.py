@@ -74,9 +74,9 @@ def stream_batches(
     drops that many leading records by re-parsing (gzip fallback).
     """
     from ..io.fasta import iter_encoded_with_offsets
-    from ..io.native import HAVE_NATIVE
+    from ..io.native import HAVE_STREAM_NATIVE
 
-    if HAVE_NATIVE and not skip_reads and not _is_gzip(path):
+    if HAVE_STREAM_NATIVE and not skip_reads and not _is_gzip(path):
         # Chunked native ingest: the C++ parser encodes 64 MB blocks in
         # one pass and the flat packer assembles batches without any
         # per-read Python loop — the reference's single-pass C ingest

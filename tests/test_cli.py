@@ -425,3 +425,19 @@ def test_config_abbreviated_flag_counts_as_explicit(tmp_path, monkeypatch):
     assert main([fasta, "-k", "3", "-o", out, "--devices", "1",
                  "--batch=16", "--config", str(cfg)]) == 0
     assert seen["batch_size"] == 16  # argv (abbreviated) beat the config
+
+
+def test_cli_impl_sort_validation_and_spectrum_small_k(tmp_path):
+    """--impl sort: clean error outside spectrum mode; honored for any
+    k in spectrum mode (review round 2, finding 3)."""
+    fasta = _rand_fasta(tmp_path, n=8, seed=77)
+    out = str(tmp_path / "o.tsv")
+    with pytest.raises(SystemExit, match="only applies to --mode spectrum"):
+        main([fasta, "-k", "8", "-o", out, "--impl", "sort"])
+    # spectrum + small k: the sort route must work and match scatter.
+    out2 = str(tmp_path / "o2.tsv")
+    base = [fasta, "-k", "6", "--mode", "spectrum", "--spectrum-format",
+            "tsv", "--devices", "1"]
+    assert main(base + ["-o", out, "--impl", "sort"]) == 0
+    assert main(base + ["-o", out2, "--impl", "scatter"]) == 0
+    assert open(out).read() == open(out2).read()

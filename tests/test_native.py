@@ -278,7 +278,7 @@ def test_stream_batches_native_vs_python_parity(tmp_path, monkeypatch):
             f.write(b">r%d\n" % i + bytes(rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8), size=n)) + b"\n")
 
     native = list(st.stream_batches(p, 5, 8))
-    monkeypatch.setattr("cfrk_tpu.io.native.HAVE_NATIVE", False)
+    monkeypatch.setattr("cfrk_tpu.io.native.HAVE_STREAM_NATIVE", False)
     python = list(st.stream_batches(p, 5, 8))
     assert len(native) == len(python) == 5
     for a, b in zip(native, python):
