@@ -393,27 +393,39 @@ def main(argv=None) -> int:
         if len(args.inputs) > 1:
             args.inputs = host_shard(args.inputs)
         else:
-            # One input, N processes: every host would run the identical
-            # job and race on the same output path.  Run it on process 0
-            # only; the others exit cleanly.
+            # One input, N processes.  Per-read mode on a plain FASTA
+            # streams BYTE RANGES of the single file per host (aligned
+            # to record starts) and concatenates the per-host parts —
+            # true multi-host scale-out of one file (BASELINE config
+            # 5).  Other modes need a global reduction merge and run on
+            # process 0 only for now.
             import jax
 
             if jax.process_count() > 1:
-                if jax.process_index() != 0:
+                inp = args.inputs[0]
+                rangeable = (
+                    args.mode == "perread"
+                    and not str(inp).endswith(".gz")
+                    and _sniff_fasta(inp)
+                )
+                if rangeable:
+                    args.stream = True
+                    args.byte_ranged = True
+                elif jax.process_index() != 0:
                     print(
                         "# single input with --distributed: process "
-                        f"{jax.process_index()} has no work (process 0 "
-                        "runs it); shard the input file for multi-host "
-                        "throughput",
+                        f"{jax.process_index()} has no work in mode "
+                        f"{args.mode} (process 0 runs it)",
                         file=sys.stderr,
                     )
                     return 0
-                print(
-                    "# single input with --distributed runs on process 0 "
-                    "only — split the input into shards for multi-host "
-                    "throughput",
-                    file=sys.stderr,
-                )
+                else:
+                    print(
+                        "# single input with --distributed runs on "
+                        "process 0 only in this mode — shard the input "
+                        "for multi-host throughput",
+                        file=sys.stderr,
+                    )
 
     args.mesh = _build_mesh(args)
     if (
@@ -443,9 +455,75 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     with profile_cm:
+        if getattr(args, "byte_ranged", False):
+            return _run_byte_ranged(args, t0)
         if len(args.inputs) > 1:
             return _run_workflow(args)
         return _run_inputs(args, t0)
+
+
+def _sniff_fasta(path) -> bool:
+    """True when the file's first non-blank byte is '>' (plain FASTA —
+    byte-range sharding needs unambiguous record starts; '@' quality
+    lines make FASTQ ranges ambiguous)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(256)
+    except OSError:
+        return False
+    return head.lstrip(b"\r\n")[:1] == b">"
+
+
+def _run_byte_ranged(args, t0) -> int:
+    """Multi-host single-file per-read run: each process streams its
+    record-aligned byte range into `<out>.partN`; a cross-host barrier
+    then lets process 0 splice the parts into the final `.cfrk`
+    (rows are newline-joined with no trailing newline, so parts join
+    with one '\\n')."""
+    import jax
+
+    from .parallel.distributed import host_byte_range
+    from .pipeline.stream import stream_count_file
+
+    inp = args.inputs[0]
+    out = args.output or _out_path(inp, args.out_dir or ".", args.mode)
+    pi, pc = jax.process_index(), jax.process_count()
+    start, limit = host_byte_range(inp)
+    part = f"{out}.part{pi}"
+    m = stream_count_file(
+        inp, part, args.k,
+        canonical=args.canonical, impl=args.impl,
+        batch_size=args.batch_size, resume=args.resume,
+        checkpoint_every=args.checkpoint_every or 1,
+        nonzero=args.nonzero, packed=args.packed,
+        mesh=args.mesh, seqpar=args.seqpar,
+        byte_range=(start, limit),
+    )
+    if args.stats:
+        print(m.json_line(), file=sys.stderr)
+    # Every part must exist before the splice.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("cfrk-parts-written")
+    if pi == 0:
+        with open(out, "wb") as f:
+            wrote_any = False
+            for i in range(pc):
+                with open(f"{out}.part{i}", "rb") as pf:
+                    data = pf.read()
+                if not data:
+                    continue
+                if wrote_any:
+                    f.write(b"\n")
+                f.write(data)
+                wrote_any = True
+        for i in range(pc):
+            os.remove(f"{out}.part{i}")
+    # Parts must not disappear before process 0 reads them — but the
+    # remove above runs on process 0 itself, so a second barrier is only
+    # needed to stop OTHER processes exiting early on shared teardown.
+    multihost_utils.sync_global_devices("cfrk-parts-spliced")
+    return 0
 
 
 def _build_mesh(args):

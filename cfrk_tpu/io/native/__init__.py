@@ -59,7 +59,10 @@ def parse_encode_bytes(data: bytes) -> list[np.ndarray]:
 
 
 def iter_record_blocks_native(
-    path, start_offset: int | None = None, block_size: int = 64 << 20
+    path,
+    start_offset: int | None = None,
+    block_size: int = 64 << 20,
+    limit_offset: int | None = None,
 ):
     """Stream (flat_codes int8, lengths int64, end_offsets int64) blocks
     through the chunked C++ parser (plain uncompressed files only).
@@ -72,6 +75,12 @@ def iter_record_blocks_native(
     the read size until it fits.  This replaces the per-line Python
     ``readline`` loop for streaming-scale ingest (the reference's ingest
     was a single C pass, reference src/fastaIO.h:24-102).
+
+    ``limit_offset``: stop BEFORE the first record whose start position
+    is >= limit (a FASTA record's start equals the previous record's
+    end offset, so byte-range host sharding covers every record exactly
+    once when ranges abut at aligned boundaries — see
+    parallel/distributed.align_to_record).
     """
     if _fastaio is None:
         raise RuntimeError("native extension not built")
@@ -97,6 +106,7 @@ def iter_record_blocks_native(
             fq = buf.lstrip(b"\r\n")[:1] == b"@" if fastq is None else fastq
             return buf, fq, final, _fastaio.parse_encode_stream(buf, fq, final)
 
+        rec_start = base  # start position of the next record to yield
         fut = pool.submit(read_parse, carry, bs, fastq)
         while True:
             got = fut.result()
@@ -110,11 +120,20 @@ def iter_record_blocks_native(
                 fut = pool.submit(read_parse, carry, bs, fastq)
             lens = np.frombuffer(lens_b, dtype=np.int64)
             if len(lens):
-                yield (
-                    np.frombuffer(codes_b, dtype=np.int8),
-                    lens,
-                    np.frombuffer(offs_b, dtype=np.int64) + base,
-                )
+                codes = np.frombuffer(codes_b, dtype=np.int8)
+                offs = np.frombuffer(offs_b, dtype=np.int64) + base
+                if limit_offset is not None:
+                    # record i starts at offs[i-1] (rec_start for i=0):
+                    # keep records starting BEFORE the limit.
+                    starts = np.concatenate(([rec_start], offs[:-1]))
+                    keep = int(np.searchsorted(starts, limit_offset, "left"))
+                    if keep < len(lens):
+                        nbytes = int(lens[:keep].sum())
+                        if keep:
+                            yield codes[:nbytes], lens[:keep], offs[:keep]
+                        return
+                    rec_start = int(offs[-1])
+                yield codes, lens, offs
             if final:
                 return
             base += consumed

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["maybe_initialize_distributed", "host_shard"]
+__all__ = [
+    "maybe_initialize_distributed",
+    "host_shard",
+    "align_to_record",
+    "host_byte_range",
+]
 
 _COORD_VARS = (
     "JAX_COORDINATOR_ADDRESS",
@@ -59,10 +64,62 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        if "already initialized" in str(e):
+        msg = str(e)
+        if "already initialized" in msg or "only be called once" in msg:
             return False
         raise
     return True
+
+
+def align_to_record(path, target: int) -> int:
+    """Smallest FASTA record-start offset >= target (plain files).
+
+    A record starts at a '>' that begins a line, i.e. at position 0 or
+    just after a newline; scanning for b"\\n>" from target-1 finds it.
+    Used to split ONE large file into per-host byte ranges that cover
+    every record exactly once: host i streams records whose start lies
+    in [align(size*i/n), size*(i+1)/n) — no record can start between a
+    raw cut and its aligned position, so abutting raw cuts partition
+    the record set exactly.
+    """
+    if target <= 0:
+        return 0
+    size = os.path.getsize(path)
+    if target >= size:
+        return size
+    with open(path, "rb") as f:
+        pos = target - 1  # include a preceding '\n' at target-1
+        f.seek(pos)
+        prev = b""
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                return size
+            buf = prev + chunk
+            i = buf.find(b"\n>")
+            if i >= 0:
+                return pos - len(prev) + i + 1
+            pos += len(chunk)
+            prev = buf[-1:]
+
+
+def host_byte_range(
+    path, process_index: int | None = None, process_count: int | None = None
+) -> tuple[int, int]:
+    """This host's (start, limit) byte range of a single shared FASTA.
+
+    ``start`` is record-aligned; ``limit`` is the raw cut — consumers
+    stop before the first record STARTING at or past it (the next
+    host's aligned start), so ranges partition the records exactly.
+    """
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    size = os.path.getsize(path)
+    start = align_to_record(path, size * pi // pc)
+    limit = size * (pi + 1) // pc if pi + 1 < pc else size
+    return start, limit
 
 
 def host_shard(paths: list, process_index: int | None = None,

@@ -63,6 +63,7 @@ def stream_batches(
     *,
     skip_reads: int = 0,
     start_offset: int | None = None,
+    limit_offset: int | None = None,
     len_base: int = 128,
 ) -> Iterator[ReadBatch]:
     """Stream fixed-shape batches from a FASTA file, preserving read order.
@@ -72,6 +73,8 @@ def stream_batches(
     record, plain files only).  Resume paths: ``start_offset`` seeks
     straight to a record boundary (O(1), plain files); ``skip_reads``
     drops that many leading records by re-parsing (gzip fallback).
+    ``limit_offset`` stops before the first record STARTING at or past
+    it (byte-range host sharding; see parallel/distributed).
     """
     from ..io.fasta import iter_encoded_with_offsets
     from ..io.native import HAVE_STREAM_NATIVE
@@ -82,12 +85,13 @@ def stream_batches(
         # per-read Python loop — the reference's single-pass C ingest
         # (src/fastaIO.h:24-102) at streaming scale.
         yield from _stream_batches_flat(
-            path, k, batch_size, start_offset, len_base
+            path, k, batch_size, start_offset, len_base, limit_offset
         )
         return
 
     buf: list[np.ndarray] = []
     last_off: int | None = None
+    prev_end = start_offset or 0  # start position of the next record
 
     def flush() -> ReadBatch:
         longest = max(max(len(r) for r in buf), k)
@@ -97,6 +101,10 @@ def stream_batches(
     for i, (codes, off) in enumerate(
         iter_encoded_with_offsets(path, start_offset=start_offset)
     ):
+        if limit_offset is not None and prev_end >= limit_offset:
+            break
+        if off is not None:
+            prev_end = off
         if i < skip_reads:
             continue
         buf.append(codes)
@@ -116,7 +124,12 @@ def _is_gzip(path) -> bool:
 
 
 def _stream_batches_flat(
-    path, k: int, batch_size: int, start_offset: int | None, len_base: int
+    path,
+    k: int,
+    batch_size: int,
+    start_offset: int | None,
+    len_base: int,
+    limit_offset: int | None = None,
 ) -> Iterator[ReadBatch]:
     """Native-ingest batch assembly (plain files): flat blocks in,
     fixed-shape padded batches out.  Shape semantics identical to the
@@ -142,7 +155,7 @@ def _stream_batches_flat(
         return b
 
     for bflat, blens, boffs in iter_record_blocks_native(
-        path, start_offset=start_offset
+        path, start_offset=start_offset, limit_offset=limit_offset
     ):
         flat = np.concatenate([flat, bflat]) if flat.size else np.asarray(bflat)
         lens = np.concatenate([lens, blens]) if lens.size else np.asarray(blens)
@@ -211,13 +224,22 @@ def _prefetched(
         t.join(timeout=5)
 
 
-def _resume_batches(path, k: int, batch_size: int, ckpt) -> Iterator[ReadBatch]:
+def _resume_batches(
+    path, k: int, batch_size: int, ckpt, byte_range=None
+) -> Iterator[ReadBatch]:
     """Batch stream honouring a checkpoint: O(1) seek for plain files,
     re-parse + skip for gzip (with a loud warning — decompress first for
     large inputs; a gzip stream has no random access, so byte-offset
-    resume cannot apply)."""
+    resume cannot apply).  ``byte_range=(start, limit)`` restricts the
+    stream to records starting in that range (multi-host single-file
+    sharding; plain files only)."""
+    start = byte_range[0] if byte_range else None
+    limit = byte_range[1] if byte_range else None
     if ckpt.reads_done and ckpt.input_offset is not None:
-        return stream_batches(path, k, batch_size, start_offset=ckpt.input_offset)
+        return stream_batches(
+            path, k, batch_size, start_offset=ckpt.input_offset,
+            limit_offset=limit,
+        )
     if ckpt.reads_done and _is_gzip(path):
         import sys
 
@@ -227,7 +249,10 @@ def _resume_batches(path, k: int, batch_size: int, ckpt) -> Iterator[ReadBatch]:
             "decompress the input first for large runs",
             file=sys.stderr,
         )
-    return stream_batches(path, k, batch_size, skip_reads=ckpt.reads_done)
+    return stream_batches(
+        path, k, batch_size, skip_reads=ckpt.reads_done,
+        start_offset=start, limit_offset=limit,
+    )
 
 
 def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
@@ -320,6 +345,7 @@ def stream_count_file(
     mesh=None,
     seqpar: bool = False,
     packed: bool = False,
+    byte_range=None,
     metrics: RunMetrics | None = None,
 ) -> RunMetrics:
     """Stream a FASTA file into a `.cfrk` file with bounded memory.
@@ -339,6 +365,11 @@ def stream_count_file(
     """
     if packed and (mesh is not None or k > 8):
         raise ValueError("packed mode is single-device and needs k <= 8")
+    if byte_range is not None and _is_gzip(path):
+        raise ValueError(
+            "byte_range needs a plain (uncompressed) input: a gzip "
+            "stream has no random access"
+        )
     if str(out_path).endswith(".gz"):
         raise ValueError(
             "streaming .gz output is unsupported (checkpoints need byte "
@@ -370,9 +401,12 @@ def stream_count_file(
     if not seqpar:  # seqpar shards positions, not batch rows
         _check_mesh_batch(mesh, batch_size)
     m = metrics or RunMetrics(k=k, mode="perread")
-    fp = StreamCheckpoint.fingerprint_of(
-        path, k, "perread-nonzero" if nonzero else "perread", canonical
-    )
+    mode_tag = "perread-nonzero" if nonzero else "perread"
+    if byte_range is not None:
+        # A ranged run is a DIFFERENT unit of work from a whole-file
+        # run: resume must never mix their checkpoints.
+        mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
+    fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
     cpath = checkpoint_path(out_path)
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -397,7 +431,7 @@ def stream_count_file(
         w = CfrkWriter(f, continuing=ckpt.reads_done > 0, nonzero=nonzero)
 
         # O(1) seek resume for plain files; gzip warns and re-parses.
-        gen = _resume_batches(path, k, batch_size, ckpt)
+        gen = _resume_batches(path, k, batch_size, ckpt, byte_range)
         pending: list = []
         since_ckpt = 0
 

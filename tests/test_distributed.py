@@ -143,3 +143,93 @@ def test_two_process_distributed_spectrum(tmp_path):
     codes[rng.random(codes.shape) < 0.05] = -1
     want = spectrum_np(list(codes), 4)
     np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+_CLI_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from cfrk_tpu.parallel.distributed import maybe_initialize_distributed
+
+    assert maybe_initialize_distributed()
+    from cfrk_tpu.cli import main
+
+    fasta = os.environ["CFRK_TEST_FASTA"]
+    out = os.environ["CFRK_TEST_OUT"]
+    rc = main([fasta, "-k", "4", "-o", out, "--distributed",
+               "--batch-size", "8", "--devices", "1"])
+    assert rc == 0, rc
+    print("WORKER_DONE")
+    """
+)
+
+
+def test_two_process_cli_byte_ranged_single_file(tmp_path):
+    """The full multi-host single-file CLI path: 2 real processes each
+    stream their record-aligned byte range, process 0 splices the parts
+    — byte-identical to a single-process run."""
+    try:
+        port = _free_port()
+    except OSError:
+        pytest.skip("local sockets unavailable")
+    rng = np.random.default_rng(3)
+    fasta = tmp_path / "big.fasta"
+    with open(fasta, "wb") as f:
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for i in range(64):
+            n = int(rng.integers(20, 120))
+            f.write(b">r%d\n" % i + bytes(rng.choice(bases, size=n)) + b"\n")
+
+    # Single-process oracle.
+    from cfrk_tpu.cli import main as cli_main
+
+    want_out = tmp_path / "want.cfrk"
+    assert cli_main([str(fasta), "-k", "4", "-o", str(want_out),
+                     "--devices", "1"]) == 0
+
+    worker = tmp_path / "cli_worker.py"
+    worker.write_text(_CLI_WORKER)
+    out = tmp_path / "got.cfrk"
+    env_base = {
+        **os.environ,
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "CFRK_TEST_FASTA": str(fasta),
+        "CFRK_TEST_OUT": str(out),
+        "PYTHONPATH": os.pathsep.join(
+            [str(Path(__file__).resolve().parent.parent)]
+            + [
+                p
+                for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                if p and "axon" not in p
+            ]
+        ),
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = []
+    for i in range(2):
+        env = {**env_base, "JAX_PROCESS_ID": str(i)}
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            o, e = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed coordinator timed out in this sandbox")
+        outs.append((p.returncode, o, e))
+    for rc, o, e in outs:
+        assert rc == 0 and "WORKER_DONE" in o, f"worker failed:\n{e[-2000:]}"
+    assert out.read_bytes() == want_out.read_bytes()
+    # parts cleaned up
+    assert not list(tmp_path.glob("got.cfrk.part*"))

@@ -691,3 +691,87 @@ def test_gzip_resume_warns_and_completes(tmp_path, capsys):
     assert m.reads == 12
     assert out.read_bytes() == want
     assert "decompress the input first" in capsys.readouterr().err
+
+
+def test_byte_range_partition_exact(tmp_path):
+    """Splitting one FASTA into N record-aligned byte ranges and
+    streaming each range must reproduce the whole-file run exactly
+    (multi-host single-file sharding, BASELINE config 5)."""
+    from cfrk_tpu.parallel.distributed import align_to_record
+
+    rng = np.random.default_rng(55)
+    reads = _random_reads(57, rng, lo=10, hi=200)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    size = os.path.getsize(fasta)
+
+    full = [
+        (b.codes[i, : b.lengths[i]].tolist())
+        for b in stream_batches(fasta, 4, 8)
+        for i in range(b.n_reads)
+    ]
+    for n_hosts in (2, 3, 5):
+        got = []
+        for pi in range(n_hosts):
+            start = align_to_record(fasta, size * pi // n_hosts)
+            limit = size * (pi + 1) // n_hosts if pi + 1 < n_hosts else size
+            for b in stream_batches(
+                fasta, 4, 8, start_offset=start, limit_offset=limit
+            ):
+                for i in range(b.n_reads):
+                    got.append(b.codes[i, : b.lengths[i]].tolist())
+        assert got == full, f"partition mismatch at n_hosts={n_hosts}"
+
+
+def test_byte_range_partition_python_fallback(tmp_path, monkeypatch):
+    """Same partition exactness through the pure-Python record path."""
+    from cfrk_tpu.parallel.distributed import align_to_record
+    import cfrk_tpu.pipeline.stream as st
+
+    monkeypatch.setattr("cfrk_tpu.io.native.HAVE_STREAM_NATIVE", False)
+    rng = np.random.default_rng(56)
+    reads = _random_reads(23, rng, lo=10, hi=90)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    size = os.path.getsize(fasta)
+    full = [
+        b.codes[i, : b.lengths[i]].tolist()
+        for b in st.stream_batches(fasta, 3, 4)
+        for i in range(b.n_reads)
+    ]
+    got = []
+    for pi in range(3):
+        start = align_to_record(fasta, size * pi // 3)
+        limit = size * (pi + 1) // 3 if pi < 2 else size
+        for b in st.stream_batches(
+            fasta, 3, 4, start_offset=start, limit_offset=limit
+        ):
+            for i in range(b.n_reads):
+                got.append(b.codes[i, : b.lengths[i]].tolist())
+    assert got == full
+
+
+def test_stream_count_byte_range_splice(tmp_path):
+    """Per-range .cfrk parts spliced with '\\n' equal the whole-file
+    output byte-for-byte (the multi-host CLI's concatenation step)."""
+    from cfrk_tpu.parallel.distributed import align_to_record
+
+    rng = np.random.default_rng(57)
+    reads = _random_reads(31, rng, lo=15, hi=120)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    size = os.path.getsize(fasta)
+    whole = tmp_path / "whole.cfrk"
+    stream_count_file(fasta, whole, 4, batch_size=8)
+
+    parts = []
+    for pi in range(3):
+        start = align_to_record(fasta, size * pi // 3)
+        limit = size * (pi + 1) // 3 if pi < 2 else size
+        p = tmp_path / f"part{pi}.cfrk"
+        stream_count_file(
+            fasta, p, 4, batch_size=8, byte_range=(start, limit)
+        )
+        parts.append(p.read_bytes())
+    spliced = b"\n".join(x for x in parts if x)
+    assert spliced == whole.read_bytes()

@@ -35,6 +35,7 @@ def main() -> None:
     ap.add_argument("--packed", default="none", choices=["none", "fh", "b4"])
     ap.add_argument("--checksum", action="store_true")
     ap.add_argument("--mxu", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--op", default="perread", choices=["perread", "spectrum"])
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--distinct", type=int, default=4)
     args = ap.parse_args()
@@ -55,21 +56,32 @@ def main() -> None:
         )
     )
 
-    def one(x):
-        return count_perread_pallas(
-            x,
-            args.k,
-            read_block=args.rb,
-            window_block=args.wb,
-            packed=packed,
-            checksum=args.checksum,
-            mxu_dtype=args.mxu,
-        )
+    if args.op == "spectrum":
+        from cfrk_tpu.ops.pallas.spectrum import spectrum_pallas
 
-    if args.checksum:
-        step_val = jax.jit(lambda x: jnp.sum(one(x)[1]))
-    else:
+        def one(x):
+            return spectrum_pallas(x, args.k, mxu_dtype=args.mxu)
+
         step_val = jax.jit(lambda x: jnp.sum(one(x) & 3, dtype=jnp.int32))
+    else:
+
+        def one(x):
+            return count_perread_pallas(
+                x,
+                args.k,
+                read_block=args.rb,
+                window_block=args.wb,
+                packed=packed,
+                checksum=args.checksum,
+                mxu_dtype=args.mxu,
+            )
+
+        if args.checksum:
+            step_val = jax.jit(lambda x: jnp.sum(one(x)[1]))
+        else:
+            step_val = jax.jit(
+                lambda x: jnp.sum(one(x) & 3, dtype=jnp.int32)
+            )
 
     t0 = time.perf_counter()
     _ = int(np.asarray(step_val(xs[0])))
@@ -103,6 +115,7 @@ def main() -> None:
                 "packed": args.packed,
                 "checksum": args.checksum,
                 "mxu": args.mxu,
+                "op": args.op,
                 "compile_s": round(compile_s, 1),
                 "scan_compile_s": round(scan_compile_s, 1),
                 "steps": args.steps,
