@@ -404,9 +404,7 @@ def main(argv=None) -> int:
             if jax.process_count() > 1:
                 inp = args.inputs[0]
                 rangeable = (
-                    args.mode == "perread"
-                    and not str(inp).endswith(".gz")
-                    and _sniff_fasta(inp)
+                    not str(inp).endswith(".gz") and _sniff_fasta(inp)
                 )
                 if rangeable:
                     args.stream = True
@@ -475,54 +473,110 @@ def _sniff_fasta(path) -> bool:
 
 
 def _run_byte_ranged(args, t0) -> int:
-    """Multi-host single-file per-read run: each process streams its
+    """Multi-host single-file run: each process streams its
     record-aligned byte range into `<out>.partN`; a cross-host barrier
-    then lets process 0 splice the parts into the final `.cfrk`
-    (rows are newline-joined with no trailing newline, so parts join
-    with one '\\n')."""
+    then lets process 0 merge the parts — splicing `.cfrk` rows for
+    per-read mode (newline-joined, no trailing newline), summing dense
+    spectrum tables, or np.unique-merging sparse (keys, counts)."""
     import jax
 
     from .parallel.distributed import host_byte_range
-    from .pipeline.stream import stream_count_file
 
     inp = args.inputs[0]
     out = args.output or _out_path(inp, args.out_dir or ".", args.mode)
     pi, pc = jax.process_index(), jax.process_count()
     start, limit = host_byte_range(inp)
     part = f"{out}.part{pi}"
-    m = stream_count_file(
-        inp, part, args.k,
-        canonical=args.canonical, impl=args.impl,
-        batch_size=args.batch_size, resume=args.resume,
-        checkpoint_every=args.checkpoint_every or 1,
-        nonzero=args.nonzero, packed=args.packed,
-        mesh=args.mesh, seqpar=args.seqpar,
-        byte_range=(start, limit),
-    )
+    if args.mode == "perread":
+        from .pipeline.stream import stream_count_file
+
+        m = stream_count_file(
+            inp, part, args.k,
+            canonical=args.canonical, impl=args.impl,
+            batch_size=args.batch_size, resume=args.resume,
+            checkpoint_every=args.checkpoint_every or 1,
+            nonzero=args.nonzero, packed=args.packed,
+            mesh=args.mesh, seqpar=args.seqpar,
+            byte_range=(start, limit),
+        )
+    elif args.mode == "spectrum":
+        from .pipeline.stream import stream_spectrum_file
+
+        table, m = stream_spectrum_file(
+            inp, args.k,
+            canonical=args.canonical, impl=args.impl,
+            batch_size=args.batch_size, out_path=part,
+            resume=args.resume,
+            checkpoint_every=args.checkpoint_every or 16,
+            mesh=args.mesh, seqpar=args.seqpar,
+            byte_range=(start, limit),
+        )
+        with open(part, "wb") as f:
+            np.save(f, table)
+    else:  # sparse
+        from .pipeline.stream import stream_sparse_spectrum_file
+
+        keys, cnts, m = stream_sparse_spectrum_file(
+            inp, args.k,
+            canonical=args.canonical, batch_size=args.batch_size,
+            out_path=part, resume=args.resume,
+            checkpoint_every=args.checkpoint_every or 64,
+            mesh=args.mesh, slack=args.slack,
+            byte_range=(start, limit),
+        )
+        with open(part, "wb") as f:
+            np.savez(f, keys=keys, counts=cnts)
     if args.stats:
         print(m.json_line(), file=sys.stderr)
-    # Every part must exist before the splice.
+    # Every part must exist before the merge.
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("cfrk-parts-written")
     if pi == 0:
-        with open(out, "wb") as f:
-            wrote_any = False
-            for i in range(pc):
-                with open(f"{out}.part{i}", "rb") as pf:
-                    data = pf.read()
-                if not data:
-                    continue
-                if wrote_any:
-                    f.write(b"\n")
-                f.write(data)
-                wrote_any = True
-        for i in range(pc):
-            os.remove(f"{out}.part{i}")
-    # Parts must not disappear before process 0 reads them — but the
-    # remove above runs on process 0 itself, so a second barrier is only
-    # needed to stop OTHER processes exiting early on shared teardown.
-    multihost_utils.sync_global_devices("cfrk-parts-spliced")
+        parts = [f"{out}.part{i}" for i in range(pc)]
+        if args.mode == "perread":
+            with open(out, "wb") as f:
+                wrote_any = False
+                for p in parts:
+                    with open(p, "rb") as pf:
+                        data = pf.read()
+                    if not data:
+                        continue
+                    if wrote_any:
+                        f.write(b"\n")
+                    f.write(data)
+                    wrote_any = True
+        elif args.mode == "spectrum":
+            total = None
+            for p in parts:
+                t = np.load(p)
+                total = t if total is None else total + t
+            _write_spectrum(out, total, args.spectrum_format, args.min_count)
+        else:
+            from .ops.sparse import decode_key
+
+            all_keys, all_cnts = [], []
+            for p in parts:
+                z = np.load(p)
+                all_keys.append(z["keys"])
+                all_cnts.append(z["counts"])
+            keys = np.concatenate(all_keys)
+            cnts = np.concatenate(all_cnts)
+            # Byte-range partition means no key duplication ACROSS parts
+            # only for per-read; sparse keys DO repeat across ranges —
+            # merge with a unique-sum.
+            uniq, inv = np.unique(keys, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, cnts)
+            with open(out, "w") as f:
+                for key, cnt in zip(uniq.tolist(), sums.tolist()):
+                    if cnt >= args.min_count:
+                        f.write(f"{decode_key(key, args.k)}\t{cnt}\n")
+        for p in parts:
+            os.remove(p)
+    # Keep every process alive until the merge completed (shared FS
+    # teardown must not race the part reads on process 0).
+    multihost_utils.sync_global_devices("cfrk-parts-merged")
     return 0
 
 

@@ -508,6 +508,7 @@ def stream_spectrum_file(
     mesh=None,
     seqpar: bool = False,
     cleanup: bool = True,
+    byte_range=None,
     metrics: RunMetrics | None = None,
 ) -> tuple[np.ndarray, RunMetrics]:
     """Stream a FASTA file into one global dense spectrum [4**k] int64.
@@ -531,7 +532,7 @@ def stream_spectrum_file(
             path, k, canonical=canonical, batch_size=batch_size,
             out_path=out_path, resume=resume,
             checkpoint_every=checkpoint_every, mesh=mesh,
-            cleanup=cleanup, metrics=metrics,
+            cleanup=cleanup, byte_range=byte_range, metrics=metrics,
         )
         total = np.zeros(4**k, dtype=np.int64)
         total[keys] = counts
@@ -543,7 +544,10 @@ def stream_spectrum_file(
         k, canonical, impl, mesh, "spectrum", seqpar=seqpar
     )
     m = metrics or RunMetrics(k=k, mode="spectrum")
-    fp = StreamCheckpoint.fingerprint_of(path, k, "spectrum", canonical)
+    mode_tag = "spectrum"
+    if byte_range is not None:
+        mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
+    fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
     cpath = checkpoint_path(out_path) if out_path else None
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -573,7 +577,7 @@ def stream_spectrum_file(
             total_dev = None
         windows_since_spill = 0
 
-    gen = _resume_batches(path, k, batch_size, ckpt)
+    gen = _resume_batches(path, k, batch_size, ckpt, byte_range)
     since_ckpt = 0
     for batch in _prefetched(gen, metrics=m):
         batch_windows = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
@@ -621,6 +625,7 @@ def stream_sparse_spectrum_file(
     cleanup: bool = True,
     mesh=None,
     slack: float = 2.0,
+    byte_range=None,
     metrics: RunMetrics | None = None,
 ):
     """Stream a FASTA file into a sparse spectrum for large k (16..31).
@@ -644,7 +649,10 @@ def stream_sparse_spectrum_file(
         _check_mesh_batch(mesh, batch_size)
 
     m = metrics or RunMetrics(k=k, mode="sparse")
-    fp = StreamCheckpoint.fingerprint_of(path, k, "sparse", canonical)
+    mode_tag = "sparse"
+    if byte_range is not None:
+        mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
+    fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
     cpath = checkpoint_path(out_path) if out_path else None
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -658,7 +666,7 @@ def stream_sparse_spectrum_file(
             except (OSError, ValueError, KeyError):
                 pass  # torn sidecar: restart from scratch
 
-    gen = _resume_batches(path, k, batch_size, ckpt)
+    gen = _resume_batches(path, k, batch_size, ckpt, byte_range)
     since_ckpt = 0
     for batch in _prefetched(gen, metrics=m):
         with m.stage("dispatch"):

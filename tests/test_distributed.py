@@ -147,7 +147,7 @@ def test_two_process_distributed_spectrum(tmp_path):
 
 _CLI_WORKER = textwrap.dedent(
     """
-    import os, sys
+    import json, os, sys
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -156,20 +156,19 @@ _CLI_WORKER = textwrap.dedent(
     assert maybe_initialize_distributed()
     from cfrk_tpu.cli import main
 
-    fasta = os.environ["CFRK_TEST_FASTA"]
-    out = os.environ["CFRK_TEST_OUT"]
-    rc = main([fasta, "-k", "4", "-o", out, "--distributed",
-               "--batch-size", "8", "--devices", "1"])
+    argv = json.loads(os.environ["CFRK_TEST_ARGV"])
+    rc = main(argv)
     assert rc == 0, rc
     print("WORKER_DONE")
     """
 )
 
 
-def test_two_process_cli_byte_ranged_single_file(tmp_path):
+@pytest.mark.parametrize("mode", ["perread", "spectrum", "sparse"])
+def test_two_process_cli_byte_ranged_single_file(tmp_path, mode):
     """The full multi-host single-file CLI path: 2 real processes each
-    stream their record-aligned byte range, process 0 splices the parts
-    — byte-identical to a single-process run."""
+    stream their record-aligned byte range, process 0 merges the parts
+    — byte-identical to a single-process run, for every mode."""
     try:
         port = _free_port()
     except OSError:
@@ -182,22 +181,30 @@ def test_two_process_cli_byte_ranged_single_file(tmp_path):
             n = int(rng.integers(20, 120))
             f.write(b">r%d\n" % i + bytes(rng.choice(bases, size=n)) + b"\n")
 
+    mode_args = {
+        "perread": ["-k", "4"],
+        "spectrum": ["-k", "5", "--mode", "spectrum",
+                     "--spectrum-format", "tsv"],
+        "sparse": ["-k", "19", "--mode", "sparse"],
+    }[mode]
+
     # Single-process oracle.
     from cfrk_tpu.cli import main as cli_main
 
-    want_out = tmp_path / "want.cfrk"
-    assert cli_main([str(fasta), "-k", "4", "-o", str(want_out),
+    want_out = tmp_path / "want.out"
+    assert cli_main([str(fasta), *mode_args, "-o", str(want_out),
                      "--devices", "1"]) == 0
 
     worker = tmp_path / "cli_worker.py"
     worker.write_text(_CLI_WORKER)
-    out = tmp_path / "got.cfrk"
+    out = tmp_path / "got.out"
+    argv = [str(fasta), *mode_args, "-o", str(out), "--distributed",
+            "--batch-size", "8", "--devices", "1"]
     env_base = {
         **os.environ,
         "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
         "JAX_NUM_PROCESSES": "2",
-        "CFRK_TEST_FASTA": str(fasta),
-        "CFRK_TEST_OUT": str(out),
+        "CFRK_TEST_ARGV": json.dumps(argv),
         "PYTHONPATH": os.pathsep.join(
             [str(Path(__file__).resolve().parent.parent)]
             + [
@@ -232,4 +239,4 @@ def test_two_process_cli_byte_ranged_single_file(tmp_path):
         assert rc == 0 and "WORKER_DONE" in o, f"worker failed:\n{e[-2000:]}"
     assert out.read_bytes() == want_out.read_bytes()
     # parts cleaned up
-    assert not list(tmp_path.glob("got.cfrk.part*"))
+    assert not list(tmp_path.glob("got.out.part*"))
