@@ -67,7 +67,7 @@ def main() -> None:
         "--only", default=None,
         help=(
             "comma-separated subset: golden,perread_k8,spectrum_k15,"
-            "spectrum_k15_sort,sparse_k31,ingest,stream"
+            "spectrum_k8_pallas,spectrum_k15_sort,sparse_k31,ingest,stream"
         ),
     )
     args = ap.parse_args()
@@ -132,6 +132,19 @@ def main() -> None:
         chk = int(fn(x))
         dt = time.perf_counter() - t0
         _emit(f"spectrum_k{ks}_dense", dt, bases, "bases/s", {"checksum": chk})
+
+    # 3a. dense spectrum k=8 via the Pallas int8 kernel (the TPU auto
+    #     path for k <= 10).
+    if want("spectrum_k8_pallas"):
+        from cfrk_tpu.ops.spectrum import spectrum as _sp
+
+        impl_sp = "pallas" if jax.default_backend() == "tpu" else "scatter"
+        fn = jax.jit(lambda a: jnp.sum(_sp(a, 8, impl=impl_sp) & 3))
+        _ = int(fn(x))
+        t0 = time.perf_counter()
+        chk = int(fn(x))
+        dt = time.perf_counter() - t0
+        _emit("spectrum_k8_pallas", dt, bases, "bases/s", {"checksum": chk})
 
     # 3b. k=15 spectrum via the sort+RLE route (the TPU auto path for
     #     k >= 11; the scatter number above is the baseline it beats).
