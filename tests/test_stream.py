@@ -775,3 +775,33 @@ def test_stream_count_byte_range_splice(tmp_path):
         parts.append(p.read_bytes())
     spliced = b"\n".join(x for x in parts if x)
     assert spliced == whole.read_bytes()
+
+
+def test_byte_range_random_cuts_fuzz(tmp_path):
+    """ANY ascending set of raw cut points must partition the records
+    exactly (cuts land mid-record, mid-header, on boundaries...)."""
+    from cfrk_tpu.parallel.distributed import align_to_record
+
+    rng = np.random.default_rng(58)
+    reads = _random_reads(40, rng, lo=5, hi=150)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    size = os.path.getsize(fasta)
+    full = [
+        b.codes[i, : b.lengths[i]].tolist()
+        for b in stream_batches(fasta, 3, 8)
+        for i in range(b.n_reads)
+    ]
+    for trial in range(5):
+        n_cuts = int(rng.integers(1, 6))
+        cuts = sorted(int(c) for c in rng.integers(0, size, size=n_cuts))
+        bounds = [0] + cuts + [size]
+        got = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            start = align_to_record(fasta, lo)
+            for b in stream_batches(
+                fasta, 3, 8, start_offset=start, limit_offset=hi
+            ):
+                for i in range(b.n_reads):
+                    got.append(b.codes[i, : b.lengths[i]].tolist())
+        assert got == full, f"trial {trial} cuts {cuts}"
