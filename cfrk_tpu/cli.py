@@ -502,6 +502,10 @@ def _run_byte_ranged(args, t0) -> int:
     elif args.mode == "spectrum":
         from .pipeline.stream import stream_spectrum_file
 
+        from .runtime.checkpoint import cleanup_checkpoint
+
+        # cleanup=False: keep the resume checkpoint until the part file
+        # really exists (same write-ahead ordering as _run_inputs).
         table, m = stream_spectrum_file(
             inp, args.k,
             canonical=args.canonical, impl=args.impl,
@@ -509,12 +513,15 @@ def _run_byte_ranged(args, t0) -> int:
             resume=args.resume,
             checkpoint_every=args.checkpoint_every or 16,
             mesh=args.mesh, seqpar=args.seqpar,
-            byte_range=(start, limit),
+            byte_range=(start, limit), cleanup=False,
         )
         with open(part, "wb") as f:
             np.save(f, table)
+        cleanup_checkpoint(part)
     else:  # sparse
         from .pipeline.stream import stream_sparse_spectrum_file
+
+        from .runtime.checkpoint import cleanup_checkpoint
 
         keys, cnts, m = stream_sparse_spectrum_file(
             inp, args.k,
@@ -522,10 +529,11 @@ def _run_byte_ranged(args, t0) -> int:
             out_path=part, resume=args.resume,
             checkpoint_every=args.checkpoint_every or 64,
             mesh=args.mesh, slack=args.slack,
-            byte_range=(start, limit),
+            byte_range=(start, limit), cleanup=False,
         )
         with open(part, "wb") as f:
             np.savez(f, keys=keys, counts=cnts)
+        cleanup_checkpoint(part)
     if args.stats:
         print(m.json_line(), file=sys.stderr)
     # Every part must exist before the merge.
