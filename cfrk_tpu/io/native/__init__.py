@@ -63,6 +63,7 @@ def iter_record_blocks_native(
     start_offset: int | None = None,
     block_size: int = 64 << 20,
     limit_offset: int | None = None,
+    decompress: bool = False,
 ):
     """Stream (flat_codes int8, lengths int64, end_offsets int64) blocks
     through the chunked C++ parser (plain uncompressed files only).
@@ -81,12 +82,31 @@ def iter_record_blocks_native(
     end offset, so byte-range host sharding covers every record exactly
     once when ranges abut at aligned boundaries — see
     parallel/distributed.align_to_record).
+
+    ``decompress=True`` streams a gzip input through the same chunked
+    parser (decompression overlaps downstream packing in the lookahead
+    thread).  Offsets are then positions in the DECOMPRESSED stream:
+    monotonic, but NOT seekable resume points — callers must checkpoint
+    by record count instead (pipeline/stream.py does).  ``start_offset``
+    / ``limit_offset`` are rejected, matching the no-random-access
+    contract of a gzip stream.
     """
     if _fastaio is None:
         raise RuntimeError("native extension not built")
     from concurrent.futures import ThreadPoolExecutor
 
-    with open(path, "rb") as f, ThreadPoolExecutor(1) as pool:
+    if decompress:
+        if start_offset or limit_offset is not None:
+            raise ValueError(
+                "byte offsets cannot address a gzip stream; "
+                "decompress the input first"
+            )
+        import gzip as _gzip
+
+        opened = _gzip.open(path, "rb")
+    else:
+        opened = open(path, "rb")
+    with opened as f, ThreadPoolExecutor(1) as pool:
         if start_offset:
             f.seek(start_offset)
         base = start_offset or 0

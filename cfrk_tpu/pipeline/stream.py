@@ -79,13 +79,20 @@ def stream_batches(
     from ..io.fasta import iter_encoded_with_offsets
     from ..io.native import HAVE_STREAM_NATIVE
 
-    if HAVE_STREAM_NATIVE and not skip_reads and not _is_gzip(path):
+    gz = _is_gzip(path)
+    if HAVE_STREAM_NATIVE and not (gz and (start_offset or limit_offset is not None)):
         # Chunked native ingest: the C++ parser encodes 64 MB blocks in
         # one pass and the flat packer assembles batches without any
         # per-read Python loop — the reference's single-pass C ingest
-        # (src/fastaIO.h:24-102) at streaming scale.
+        # (src/fastaIO.h:24-102) at streaming scale.  gzip inputs stream
+        # through the same parser on decompressed blocks (offsets are
+        # then meaningless for resume, so batches carry end_offset=None
+        # and checkpoints fall back to record counts); byte-addressed
+        # gzip access stays an error and takes the pure-Python path's
+        # own ValueError below.
         yield from _stream_batches_flat(
-            path, k, batch_size, start_offset, len_base, limit_offset
+            path, k, batch_size, start_offset, len_base, limit_offset,
+            skip_reads=skip_reads, decompress=gz,
         )
         return
 
@@ -130,11 +137,16 @@ def _stream_batches_flat(
     start_offset: int | None,
     len_base: int,
     limit_offset: int | None = None,
+    skip_reads: int = 0,
+    decompress: bool = False,
 ) -> Iterator[ReadBatch]:
-    """Native-ingest batch assembly (plain files): flat blocks in,
-    fixed-shape padded batches out.  Shape semantics identical to the
-    per-read path (geometric length bucket of each batch's longest
-    read; tail batch keeps the full batch_size shape)."""
+    """Native-ingest batch assembly: flat blocks in, fixed-shape padded
+    batches out.  Shape semantics identical to the per-read path
+    (geometric length bucket of each batch's longest read; tail batch
+    keeps the full batch_size shape).  ``skip_reads`` drops leading
+    records block-wise (gzip resume re-parse, at parser speed);
+    ``decompress`` streams a gzip input and yields ``end_offset=None``
+    (a decompressed-stream position is not a seekable resume point)."""
     from ..io.native import iter_record_blocks_native
 
     flat = np.empty(0, np.int8)
@@ -148,15 +160,27 @@ def _stream_batches_flat(
         b = pad_reads_flat(
             flat[:nbytes], lens[:n], batch_size, _len_bucket(longest, len_base)
         )
-        b = dataclasses.replace(b, end_offset=int(offs[n - 1]))
+        b = dataclasses.replace(
+            b, end_offset=None if decompress else int(offs[n - 1])
+        )
         flat = flat[nbytes:]
         lens = lens[n:]
         offs = offs[n:]
         return b
 
     for bflat, blens, boffs in iter_record_blocks_native(
-        path, start_offset=start_offset, limit_offset=limit_offset
+        path, start_offset=start_offset, limit_offset=limit_offset,
+        decompress=decompress,
     ):
+        if skip_reads:
+            n = min(skip_reads, len(blens))
+            nbytes = int(blens[:n].sum())
+            bflat = bflat[nbytes:]
+            blens = blens[n:]
+            boffs = boffs[n:]
+            skip_reads -= n
+            if not len(blens):
+                continue
         flat = np.concatenate([flat, bflat]) if flat.size else np.asarray(bflat)
         lens = np.concatenate([lens, blens]) if lens.size else np.asarray(blens)
         offs = np.concatenate([offs, boffs]) if offs.size else np.asarray(boffs)

@@ -805,3 +805,85 @@ def test_byte_range_random_cuts_fuzz(tmp_path):
                 for i in range(b.n_reads):
                     got.append(b.codes[i, : b.lengths[i]].tolist())
         assert got == full, f"trial {trial} cuts {cuts}"
+
+
+def test_gzip_native_ingest_parity(tmp_path, monkeypatch):
+    """gzip inputs stream through the chunked native parser (when built)
+    with the same records, shapes, and batch order as the pure-Python
+    path — and end_offset=None on every batch (a decompressed-stream
+    position is not a seekable resume point)."""
+    import gzip as _gzip
+
+    from cfrk_tpu.io.native import HAVE_STREAM_NATIVE
+    import cfrk_tpu.pipeline.stream as st
+
+    rng = np.random.default_rng(77)
+    reads = _random_reads(37, rng, lo=10, hi=250)
+    plain = tmp_path / "r.fasta"
+    _write_fasta(plain, reads)
+    gz = tmp_path / "r.fasta.gz"
+    gz.write_bytes(_gzip.compress(plain.read_bytes()))
+
+    def dump(path):
+        return [
+            b.codes[i, : b.lengths[i]].tolist()
+            for b in st.stream_batches(path, 4, 8)
+            for i in range(b.n_reads)
+        ]
+
+    native = dump(gz)
+    for b in st.stream_batches(gz, 4, 8):
+        assert b.end_offset is None
+    monkeypatch.setattr("cfrk_tpu.io.native.HAVE_STREAM_NATIVE", False)
+    pure = dump(gz)
+    assert native == pure
+    assert native == dump(plain)
+    if not HAVE_STREAM_NATIVE:
+        pytest.skip("native extension not built: fallback-only parity")
+
+
+def test_gzip_native_ingest_fastq_and_skip(tmp_path, monkeypatch):
+    """gzip FASTQ sniffing works on decompressed blocks, and skip_reads
+    (the gzip resume re-parse) drops exactly that many leading records
+    through both the native and pure-Python paths."""
+    import gzip as _gzip
+
+    import cfrk_tpu.pipeline.stream as st
+
+    rng = np.random.default_rng(78)
+    reads = _random_reads(21, rng, lo=15, hi=120)
+    fq = tmp_path / "r.fastq"
+    with open(fq, "wb") as f:
+        for i, codes in enumerate(reads):
+            s = decode_codes(np.asarray(codes, dtype=np.int8))
+            f.write(b"@q%d\n" % i + s + b"\n+\n" + b"I" * len(s) + b"\n")
+    gz = tmp_path / "r.fastq.gz"
+    gz.write_bytes(_gzip.compress(fq.read_bytes()))
+
+    def dump(path, skip=0):
+        return [
+            b.codes[i, : b.lengths[i]].tolist()
+            for b in st.stream_batches(path, 3, 4, skip_reads=skip)
+            for i in range(b.n_reads)
+        ]
+
+    want = [np.asarray(r, dtype=np.int8).tolist() for r in reads]
+    assert dump(gz) == want
+    for skip in (1, 5, 20, 21, 30):
+        assert dump(gz, skip) == want[skip:], f"skip={skip}"
+    monkeypatch.setattr("cfrk_tpu.io.native.HAVE_STREAM_NATIVE", False)
+    assert dump(gz, 5) == want[5:]
+
+
+def test_gzip_byte_addressing_still_rejected(tmp_path):
+    """start_offset / byte ranges on gzip input must raise, native or not."""
+    import gzip as _gzip
+
+    rng = np.random.default_rng(79)
+    reads = _random_reads(5, rng, lo=10, hi=40)
+    plain = tmp_path / "r.fasta"
+    _write_fasta(plain, reads)
+    gz = tmp_path / "r.fasta.gz"
+    gz.write_bytes(_gzip.compress(plain.read_bytes()))
+    with pytest.raises(ValueError):
+        list(stream_batches(gz, 3, 4, start_offset=10))
