@@ -149,8 +149,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--packed",
         action="store_true",
         help=(
-            "stream mode, k<=8: packed-pair Pallas kernel (half the "
-            "device-to-host traffic; first-ever compile can be slow)"
+            "stream mode, k<=8: packed-emit Pallas kernel (1-2 bytes/bin "
+            "of device-to-host traffic; single-device or dp mesh; "
+            "first-ever compile can be slow)"
         ),
     )
     p.add_argument(

@@ -31,7 +31,12 @@ from ..ops.perread import count_perread
 from ..ops.spectrum import spectrum
 from .mesh import DP_AXIS, TP_AXIS, batch_sharding, table_sharding
 
-__all__ = ["count_perread_sharded", "spectrum_sharded", "shard_batch"]
+__all__ = [
+    "count_perread_sharded",
+    "count_perread_sharded_packed",
+    "spectrum_sharded",
+    "shard_batch",
+]
 
 
 def shard_batch(codes, mesh: Mesh):
@@ -81,6 +86,61 @@ def count_perread_sharded(
     counting requires no cross-chip communication at all.
     """
     return _perread_sharded_fn(mesh, k, canonical, impl)(codes)
+
+
+@lru_cache(maxsize=None)
+def _perread_sharded_packed_fn(mesh: Mesh, k: int, canonical: bool,
+                               packed: str, read_block: int):
+    """Packed-emit variant: each device runs the packed Pallas kernel on
+    its own row block, so the dominant HBM write AND the D2H gather stay
+    packed (1 or 2 bytes/bin) all the way to the host unpack."""
+    from ..ops.pallas.perread import count_perread_pallas
+
+    def local(codes_blk):
+        return count_perread_pallas(
+            codes_blk, k, canonical=canonical, packed=packed,
+            read_block=read_block,
+        )
+
+    return jax.jit(
+        shard_map(
+            local, mesh=mesh,
+            in_specs=P((DP_AXIS, TP_AXIS), None),
+            out_specs=P((DP_AXIS, TP_AXIS), None, None),
+            check_vma=False,  # pallas_call inside shard_map needs this
+        )
+    )
+
+
+def count_perread_sharded_packed(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+    packed: str = "b4",
+    read_block: int = 16,
+) -> jax.Array:
+    """Per-read counts, rows over dp, PACKED kernel output.
+
+    Returns the packed rank-3 layout of ``ops.pallas.perread``
+    (``"b4"``: [B, 4**kh/4, 4**kl] int32, one byte per bin; ``"fh"``:
+    [B, 4**kh/2, 4**kl], two bytes) sharded rows-over-devices — unpack
+    on host with ``unpack_counts`` after the (packed-size) D2H.  The
+    per-device row block must divide ``read_block`` exactly: a local
+    kernel pad would change the concatenated row count, so rows/device
+    % read_block == 0 is enforced here rather than silently padded.
+    """
+    b = codes.shape[0]
+    ndev = mesh.size
+    if b % ndev or (b // ndev) % read_block:
+        raise ValueError(
+            f"packed sharded rows/device must be a multiple of "
+            f"read_block={read_block}: got {b} rows on {ndev} devices"
+        )
+    return _perread_sharded_packed_fn(
+        mesh, k, canonical, packed, read_block
+    )(codes)
 
 
 @lru_cache(maxsize=None)

@@ -339,12 +339,41 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
 
             return dispatch
         return lambda arr: spectrum_op(arr, k, canonical=canonical, impl=impl)
-    from ..parallel.sharded import count_perread_sharded, spectrum_sharded
+    from ..parallel.sharded import (
+        count_perread_sharded,
+        count_perread_sharded_packed,
+        spectrum_sharded,
+    )
 
     if mode == "perread":
-        return lambda arr: count_perread_sharded(
-            arr, k, mesh, canonical=canonical, impl=impl
+        import jax as _jax
+
+        # Same packed policy as single-device: explicit request, or
+        # auto on TPU in the pallas k-range.  Each device emits the
+        # packed layout so HBM write and D2H stay 1-2 bytes/bin.
+        pk_ok = (
+            packed
+            or (impl in ("auto", "pallas")
+                and _jax.default_backend() == "tpu"
+                and 5 <= k <= 8)
         )
+
+        def dispatch(arr):
+            w = arr.shape[1] - k + 1
+            rb = 16
+            if pk_ok and w < 2**15 and (arr.shape[0] // mesh.size) % rb == 0:
+                from ..ops.pallas.perread import resolve_packed
+
+                pm = resolve_packed(True, w)
+                return pm, count_perread_sharded_packed(
+                    arr, k, mesh, canonical=canonical, packed=pm,
+                    read_block=rb,
+                )
+            return count_perread_sharded(
+                arr, k, mesh, canonical=canonical, impl=impl
+            )
+
+        return dispatch
     return lambda arr: spectrum_sharded(arr, k, mesh, canonical=canonical, impl=impl)
 
 
@@ -379,16 +408,25 @@ def stream_count_file(
     stopped.  The checkpoint sidecar is removed on successful completion.
     With ``mesh`` given, each batch is sharded rows-over-devices
     (zero-collective data parallelism; batch_size must divide evenly).
-    ``packed=True`` (single-device, k <= 8) uses the packed Pallas
-    kernel (1 or 2 bytes/bin depending on read length): less HBM write
-    and D2H, unpacked on host.
+    ``packed=True`` (k <= 8) uses the packed Pallas kernel (1 or 2
+    bytes/bin depending on read length): less HBM write and D2H,
+    unpacked on host.  Works single-device and on a dp mesh (each
+    device emits its packed row block; rows/device must divide the
+    read block); it does not compose with ``seqpar``.
 
     For 8 < k <= 15 the dense [B, 4**k] rows are impossible; the driver
     switches to the sort-based sparse per-read op and requires
     ``nonzero=True`` (rows list only present k-mers).
     """
-    if packed and (mesh is not None or k > 8):
-        raise ValueError("packed mode is single-device and needs k <= 8")
+    if packed and k > 8:
+        raise ValueError("packed mode needs k <= 8")
+    if packed and seqpar:
+        raise ValueError("packed mode does not compose with --seqpar")
+    if packed and mesh is not None and (batch_size // mesh.size) % 16:
+        raise ValueError(
+            "packed mesh runs need batch_size/device divisible by the "
+            f"read block (16): got {batch_size} over {mesh.size} devices"
+        )
     if byte_range is not None and _is_gzip(path):
         raise ValueError(
             "byte_range needs a plain (uncompressed) input: a gzip "

@@ -275,16 +275,41 @@ def test_stream_count_packed(tmp_path):
     assert out_p.read_bytes() == out_s.read_bytes()
 
 
-def test_stream_packed_rejects_mesh_and_large_k(tmp_path):
+def test_stream_packed_rejects_large_k_and_bad_mesh_batch(tmp_path):
     import jax
     import pytest as _pytest
 
     from cfrk_tpu.parallel import make_mesh
 
-    with _pytest.raises(ValueError, match="single-device"):
+    with _pytest.raises(ValueError, match="k <= 8"):
         stream_count_file("x", "y", 9, packed=True)
-    with _pytest.raises(ValueError, match="single-device"):
-        stream_count_file("x", "y", 4, packed=True, mesh=make_mesh(jax.devices()))
+    with _pytest.raises(ValueError, match="seqpar"):
+        stream_count_file("x", "y", 4, packed=True, seqpar=True,
+                          mesh=make_mesh(jax.devices()))
+    # 8 devices x batch 24 -> 3 rows/device: not a read-block multiple.
+    with _pytest.raises(ValueError, match="read block"):
+        stream_count_file("x", "y", 4, packed=True, batch_size=24,
+                          mesh=make_mesh(jax.devices()))
+
+
+def test_stream_count_packed_mesh_parity(tmp_path):
+    """Packed streaming over a dp mesh equals the plain single-device
+    run byte-for-byte (each device emits its packed row block; host
+    unpack after the sharded gather)."""
+    import jax
+
+    from cfrk_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(12)
+    reads = _random_reads(70, rng, lo=30, hi=120)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    out_m = tmp_path / "m.cfrk"
+    out_s = tmp_path / "s.cfrk"
+    mesh = make_mesh(jax.devices())
+    stream_count_file(fasta, out_m, 5, batch_size=128, packed=True, mesh=mesh)
+    stream_count_file(fasta, out_s, 5, batch_size=128)
+    assert out_m.read_bytes() == out_s.read_bytes()
 
 
 def test_stream_sparse_spectrum(tmp_path):
