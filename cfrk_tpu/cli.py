@@ -544,17 +544,22 @@ def _run_byte_ranged(args, t0) -> int:
     if pi == 0:
         parts = [f"{out}.part{i}" for i in range(pc)]
         if args.mode == "perread":
+            import shutil
+
             with open(out, "wb") as f:
                 wrote_any = False
                 for p in parts:
+                    # Chunked splice: per-read parts are multi-GB at
+                    # config-5 scale, so never slurp a whole part.
                     with open(p, "rb") as pf:
-                        data = pf.read()
-                    if not data:
-                        continue
-                    if wrote_any:
-                        f.write(b"\n")
-                    f.write(data)
-                    wrote_any = True
+                        head = pf.read(1)
+                        if not head:
+                            continue
+                        if wrote_any:
+                            f.write(b"\n")
+                        f.write(head)
+                        shutil.copyfileobj(pf, f, 1 << 20)
+                        wrote_any = True
         elif args.mode == "spectrum":
             total = None
             for p in parts:

@@ -276,6 +276,10 @@ PyObject* parse_encode_stream(PyObject*, PyObject* args) {
         while (j < n && p[j] == '\r') j++;
         if (j < n && p[j] == '\n') {
           i = j + 1;
+        } else if (j >= n && final_chunk) {
+          /* trailing bare CR(s) at EOF: an rstripped-empty line the
+           * Python parser skips — not a malformed header */
+          i = n;
         } else {
           break; /* '\r' not followed by '\n': part of a (weird) line */
         }

@@ -39,9 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import prep_indices, split_k
 
 __all__ = [
+    "DEFAULT_READ_BLOCK",
     "count_perread_pallas",
     "unpack_counts",
 ]
+
+# Reads per kernel grid step (rb=16 measured best; rb=32 neutral — see
+# docs/PERF.md).  Shared by the streaming driver's packed-mesh guard and
+# the sharded packed op so their divisibility checks can never drift
+# from the kernel's actual block size.
+DEFAULT_READ_BLOCK = 16
 
 
 def _perread_kernel(
@@ -142,7 +149,7 @@ def count_perread_pallas(
     k: int,
     *,
     canonical: bool = False,
-    read_block: int = 16,
+    read_block: int = DEFAULT_READ_BLOCK,
     window_block: int = 512,
     interpret: bool | None = None,
     packed=False,

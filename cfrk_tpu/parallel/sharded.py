@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.perread import count_perread
+from ..ops.pallas.perread import DEFAULT_READ_BLOCK
 from ..ops.spectrum import spectrum
 from .mesh import DP_AXIS, TP_AXIS, batch_sharding, table_sharding
 
@@ -119,7 +120,7 @@ def count_perread_sharded_packed(
     *,
     canonical: bool = False,
     packed: str = "b4",
-    read_block: int = 16,
+    read_block: int | None = None,
 ) -> jax.Array:
     """Per-read counts, rows over dp, PACKED kernel output.
 
@@ -131,6 +132,8 @@ def count_perread_sharded_packed(
     kernel pad would change the concatenated row count, so rows/device
     % read_block == 0 is enforced here rather than silently padded.
     """
+    if read_block is None:
+        read_block = DEFAULT_READ_BLOCK
     b = codes.shape[0]
     ndev = mesh.size
     if b % ndev or (b // ndev) % read_block:

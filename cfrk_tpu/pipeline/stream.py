@@ -80,16 +80,23 @@ def stream_batches(
     from ..io.native import HAVE_STREAM_NATIVE
 
     gz = _is_gzip(path)
-    if HAVE_STREAM_NATIVE and not (gz and (start_offset or limit_offset is not None)):
+    if gz and (start_offset or limit_offset is not None):
+        # Raise here, not just in stream_count_file: a limit_offset the
+        # pure-Python gzip path cannot observe (offsets are all None)
+        # would otherwise stream the WHOLE file — silent double counting
+        # in a ranged multi-host run.
+        raise ValueError(
+            "byte offsets cannot address a gzip stream; "
+            "decompress the input first"
+        )
+    if HAVE_STREAM_NATIVE:
         # Chunked native ingest: the C++ parser encodes 64 MB blocks in
         # one pass and the flat packer assembles batches without any
         # per-read Python loop — the reference's single-pass C ingest
         # (src/fastaIO.h:24-102) at streaming scale.  gzip inputs stream
         # through the same parser on decompressed blocks (offsets are
         # then meaningless for resume, so batches carry end_offset=None
-        # and checkpoints fall back to record counts); byte-addressed
-        # gzip access stays an error and takes the pure-Python path's
-        # own ValueError below.
+        # and checkpoints fall back to record counts).
         yield from _stream_batches_flat(
             path, k, batch_size, start_offset, len_base, limit_offset,
             skip_reads=skip_reads, decompress=gz,
@@ -359,11 +366,11 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
         )
 
         def dispatch(arr):
-            w = arr.shape[1] - k + 1
-            rb = 16
-            if pk_ok and w < 2**15 and (arr.shape[0] // mesh.size) % rb == 0:
-                from ..ops.pallas.perread import resolve_packed
+            from ..ops.pallas.perread import DEFAULT_READ_BLOCK, resolve_packed
 
+            w = arr.shape[1] - k + 1
+            rb = DEFAULT_READ_BLOCK
+            if pk_ok and w < 2**15 and (arr.shape[0] // mesh.size) % rb == 0:
                 pm = resolve_packed(True, w)
                 return pm, count_perread_sharded_packed(
                     arr, k, mesh, canonical=canonical, packed=pm,
@@ -418,15 +425,27 @@ def stream_count_file(
     switches to the sort-based sparse per-read op and requires
     ``nonzero=True`` (rows list only present k-mers).
     """
-    if packed and k > 8:
-        raise ValueError("packed mode needs k <= 8")
-    if packed and seqpar:
-        raise ValueError("packed mode does not compose with --seqpar")
-    if packed and mesh is not None and (batch_size // mesh.size) % 16:
-        raise ValueError(
-            "packed mesh runs need batch_size/device divisible by the "
-            f"read block (16): got {batch_size} over {mesh.size} devices"
-        )
+    if packed:
+        from ..ops.pallas.perread import DEFAULT_READ_BLOCK
+
+        if k > 8:
+            raise ValueError("packed mode needs k <= 8")
+        if seqpar:
+            raise ValueError("packed mode does not compose with --seqpar")
+        if impl not in ("auto", "pallas"):
+            # Packed IS the pallas kernel: silently overriding an
+            # explicit --impl scatter/matmul/host would ignore the
+            # user's choice, so reject the contradiction loudly.
+            raise ValueError(
+                f"packed mode uses the pallas kernel; drop --packed or "
+                f"use --impl auto/pallas (got --impl {impl})"
+            )
+        if mesh is not None and (batch_size // mesh.size) % DEFAULT_READ_BLOCK:
+            raise ValueError(
+                "packed mesh runs need batch_size/device divisible by "
+                f"the read block ({DEFAULT_READ_BLOCK}): got "
+                f"{batch_size} over {mesh.size} devices"
+            )
     if byte_range is not None and _is_gzip(path):
         raise ValueError(
             "byte_range needs a plain (uncompressed) input: a gzip "
@@ -608,6 +627,11 @@ def stream_spectrum_file(
     m = metrics or RunMetrics(k=k, mode="spectrum")
     mode_tag = "spectrum"
     if byte_range is not None:
+        if _is_gzip(path):
+            raise ValueError(
+                "byte_range needs a plain (uncompressed) input: a gzip "
+                "stream has no random access"
+            )
         mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
     fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
     cpath = checkpoint_path(out_path) if out_path else None
@@ -713,6 +737,11 @@ def stream_sparse_spectrum_file(
     m = metrics or RunMetrics(k=k, mode="sparse")
     mode_tag = "sparse"
     if byte_range is not None:
+        if _is_gzip(path):
+            raise ValueError(
+                "byte_range needs a plain (uncompressed) input: a gzip "
+                "stream has no random access"
+            )
         mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
     fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
     cpath = checkpoint_path(out_path) if out_path else None

@@ -286,3 +286,30 @@ def test_stream_batches_native_vs_python_parity(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a.lengths, b.lengths)
         assert a.n_reads == b.n_reads
         assert a.end_offset == b.end_offset
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_fastq_trailing_bare_cr_matches_python():
+    """A stray final '\\r' after the last record is an rstripped-empty
+    line the Python parser skips — the native stream parser must accept
+    it identically instead of raising 'malformed FASTQ header'."""
+    import io
+
+    from cfrk_tpu.io.fasta import iter_fastq
+    from cfrk_tpu.io.native import _fastaio
+
+    data = b"@r1\nACGT\n+\nIIII\n\r"
+    py = [s for _, s in iter_fastq(io.BytesIO(data))]
+    assert py == [b"ACGT"]
+    codes_b, lens_b, offs_b, consumed = _fastaio.parse_encode_stream(
+        data, True, True
+    )
+    lens = np.frombuffer(lens_b, dtype=np.int64)
+    assert lens.tolist() == [4]
+    # Not final: the CR might start a line in the next chunk — it must
+    # stay in the carry (consumed stops after the complete record).
+    _, lens_b2, _, consumed2 = _fastaio.parse_encode_stream(
+        data, True, False
+    )
+    assert np.frombuffer(lens_b2, dtype=np.int64).tolist() == [4]
+    assert consumed2 == len(data) - 1

@@ -912,3 +912,17 @@ def test_gzip_byte_addressing_still_rejected(tmp_path):
     gz.write_bytes(_gzip.compress(plain.read_bytes()))
     with pytest.raises(ValueError):
         list(stream_batches(gz, 3, 4, start_offset=10))
+    # limit_offset alone must raise too: the pure-Python gzip path
+    # yields no offsets, so an unobservable limit would silently stream
+    # the whole file (double counting in a ranged multi-host run).
+    with pytest.raises(ValueError):
+        list(stream_batches(gz, 3, 4, limit_offset=100))
+    from cfrk_tpu.pipeline.stream import (
+        stream_sparse_spectrum_file,
+        stream_spectrum_file,
+    )
+
+    with pytest.raises(ValueError, match="gzip"):
+        stream_spectrum_file(gz, 3, byte_range=(0, 100))
+    with pytest.raises(ValueError, match="gzip"):
+        stream_sparse_spectrum_file(gz, 31, byte_range=(0, 100))

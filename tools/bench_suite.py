@@ -67,7 +67,8 @@ def main() -> None:
         "--only", default=None,
         help=(
             "comma-separated subset: golden,perread_k8,spectrum_k15,"
-            "spectrum_k8_pallas,spectrum_k15_sort,sparse_k31,ingest,stream"
+            "spectrum_k8_pallas,spectrum_k15_sort,sparse_k31,ingest,"
+            "stream,stream_spectrum"
         ),
     )
     args = ap.parse_args()
@@ -218,6 +219,36 @@ def main() -> None:
             _emit(
                 "ingest_stream_batches", dt, file_bytes, "bytes/s",
                 {"reads": reads, "mbases_per_s": round(n_bases / dt / 1e6, 1)},
+            )
+
+    if want("stream_spectrum"):
+        # Config-3 at scale, end-to-end: FASTA on disk -> global k=15
+        # spectrum (sort+RLE auto route on TPU), one table out.  This
+        # is the at-scale case that stays meaningful THROUGH the axon
+        # tunnel: the only D2H is the final table, so wall time
+        # measures ingest overlap + device compute, not the tunnel.
+        from cfrk_tpu.pipeline.stream import stream_spectrum_file
+        from cfrk_tpu.runtime.metrics import RunMetrics
+
+        ks = 15 if jax.default_backend() == "tpu" else 11
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "spect.fasta")
+            n_bases = synth_fasta(path, args.stream_reads, args.read_len)
+            t0 = time.perf_counter()
+            m = RunMetrics(k=ks, mode="spectrum")
+            table, m = stream_spectrum_file(
+                path, ks, batch_size=8192, metrics=m,
+            )
+            dt = time.perf_counter() - t0
+            _emit(
+                f"stream_spectrum_k{ks}", dt, n_bases, "bases/s",
+                {
+                    "reads": m.reads,
+                    "distinct_kmers": int((np.asarray(table) > 0).sum()),
+                    "stages_s": {
+                        n: round(t, 3) for n, t in sorted(m.stages.items())
+                    },
+                },
             )
 
     if want("stream"):
