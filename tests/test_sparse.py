@@ -137,3 +137,35 @@ def test_sparse_accumulator_matches_merge(rng):
     keys, counts = acc.result_arrays()
     assert list(keys) == sorted(keys)
     assert counts.sum() == sum(merge_sorted_spectra(parts).values())
+
+
+def test_sparse_accumulator_fold_fuzz(rng):
+    """The searchsorted-merge fold is exact against a dict oracle across
+    heavy cross-batch overlap, empty batches, all-hit and all-new folds."""
+    import numpy as np
+
+    from cfrk_tpu.ops.sparse import SparseAccumulator
+
+    r = np.random.default_rng(7)
+    oracle: dict[int, int] = {}
+    acc = SparseAccumulator(merge_every=3)
+    for step in range(20):
+        if step % 7 == 3:  # an all-zero-count batch folds to nothing
+            n, lo = 8, np.zeros(8, dtype=np.int64)
+            counts = np.zeros(8, dtype=np.int64)
+            hi = np.zeros(8, dtype=np.int64)
+        else:
+            n = int(r.integers(1, 40))
+            # tiny keyspace -> guaranteed collisions across batches
+            lo = np.sort(r.integers(0, 37, n)).astype(np.int64)
+            hi = np.zeros(n, dtype=np.int64)
+            counts = r.integers(0, 5, n).astype(np.int64)
+        acc.add(hi, lo, counts)
+        # hi is all zeros, so the packed key is just lo
+        for key, c in zip(lo.tolist(), counts.tolist()):
+            if c > 0:
+                oracle[key] = oracle.get(key, 0) + c
+    keys, cnts = acc.result_arrays()
+    got = dict(zip(keys.tolist(), cnts.tolist()))
+    assert got == oracle
+    assert list(keys) == sorted(keys.tolist())

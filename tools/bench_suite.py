@@ -222,18 +222,37 @@ def main() -> None:
             )
 
     if want("stream_spectrum"):
-        # Config-3 at scale, end-to-end: FASTA on disk -> global k=15
-        # spectrum (sort+RLE auto route on TPU), one table out.  This
-        # is the at-scale case that stays meaningful THROUGH the axon
-        # tunnel: the only D2H is the final table, so wall time
-        # measures ingest overlap + device compute, not the tunnel.
+        # Global-spectrum streaming at scale, end-to-end: FASTA on disk
+        # -> dense k=8 table, device-resident accumulator, ONE ~512 KB
+        # fetch at the end.  k=8 keeps the case meaningful through the
+        # axon tunnel; the k>=11 sort route ships ~13 MB of sorted
+        # triples per batch to the host accumulator — ~0.4 ms on real
+        # hardware's PCIe/ICI but ~3 s/batch through the ~5 MB/s
+        # tunnel, where it measures the tunnel, not the framework
+        # (the k=15 device-side steady state is spectrum_k15_sort).
         from cfrk_tpu.pipeline.stream import stream_spectrum_file
         from cfrk_tpu.runtime.metrics import RunMetrics
 
-        ks = 15 if jax.default_backend() == "tpu" else 11
+        ks = 8
         with tempfile.TemporaryDirectory() as td:
             path = os.path.join(td, "spect.fasta")
             n_bases = synth_fasta(path, args.stream_reads, args.read_len)
+            # Pre-warm the exact dispatch the stream driver compiles
+            # (same shape/dtype/config -> same executable) so the timed
+            # region measures steady-state streaming, not the one-time
+            # compile: through the axon tunnel a remote Mosaic/XLA
+            # compile is 150-650 s of "weather" that would otherwise
+            # land in the final materialize stage (async dispatch
+            # blocks there).  On real hardware the compile is local,
+            # cached across runs, and irrelevant at config-5 scale.
+            from cfrk_tpu.ops.spectrum import spectrum as spectrum_op
+            from cfrk_tpu.pipeline.batch import len_bucket
+
+            tw0 = time.perf_counter()
+            wlen = len_bucket(args.read_len)  # stream pads to this
+            dummy = jnp.zeros((8192, wlen), dtype=jnp.int8)
+            np.asarray(spectrum_op(dummy, ks))
+            warm_s = time.perf_counter() - tw0
             t0 = time.perf_counter()
             m = RunMetrics(k=ks, mode="spectrum")
             table, m = stream_spectrum_file(
@@ -245,6 +264,7 @@ def main() -> None:
                 {
                     "reads": m.reads,
                     "distinct_kmers": int((np.asarray(table) > 0).sum()),
+                    "warm_s": round(warm_s, 3),
                     "stages_s": {
                         n: round(t, 3) for n, t in sorted(m.stages.items())
                     },
