@@ -49,6 +49,7 @@ Measurement notes (tunneled-TPU constraints, .claude/skills/verify):
 from __future__ import annotations
 
 import json
+import math
 import time
 
 import numpy as np
@@ -138,9 +139,15 @@ def main(impl_override: str | None = None) -> None:
         fn = jax.jit(run)
         _ = int(np.asarray(fn(xs)))  # compile scan + warm up
 
-        t0 = time.perf_counter()
-        checksum = int(np.asarray(fn(xs)))
-        dt = time.perf_counter() - t0
+        # Best-of-3: the timed region includes one tunnel round trip
+        # (the scalar fetch that forces execution), whose latency
+        # variance is tens of ms against a ~0.1 s scan — a single rep
+        # can read 25% low.  min() keeps the honest device number.
+        dt = math.inf
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            checksum = int(np.asarray(fn(xs)))
+            dt = min(dt, time.perf_counter() - t0)
         count_bytes, read_back = (1.0 if pk == "b4" else 2.0), False
     else:
         from cfrk_tpu.ops.perread import count_perread
@@ -152,13 +159,15 @@ def main(impl_override: str | None = None) -> None:
         consume = jax.jit(lambda c: jnp.sum(c & 3, dtype=jnp.int32))
         _ = int(np.asarray(consume(produce(xs[0]))))  # compile both
 
-        t0 = time.perf_counter()
-        chk = None
-        for i in range(n_batches):
-            part = consume(produce(xs[i % DISTINCT]))  # async enqueue
-            chk = part if chk is None else chk + part
-        checksum = int(np.asarray(chk))  # one end-of-run sync
-        dt = time.perf_counter() - t0
+        dt = math.inf
+        for _rep in range(3):  # best-of-3, same rationale as above
+            t0 = time.perf_counter()
+            chk = None
+            for i in range(n_batches):
+                part = consume(produce(xs[i % DISTINCT]))  # async enqueue
+                chk = part if chk is None else chk + part
+            checksum = int(np.asarray(chk))  # one end-of-run sync
+            dt = min(dt, time.perf_counter() - t0)
         count_bytes, read_back = 4.0, True
 
     bases = n_batches * batch * READ_LEN

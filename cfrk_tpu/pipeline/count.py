@@ -240,7 +240,7 @@ def _sorted_spectrum_batches(batches, k, canonical, mesh):
     """Accumulate batches sparsely (device sort+RLE); returns the merged
     (keys, counts) arrays.  With a mesh, keys route through the
     all_to_all bucket exchange with overflow retry."""
-    from ..ops.sparse import SparseAccumulator, sparse_spectrum
+    from ..ops.sparse import SparseAccumulator, fetch_triples, sparse_spectrum
 
     if mesh is not None:
         from ..parallel.bucket import sparse_spectrum_sharded_retry
@@ -255,7 +255,7 @@ def _sorted_spectrum_batches(batches, k, canonical, mesh):
             )
         else:
             hi, lo, counts = sparse_spectrum(arr, k, canonical)
-        acc.add(np.asarray(hi), np.asarray(lo), np.asarray(counts))
+        acc.add(*fetch_triples(hi, lo, counts, k))
     return acc.result_arrays()
 
 
@@ -276,7 +276,7 @@ def sparse_spectrum_file(
     ``mesh``, keys route through the all_to_all bucket exchange
     (parallel/bucket.py) with automatic overflow retry.
     """
-    from ..ops.sparse import SparseAccumulator, sparse_spectrum
+    from ..ops.sparse import SparseAccumulator, fetch_triples, sparse_spectrum
 
     reads = read_fasta_encoded(path)
     if not reads:
@@ -297,7 +297,7 @@ def sparse_spectrum_file(
             hi, lo, counts = sparse_spectrum(
                 jax.numpy.asarray(batch.codes), k, canonical
             )
-        acc.add(np.asarray(hi), np.asarray(lo), np.asarray(counts))
+        acc.add(*fetch_triples(hi, lo, counts, k))
     return acc.result()
 
 

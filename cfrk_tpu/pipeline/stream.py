@@ -727,7 +727,7 @@ def stream_sparse_spectrum_file(
     bucket-box overflow retries with doubled ``slack`` automatically and
     later batches start at the discovered capacity.
     """
-    from ..ops.sparse import SparseAccumulator, sparse_spectrum
+    from ..ops.sparse import SparseAccumulator, fetch_triples, sparse_spectrum
 
     if mesh is not None:
         from ..parallel.bucket import sparse_spectrum_sharded_retry
@@ -771,7 +771,7 @@ def stream_sparse_spectrum_file(
                     jax.numpy.asarray(batch.codes), k, canonical
                 )
         with m.stage("materialize"):
-            acc.add(np.asarray(hi), np.asarray(lo), np.asarray(counts))
+            acc.add(*fetch_triples(hi, lo, counts, k))
         m.batches += 1
         m.reads += batch.n_reads
         m.bases += int(batch.lengths.sum())

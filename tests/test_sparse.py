@@ -169,3 +169,22 @@ def test_sparse_accumulator_fold_fuzz(rng):
     got = dict(zip(keys.tolist(), cnts.tolist()))
     assert got == oracle
     assert list(keys) == sorted(keys.tolist())
+
+
+def test_fetch_triples_skips_hi_exactly(rng):
+    """fetch_triples' host-zero hi substitution (k <= LO_BASES) is
+    indistinguishable from a full transfer once counts==0 rows are
+    masked — for both small-k (hi skipped) and large-k (hi fetched)."""
+    import numpy as np
+
+    from cfrk_tpu.ops.sparse import fetch_triples, sparse_spectrum
+
+    codes = rng.integers(0, 4, size=(4, 60)).astype(np.int8)
+    codes[0, 10] = -1  # an invalid window: sentinel hi, count 0
+    for k in (12, 20):
+        hi, lo, counts = sparse_spectrum(codes, k, False)
+        nh, nl, nc = fetch_triples(hi, lo, counts, k)
+        fh, fl, fc = np.asarray(hi), np.asarray(lo), np.asarray(counts)
+        mask = fc > 0
+        assert np.array_equal(nl, fl) and np.array_equal(nc, fc)
+        assert np.array_equal(nh[mask], fh[mask])
