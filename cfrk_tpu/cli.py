@@ -567,21 +567,16 @@ def _run_byte_ranged(args, t0) -> int:
                 total = t if total is None else total + t
             _write_spectrum(out, total, args.spectrum_format, args.min_count)
         else:
-            from .ops.sparse import decode_key
+            from .ops.sparse import decode_key, merge_sorted_key_counts
 
-            all_keys, all_cnts = [], []
-            for p in parts:
-                z = np.load(p)
-                all_keys.append(z["keys"])
-                all_cnts.append(z["counts"])
-            keys = np.concatenate(all_keys)
-            cnts = np.concatenate(all_cnts)
             # Byte-range partition means no key duplication ACROSS parts
             # only for per-read; sparse keys DO repeat across ranges —
-            # merge with a unique-sum.
-            uniq, inv = np.unique(keys, return_inverse=True)
-            sums = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(sums, inv, cnts)
+            # merge with a sorted-sum (each part is already sorted).
+            pairs = []
+            for p in parts:
+                z = np.load(p)
+                pairs.append((z["keys"], z["counts"]))
+            uniq, sums = merge_sorted_key_counts(pairs)
             with open(out, "w") as f:
                 for key, cnt in zip(uniq.tolist(), sums.tolist()):
                     if cnt >= args.min_count:

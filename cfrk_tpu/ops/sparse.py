@@ -35,6 +35,7 @@ __all__ = [
     "kmer_keys",
     "sparse_spectrum",
     "fetch_triples",
+    "merge_sorted_key_counts",
     "merge_sorted_spectra",
     "SparseAccumulator",
     "decode_key",
@@ -145,6 +146,31 @@ def fetch_triples(hi, lo, counts, k: int):
     else:
         nphi = np.asarray(hi)
     return nphi, nplo, np.asarray(counts)
+
+
+def merge_sorted_key_counts(parts):
+    """Merge [(keys uint64 sorted-unique, counts int64), ...] pairs into
+    one sorted-unique (keys, counts) pair, summing duplicate keys.
+
+    argsort + add.reduceat — same rationale as SparseAccumulator._fold
+    (np.add.at is ~10-60x slower at scale).  Used by the multi-host
+    part splice and tools/merge_outputs.py.
+    """
+    import numpy as np
+
+    ks = [np.asarray(k, dtype=np.uint64) for k, _ in parts]
+    cs = [np.asarray(c, dtype=np.int64) for _, c in parts]
+    if not ks:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    all_k = np.concatenate(ks)
+    all_c = np.concatenate(cs)
+    if not len(all_k):
+        return all_k, all_c
+    order = np.argsort(all_k, kind="stable")
+    sk = all_k[order]
+    sc = all_c[order]
+    starts = np.r_[0, np.flatnonzero(sk[1:] != sk[:-1]) + 1]
+    return sk[starts], np.add.reduceat(sc, starts)
 
 
 def merge_sorted_spectra(parts):

@@ -103,3 +103,90 @@ def test_diff_cfrk(tmp_path):
     assert run(str(a), str(b), "--semantic") == (0, "semantically equal (2 reads)")
     rc, msg = run(str(a), str(c), "--semantic")
     assert rc == 1 and "1/2 reads differ" in msg
+
+
+def test_merge_outputs_perread(tmp_path):
+    """Splicing .cfrk parts reproduces the single-run bytes exactly."""
+    import numpy as np
+
+    from cfrk_tpu.format import format_file_bytes, parse_cfrk
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 9, size=(3, 16)).astype(np.int32)
+    b = rng.integers(0, 9, size=(2, 16)).astype(np.int32)
+    pa, pb = tmp_path / "a.cfrk", tmp_path / "b.cfrk"
+    pa.write_bytes(format_file_bytes(a))
+    pb.write_bytes(format_file_bytes(b))
+    out = tmp_path / "all.cfrk"
+    _run([str(TOOLS / "merge_outputs.py"), "--mode", "perread",
+          "-o", str(out), str(pa), str(pb)])
+    assert out.read_bytes() == format_file_bytes(np.concatenate([a, b]))
+    assert parse_cfrk(out.read_bytes()).shape == (5, 16)
+
+
+def test_merge_outputs_spectrum_npy_tsv(tmp_path):
+    import numpy as np
+
+    t1 = np.array([0, 5, 0, 2], dtype=np.int64)
+    t2 = np.array([1, 0, 0, 7], dtype=np.int64)
+    for fmt, write in [
+        ("npy", lambda p, t: np.save(open(p, "wb"), t)),
+        ("tsv", lambda p, t: open(p, "w").write(
+            "".join(f"{i}\t{int(v)}\n" for i, v in enumerate(t) if v))),
+    ]:
+        ps = []
+        for name, t in [("p1", t1), ("p2", t2)]:
+            p = tmp_path / f"{name}.{fmt}"
+            write(str(p), t)
+            ps.append(str(p))
+        out = tmp_path / f"all.{fmt}"
+        _run([str(TOOLS / "merge_outputs.py"), "--mode", "spectrum",
+              "--format", fmt, "-o", str(out)] + ps)
+        if fmt == "npy":
+            got = np.load(out)
+            assert np.array_equal(got, t1 + t2)
+        else:
+            lines = out.read_text().strip().splitlines()
+            got = {int(l.split("\t")[0]): int(l.split("\t")[1]) for l in lines}
+            want = {i: int(v) for i, v in enumerate(t1 + t2) if v}
+            assert got == want
+
+
+def test_merge_outputs_sparse_streaming(tmp_path):
+    from cfrk_tpu.ops.sparse import decode_key
+
+    # overlapping sorted k-mer TSVs; counts must sum per k-mer
+    k = 5
+    rows1 = {decode_key(c, k): n for c, n in [(3, 2), (9, 1), (40, 5)]}
+    rows2 = {decode_key(c, k): n for c, n in [(9, 4), (40, 1), (99, 7)]}
+    ps = []
+    for name, rows in [("s1", rows1), ("s2", rows2)]:
+        p = tmp_path / f"{name}.kmers.tsv"
+        p.write_text("".join(f"{km}\t{n}\n" for km, n in sorted(rows.items())))
+        ps.append(str(p))
+    out = tmp_path / "all.kmers.tsv"
+    _run([str(TOOLS / "merge_outputs.py"), "--mode", "sparse",
+          "-o", str(out)] + ps)
+    got = dict(
+        line.split("\t") for line in out.read_text().strip().splitlines()
+    )
+    want = {km: str(rows1.get(km, 0) + rows2.get(km, 0))
+            for km in set(rows1) | set(rows2)}
+    assert got == want
+    assert list(got) == sorted(got)  # still in key order
+
+
+def test_merge_sorted_key_counts():
+    import numpy as np
+
+    from cfrk_tpu.ops.sparse import merge_sorted_key_counts
+
+    k1 = np.array([1, 5, 9], dtype=np.uint64)
+    c1 = np.array([2, 3, 4], dtype=np.int64)
+    k2 = np.array([5, 9, 12], dtype=np.uint64)
+    c2 = np.array([10, 1, 1], dtype=np.int64)
+    keys, cnts = merge_sorted_key_counts([(k1, c1), (k2, c2)])
+    assert keys.tolist() == [1, 5, 9, 12]
+    assert cnts.tolist() == [2, 13, 5, 1]
+    keys, cnts = merge_sorted_key_counts([])
+    assert len(keys) == 0 and len(cnts) == 0
