@@ -190,3 +190,20 @@ def test_merge_sorted_key_counts():
     assert cnts.tolist() == [2, 13, 5, 1]
     keys, cnts = merge_sorted_key_counts([])
     assert len(keys) == 0 and len(cnts) == 0
+
+
+def test_merge_outputs_sparse_gzip(tmp_path):
+    """Gzipped sparse shard outputs merge transparently, gz in + gz out."""
+    import gzip
+
+    p1 = tmp_path / "s1.kmers.tsv.gz"
+    p2 = tmp_path / "s2.kmers.tsv"
+    with gzip.open(p1, "wt") as f:
+        f.write("AAACA\t2\nAAGTT\t1\n")
+    p2.write_text("AAACA\t3\nCCCCC\t4\n")
+    out = tmp_path / "all.kmers.tsv.gz"
+    _run([str(TOOLS / "merge_outputs.py"), "--mode", "sparse",
+          "-o", str(out), str(p1), str(p2)])
+    with gzip.open(out, "rt") as f:
+        got = dict(line.split("\t") for line in f.read().strip().splitlines())
+    assert got == {"AAACA": "5", "AAGTT": "1", "CCCCC": "4"}

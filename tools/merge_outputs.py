@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import gzip
 import heapq
 import itertools
 import os
@@ -35,11 +36,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _open_in(path: str, mode: str = "rb"):
+    """Transparent gzip: the CLI gzip-compresses outputs ending .gz."""
+    return gzip.open(path, mode) if path.endswith(".gz") else open(path, mode)
+
+
+def _open_out(path: str, mode: str = "wb"):
+    return gzip.open(path, mode) if path.endswith(".gz") else open(path, mode)
+
+
 def merge_perread(parts: list[str], out: str) -> None:
-    with open(out, "wb") as f:
+    with _open_out(out, "wb") as f:
         wrote_any = False
         for p in parts:
-            with open(p, "rb") as pf:
+            with _open_in(p, "rb") as pf:
                 head = pf.read(1)
                 if not head:
                     continue
@@ -56,10 +66,12 @@ def merge_spectrum(parts: list[str], out: str, fmt: str) -> None:
     total = None
     for p in parts:
         if fmt == "npy":
-            t = np.load(p).astype(np.int64)
+            with _open_in(p, "rb") as f_in:
+                t = np.load(f_in).astype(np.int64)
         elif fmt == "tsv":
             t = None  # handled below (sparse indices)
-            pairs = np.loadtxt(p, dtype=np.int64, ndmin=2)
+            with _open_in(p, "rt") as f_in:
+                pairs = np.loadtxt(f_in, dtype=np.int64, ndmin=2)
             if pairs.size:
                 size = int(pairs[:, 0].max()) + 1
                 t = np.zeros(size, dtype=np.int64)
@@ -69,7 +81,8 @@ def merge_spectrum(parts: list[str], out: str, fmt: str) -> None:
         elif fmt == "cfrk":
             from cfrk_tpu.format import parse_cfrk
 
-            rows = parse_cfrk(open(p, "rb").read())
+            with _open_in(p, "rb") as f_in:
+                rows = parse_cfrk(f_in.read())
             if rows.shape[0] != 1:
                 raise SystemExit(
                     f"{p}: spectrum .cfrk must hold exactly one dense row"
@@ -91,11 +104,11 @@ def merge_spectrum(parts: list[str], out: str, fmt: str) -> None:
     if total is None:
         raise SystemExit("no parts given")
     if fmt == "npy":
-        with open(out, "wb") as f:
+        with _open_out(out, "wb") as f:
             np.save(f, total)
     elif fmt == "tsv":
         (nz,) = np.nonzero(total)
-        with open(out, "w") as f:
+        with _open_out(out, "wt") as f:
             for i in nz:
                 f.write(f"{i}\t{int(total[i])}\n")
     else:
@@ -110,7 +123,7 @@ def merge_spectrum(parts: list[str], out: str, fmt: str) -> None:
 
 
 def _tsv_rows(path: str):
-    with open(path) as f:
+    with _open_in(path, "rt") as f:
         for line in f:
             kmer, _, cnt = line.rstrip("\n").partition("\t")
             yield kmer, int(cnt)
@@ -120,7 +133,7 @@ def merge_sparse(parts: list[str], out: str, min_count: int = 1) -> None:
     # Parts are sorted by k-mer (code order == lexicographic for equal
     # k), so a heap merge + groupby streams in O(#parts) memory.
     streams = [_tsv_rows(p) for p in parts]
-    with open(out, "w") as f:
+    with _open_out(out, "wt") as f:
         merged = heapq.merge(*streams, key=lambda kv: kv[0])
         for kmer, group in itertools.groupby(merged, key=lambda kv: kv[0]):
             total = sum(cnt for _, cnt in group)
@@ -149,7 +162,10 @@ def main() -> int:
     elif args.mode == "spectrum":
         fmt = args.format
         if fmt is None:
-            ext = os.path.splitext(args.parts[0])[1].lstrip(".")
+            base = args.parts[0]
+            if base.endswith(".gz"):
+                base = base[:-3]
+            ext = os.path.splitext(base)[1].lstrip(".")
             fmt = {"npy": "npy", "tsv": "tsv", "spectrum": "cfrk",
                    "cfrk": "cfrk"}.get(ext)
             if fmt is None:
