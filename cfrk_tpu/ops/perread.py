@@ -146,14 +146,23 @@ def count_perread(
     if impl == "host":
         import numpy as np
 
-        # Window updates (B*W) are orders of magnitude fewer than bins
-        # (B*4**k), so indexed add beats bincount's giant allocation.
+        # Sort composite (read, bin) keys and length-encode the runs —
+        # O(B·W log B·W) on the windows, never on the B·4**k bins.
+        # np.add.at was measured at ~220 us/update at the full
+        # 8192×4**8 batch shape (261 s/batch on this host; the 2 GB
+        # random-write target defeats every cache) vs ~0.2 s for the
+        # sort route — same lesson as SparseAccumulator._fold.
         idx = np.asarray(window_indices(codes, k, canonical))
         b, w = idx.shape
-        rows = np.broadcast_to(np.arange(b, dtype=np.int32)[:, None], (b, w))
+        rows = np.broadcast_to(np.arange(b, dtype=np.int64)[:, None], (b, w))
         valid = idx >= 0
+        comp = rows[valid] * (4**k) + idx[valid]
+        comp.sort(kind="stable")
+        starts = np.r_[0, np.flatnonzero(comp[1:] != comp[:-1]) + 1]
+        runs = np.diff(np.r_[starts, len(comp)])
         counts = np.zeros((b, 4**k), dtype=out_dtype)
-        np.add.at(counts, (rows[valid], idx[valid]), 1)
+        if len(comp):
+            counts.reshape(-1)[comp[starts]] = runs.astype(out_dtype)
         return jnp.asarray(counts)
     if impl == "matmul":
         if acc_dtype is None:

@@ -124,6 +124,9 @@ def test_spectrum_equals_perread_sum(rng):
 def test_all_invalid_read():
     batch = pad_reads([np.full(50, -1, dtype=np.int8)], max_len=128)
     assert np.asarray(count_perread(jnp.asarray(batch.codes), 2)).sum() == 0
+    # host impl: the sort-route's empty composite-key edge
+    got = np.asarray(count_perread(batch.codes, 4, impl="host"))
+    assert got.shape == (1, 256) and got.sum() == 0
 
 
 def test_perread_scatter_and_host_impl_parity():
