@@ -207,3 +207,57 @@ def test_merge_outputs_sparse_gzip(tmp_path):
     with gzip.open(out, "rt") as f:
         got = dict(line.split("\t") for line in f.read().strip().splitlines())
     assert got == {"AAACA": "5", "AAGTT": "1", "CCCCC": "4"}
+
+
+def test_query_spectrum_dense_npy(tmp_path):
+    import numpy as np
+
+    dense = np.zeros(256, dtype=np.int64)  # k=4
+    dense[0] = 7      # AAAA
+    dense[27] = 3     # 27 = 0b_00_01_10_11 -> ACGT
+    dense[255] = 11   # TTTT
+    p = tmp_path / "spect.npy"
+    np.save(open(p, "wb"), dense)
+    r = _run([str(TOOLS / "query_spectrum.py"), str(p), "--stats",
+              "--top", "2", "--k", "4", "ACGT", "AAAC"])
+    lines = r.stdout.strip().splitlines()
+    assert "distinct\t3" in lines and "total\t21" in lines
+    assert "max\t11\tTTTT" in lines and "unique\t0" in lines
+    top = [l for l in lines if l.split("\t")[0] in ("TTTT", "AAAA")]
+    assert top == ["TTTT\t11", "AAAA\t7"]  # descending
+    assert "ACGT\t3" in lines and "AAAC\t0" in lines
+
+
+def test_query_spectrum_sparse_tsv_gz(tmp_path):
+    import gzip
+
+    p = tmp_path / "out.kmers.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("AACGT\t4\nGGGGG\t2\n")
+    r = _run([str(TOOLS / "query_spectrum.py"), str(p), "GGGGG", "CCCCC"])
+    assert r.stdout.splitlines() == ["GGGGG\t2", "CCCCC\t0"]
+    # k inferred from the strings: wrong-length query is an error
+    import subprocess
+
+    try:
+        _run([str(TOOLS / "query_spectrum.py"), str(p), "AAAA"])
+        raise AssertionError("expected nonzero exit")
+    except subprocess.CalledProcessError as e:
+        assert "length 4" in e.stderr
+
+
+def test_query_spectrum_index_tsv_and_cfrk(tmp_path):
+    import numpy as np
+
+    from cfrk_tpu.format import format_file_bytes
+
+    p = tmp_path / "spect.tsv"
+    p.write_text("1\t5\n100\t2\n")  # index-keyed (digit first char)
+    r = _run([str(TOOLS / "query_spectrum.py"), str(p), "--stats"])
+    assert "distinct\t2" in r.stdout and "total\t7" in r.stdout
+    dense = np.zeros((1, 16), dtype=np.int64)
+    dense[0, 5] = 9
+    pc = tmp_path / "spect.cfrk"
+    pc.write_bytes(format_file_bytes(dense))
+    r = _run([str(TOOLS / "query_spectrum.py"), str(pc), "--k", "2", "CC"])
+    assert r.stdout.strip() == "CC\t9"
