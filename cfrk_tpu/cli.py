@@ -284,7 +284,7 @@ def _split_reference_positionals(args) -> None:
 
 def _out_path(inp: str, out_dir: str, mode: str) -> str:
     base = os.path.basename(inp)
-    for ext in (".gz", ".fasta", ".fa", ".fna"):
+    for ext in (".gz",) + _FASTA_EXTS:
         if base.endswith(ext):
             base = base[: -len(ext)]
     suffix = {"perread": ".cfrk", "spectrum": ".spectrum", "sparse": ".kmers.tsv"}[mode]
@@ -500,6 +500,12 @@ def _run_byte_ranged(args, t0) -> int:
             mesh=args.mesh, seqpar=args.seqpar,
             byte_range=(start, limit),
         )
+        # Row-count sidecar: part BYTES cannot distinguish "zero reads"
+        # from "one read whose --nonzero row is empty" (both are 0
+        # bytes) — the splice needs the read count to keep row/read
+        # alignment across parts.
+        with open(part + ".nreads", "w") as f:
+            f.write(str(m.reads))
     elif args.mode == "spectrum":
         from .pipeline.stream import stream_spectrum_file
 
@@ -544,22 +550,7 @@ def _run_byte_ranged(args, t0) -> int:
     if pi == 0:
         parts = [f"{out}.part{i}" for i in range(pc)]
         if args.mode == "perread":
-            import shutil
-
-            with open(out, "wb") as f:
-                wrote_any = False
-                for p in parts:
-                    # Chunked splice: per-read parts are multi-GB at
-                    # config-5 scale, so never slurp a whole part.
-                    with open(p, "rb") as pf:
-                        head = pf.read(1)
-                        if not head:
-                            continue
-                        if wrote_any:
-                            f.write(b"\n")
-                        f.write(head)
-                        shutil.copyfileobj(pf, f, 1 << 20)
-                        wrote_any = True
+            _splice_perread_parts(parts, out)
         elif args.mode == "spectrum":
             total = None
             for p in parts:
@@ -583,10 +574,36 @@ def _run_byte_ranged(args, t0) -> int:
                         f.write(f"{decode_key(key, args.k)}\t{cnt}\n")
         for p in parts:
             os.remove(p)
+            if args.mode == "perread":
+                os.remove(p + ".nreads")
     # Keep every process alive until the merge completed (shared FS
     # teardown must not race the part reads on process 0).
     multihost_utils.sync_global_devices("cfrk-parts-merged")
     return 0
+
+
+def _splice_perread_parts(parts, out: str) -> None:
+    """Concatenate per-range .cfrk parts with the reference row framing
+    ('\\n' BEFORE each subsequent row, no trailing newline).
+
+    Parts are skipped by their ``.nreads`` sidecar READ COUNT, never by
+    size: a 0-byte part can be one read whose --nonzero row is empty,
+    which must still contribute a row or every later read's row
+    misaligns.  Chunked copy — parts are multi-GB at config-5 scale.
+    """
+    import shutil
+
+    with open(out, "wb") as f:
+        wrote_any = False
+        for p in parts:
+            with open(p + ".nreads") as nf:
+                if int(nf.read()) == 0:
+                    continue
+            with open(p, "rb") as pf:
+                if wrote_any:
+                    f.write(b"\n")
+                shutil.copyfileobj(pf, f, 1 << 20)
+                wrote_any = True
 
 
 def _build_mesh(args):

@@ -119,6 +119,29 @@ def format_rows_pairs(idx: np.ndarray, counts: np.ndarray) -> list[bytes]:
     return out
 
 
+def _dense_to_pairs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Dense ``[n, 4**k]`` block → rectangular (idx, counts) pair
+    matrices whose count-0 cells are padding — the cell contract of
+    :func:`format_rows_pairs` — so the --nonzero writer can use the
+    ~10x native pair formatter instead of per-cell Python f-strings.
+    Preserves empty rows (a row with no nonzero cells stays a row)."""
+    counts = np.asarray(counts)
+    n = counts.shape[0]
+    nzr, nzc = np.nonzero(counts)
+    rowcnt = np.bincount(nzr, minlength=n)
+    m = int(rowcnt.max(initial=0))
+    if m == 0:
+        z = np.zeros((n, 1), dtype=np.int32)
+        return z, z
+    starts = np.concatenate([[0], np.cumsum(rowcnt)[:-1]])
+    pos = np.arange(len(nzr)) - starts[nzr]
+    idx = np.zeros((n, m), dtype=np.int32)
+    cnt = np.zeros((n, m), dtype=np.int32)
+    idx[nzr, pos] = nzc
+    cnt[nzr, pos] = counts[nzr, nzc]
+    return idx, cnt
+
+
 class CfrkWriter:
     """Streaming `.cfrk` writer.
 
@@ -160,10 +183,20 @@ class CfrkWriter:
         if counts.shape[0] == 0:
             return
         if self._nonzero:
-            for row in format_rows_nonzero(counts):
-                if not self._first:
-                    self._f.write(b"\n")
-                self._f.write(row)
+            # Same bytes as format_rows_nonzero (pinned by tests), via
+            # the native pair formatter — the per-cell f-string loop was
+            # the hot spot of `--stream --nonzero` runs.  Row slabs of
+            # ~64 MB keep the nonzero scan's bool temp cache-resident
+            # (a whole 8192x4^8 block's temp thrashes this class of
+            # host at ~0.5 GB/s).
+            from .io.native import format_pairs_bytes
+
+            rows = max(1, (1 << 26) // max(counts[0].nbytes, 1))
+            for s in range(0, counts.shape[0], rows):
+                idx, cnt = _dense_to_pairs(counts[s : s + rows])
+                self._f.write(
+                    format_pairs_bytes(idx, cnt, first=self._first)
+                )
                 self._first = False
             return
         # The native C++ formatter (byte-identical, tests/test_native.py)

@@ -112,6 +112,22 @@ def _perread_kernel(
             out_ref[...] = a
 
 
+def packed_auto(impl: str, k: int, w: int) -> bool:
+    """Packed-emit auto-eligibility, shared by every per-read driver
+    (in-memory, streaming, streaming-on-mesh): the packed Pallas kernel
+    applies on TPU in its k-range when windows/read fit the fh bound.
+    Callers add their own constraints (mesh row divisibility, explicit
+    --packed override)."""
+    import jax
+
+    return (
+        impl in ("auto", "pallas")
+        and 5 <= k <= 8
+        and w < 2**15
+        and jax.default_backend() == "tpu"
+    )
+
+
 def resolve_packed(packed, w: int):
     """Resolve a packed-mode request against the windows/read bound.
 

@@ -124,6 +124,12 @@ def count_perread(
         )
     if codes.ndim != 2:
         raise ValueError(f"codes must be [B, L], got {codes.shape}")
+    if impl == "host" and isinstance(codes, jax.core.Tracer):
+        # 'host' cannot run under a trace (sharded/seqpar paths jit
+        # their dispatch); reroute to the traceable scatter impl — the
+        # same substitution the auto path makes — instead of crashing
+        # with a TracerArrayConversionError.
+        impl = "scatter"
     if impl == "auto":
         if 4**k <= 64:
             impl = "compare"

@@ -138,8 +138,6 @@ def fetch_triples(hi, lo, counts, k: int):
     is skipped and replaced with host zeros.  At config-3 batch sizes
     that is ~7 MB/batch of D2H for free.
     """
-    import numpy as np
-
     nplo = np.asarray(lo)
     if k <= LO_BASES:
         nphi = np.zeros(nplo.shape, dtype=np.uint32)
@@ -156,8 +154,6 @@ def merge_sorted_key_counts(parts):
     (np.add.at is ~10-60x slower at scale).  Used by the multi-host
     part splice and tools/merge_outputs.py.
     """
-    import numpy as np
-
     ks = [np.asarray(k, dtype=np.uint64) for k, _ in parts]
     cs = [np.asarray(c, dtype=np.int64) for _, c in parts]
     if not ks:
@@ -182,8 +178,6 @@ def merge_sorted_spectra(parts):
     np.unique-based reduction over all batches rather than a Python
     loop per key.
     """
-    import numpy as np
-
     key_parts, cnt_parts = [], []
     for hi, lo, counts in parts:
         mask = counts > 0
@@ -212,16 +206,12 @@ class SparseAccumulator:
     """
 
     def __init__(self, merge_every: int = 32):
-        import numpy as np
-
-        self._np = np
         self.keys = np.empty(0, dtype=np.uint64)
         self.counts = np.empty(0, dtype=np.int64)
         self._pending: list = []
         self._merge_every = merge_every
 
     def add(self, hi, lo, counts) -> None:
-        np = self._np
         mask = counts > 0
         keys = (hi[mask].astype(np.uint64) << np.uint64(2 * LO_BASES)) | lo[
             mask
@@ -242,7 +232,6 @@ class SparseAccumulator:
         this host; the reference's host-side merge analog is the hash
         consolidation in ``src/main.cu:232-247``.
         """
-        np = self._np
         if not self._pending:
             return
         pk = np.concatenate([k for k, _ in self._pending])

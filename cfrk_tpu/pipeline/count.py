@@ -30,7 +30,111 @@ __all__ = [
     "spectrum_file",
     "sparse_spectrum_file",
     "write_cfrk",
+    "SPILL_LIMIT",
+    "iter_spill_chunks",
+    "DenseSpectrumAccumulator",
 ]
+
+# Dense-spectrum device tables accumulate in int32 (device int64 needs
+# the x64 flag); any single bin is bounded by the windows accumulated
+# since the last spill, so staying below this keeps every bin exact.
+# The 2**27 headroom keeps the comparison itself safely signed.
+SPILL_LIMIT = 2**31 - 2**27
+
+
+def iter_spill_chunks(codes, k: int, row_multiple: int = 1,
+                      len_multiple: int = 1, limit: int = SPILL_LIMIT):
+    """Split one batch so no single dispatch sees >= ``limit`` windows.
+
+    Without this, a lone batch of long repeat-dominated contigs (e.g.
+    8192 poly-A reads padded to a ~300 kbase bucket = ~2.5e9 windows)
+    could wrap an int32 bin INSIDE one dispatch, before any
+    across-batch spill guard runs.  Splits rows first (chunks stay
+    divisible by ``row_multiple`` for dp-sharded dispatch); if even the
+    minimal row chunk reaches the limit, slices the position axis with
+    k-1 overlap — exact for a GLOBAL spectrum, since every window lands
+    in exactly one slice.  Position slices are padded with -1 columns
+    to ``len_multiple`` (seqpar divisibility); padding windows are
+    invalid and count nothing.
+    """
+    b, length = codes.shape
+    w = length - k + 1
+    if b * w < limit:
+        yield codes
+        return
+    rows = max(1, (limit - 1) // max(w, 1))
+    rows = max(rows - rows % row_multiple, row_multiple)
+    if rows * w < limit:
+        for s in range(0, b, rows):
+            yield codes[s : s + rows]
+        return
+    step = max(1, (limit - 1) // rows)
+    for r in range(0, b, rows):
+        rchunk = np.asarray(codes[r : r + rows])
+        for s in range(0, w, step):
+            sl = rchunk[:, s : min(s + step + k - 1, length)]
+            pad = -sl.shape[1] % len_multiple
+            if pad:
+                sl = np.pad(sl, ((0, 0), (0, pad)), constant_values=-1)
+            yield sl
+
+
+class DenseSpectrumAccumulator:
+    """int32-on-device dense-spectrum accumulation with int64 host spill.
+
+    Shared by the in-memory (:func:`spectrum_file`) and streaming
+    (``stream_spectrum_file``) drivers — one implementation of the
+    overflow discipline: every dispatch AND the running device table
+    stay below :data:`SPILL_LIMIT` windows, so no int32 bin can wrap.
+    ``base`` is the flattened int64 host table (may hold a resumed
+    checkpoint); with tp > 1 the device table arrives bins-over-tp and
+    the spill's np.asarray gathers it.
+    """
+
+    def __init__(self, k: int, dispatch, base: np.ndarray,
+                 row_multiple: int = 1, len_multiple: int = 1,
+                 limit: int = SPILL_LIMIT):
+        self.k = k
+        self.base = base
+        self._dispatch = dispatch
+        self._dev = None
+        self._windows = 0
+        self._row_multiple = row_multiple
+        self._len_multiple = len_multiple
+        self._limit = limit
+
+    def add(self, codes) -> None:
+        import jax.numpy as jnp
+
+        for chunk in iter_spill_chunks(
+            codes, self.k, self._row_multiple, self._len_multiple,
+            self._limit,
+        ):
+            bw = chunk.shape[0] * (chunk.shape[1] - self.k + 1)
+            if self._windows + bw >= self._limit:
+                self.spill()
+            part = self._dispatch(jnp.asarray(chunk))
+            self._dev = part if self._dev is None else self._dev + part
+            self._windows += bw
+
+    @property
+    def windows(self) -> int:
+        """Windows accumulated on device since the last spill (callers
+        that stage/meter the spill can pre-check the limit)."""
+        return self._windows
+
+    def spill(self) -> None:
+        """Fold the device table into the host int64 base."""
+        if self._dev is not None:
+            self.base = self.base + np.asarray(
+                self._dev, dtype=np.int64
+            ).reshape(-1)
+            self._dev = None
+        self._windows = 0
+
+    def total(self) -> np.ndarray:
+        self.spill()
+        return self.base
 
 
 def _plan_shapes(reads: Sequence[np.ndarray], k: int, batch_size: int | None,
@@ -84,12 +188,7 @@ def count_reads(
         else:
             out[r0 : r0 + n] = np.asarray(c)[:n]
 
-    use_packed = (
-        mesh is None
-        and impl in ("auto", "pallas")
-        and 5 <= k <= 8
-        and jax.default_backend() == "tpu"
-    )
+    from ..ops.pallas.perread import packed_auto
     for batch in iter_batches(reads, bs, ml):
         # int16 device counts (exact; bounded by windows/read) halve the
         # dominant HBM write and the D2H transfer.
@@ -113,7 +212,7 @@ def count_reads(
                 jax.numpy.asarray(batch.codes), k, mesh,
                 canonical=canonical, impl=impl,
             )
-        elif use_packed and batch.max_len - k + 1 < 2**15:
+        elif packed_auto(impl, k, batch.max_len - k + 1):
             # Packed Pallas output (1-2 bytes/bin): less HBM write AND
             # 2-4x less D2H than int16 dense; unpacked on host.
             from ..ops.pallas.perread import (
@@ -200,20 +299,16 @@ def spectrum_file(
         )
     # Accumulate on device (int32), spilling to the host int64 total
     # before any bin could overflow — avoids a full-table D2H per batch.
-    dev = None
-    windows = 0
-    limit = 2**31 - 2**27
+    acc = DenseSpectrumAccumulator(
+        k, dispatch, total,
+        row_multiple=(mesh.size if mesh is not None and not seqpar else 1),
+        len_multiple=(
+            mesh.shape.get("sp", 1) if mesh is not None and seqpar else 1
+        ),
+    )
     for batch in iter_batches(reads, bs, ml):
-        bw = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
-        if dev is not None and windows + bw >= limit:
-            total += np.asarray(dev, dtype=np.int64).reshape(-1)
-            dev, windows = None, 0
-        part = dispatch(jax.numpy.asarray(batch.codes))
-        dev = part if dev is None else dev + part
-        windows += bw
-    if dev is not None:
-        total += np.asarray(dev, dtype=np.int64).reshape(-1)
-    return total
+        acc.add(batch.codes)
+    return acc.total()
 
 
 def _use_sorted_spectrum(k: int, impl: str, seqpar: bool = False) -> bool:

@@ -309,8 +309,6 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
 
     if mesh is None:
         if mode == "perread":
-            import jax as _jax
-
             # Packed kernel output: fewer HBM-write bytes AND less D2H,
             # and the packed emits compile fine (rank-3 blocks; see
             # ops/pallas/perread.py) — so it is the DEFAULT on TPU in
@@ -319,16 +317,11 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
             # in {"b4", "fh", "dense"} so the drain side knows how to
             # materialise each batch (b4 = 1 byte/bin for short reads,
             # fh = 2 bytes/bin up to 2**15 windows/read).
-            pk_ok = (
-                packed
-                or (impl in ("auto", "pallas")
-                    and _jax.default_backend() == "tpu"
-                    and 5 <= k <= 8)
-            )
-
             def dispatch(arr):
+                from ..ops.pallas.perread import packed_auto
+
                 w = arr.shape[1] - k + 1
-                if pk_ok and w < 2**15:
+                if (packed and w < 2**15) or packed_auto(impl, k, w):
                     from ..ops.pallas.perread import (
                         count_perread_pallas,
                         resolve_packed,
@@ -353,24 +346,21 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
     )
 
     if mode == "perread":
-        import jax as _jax
-
-        # Same packed policy as single-device: explicit request, or
-        # auto on TPU in the pallas k-range.  Each device emits the
-        # packed layout so HBM write and D2H stay 1-2 bytes/bin.
-        pk_ok = (
-            packed
-            or (impl in ("auto", "pallas")
-                and _jax.default_backend() == "tpu"
-                and 5 <= k <= 8)
-        )
-
+        # Same packed policy as single-device (ops.pallas.packed_auto):
+        # explicit request, or auto on TPU in the pallas k-range.  Each
+        # device emits the packed layout so HBM write and D2H stay
+        # 1-2 bytes/bin; rows/device must cover whole read blocks.
         def dispatch(arr):
-            from ..ops.pallas.perread import DEFAULT_READ_BLOCK, resolve_packed
+            from ..ops.pallas.perread import (
+                DEFAULT_READ_BLOCK,
+                packed_auto,
+                resolve_packed,
+            )
 
             w = arr.shape[1] - k + 1
             rb = DEFAULT_READ_BLOCK
-            if pk_ok and w < 2**15 and (arr.shape[0] // mesh.size) % rb == 0:
+            pk_ok = (packed and w < 2**15) or packed_auto(impl, k, w)
+            if pk_ok and (arr.shape[0] // mesh.size) % rb == 0:
                 pm = resolve_packed(True, w)
                 return pm, count_perread_sharded_packed(
                     arr, k, mesh, canonical=canonical, packed=pm,
@@ -649,31 +639,28 @@ def stream_spectrum_file(
 
     # Device accumulator is int32 (device int64 needs the x64 flag);
     # it spills into the host int64 base before the windows added since
-    # the last spill could overflow any single int32 bin.  With tp > 1
-    # the sharded table arrives bins-over-tp; accumulation keeps that
-    # layout and the spill's np.asarray gathers it.
-    total_dev = None
-    windows_since_spill = 0
-    SPILL_LIMIT = 2**31 - 2**27
+    # the last spill could overflow any single int32 bin — including a
+    # SINGLE batch beyond the limit, which the accumulator dispatches
+    # in row/position slices (pipeline/count.DenseSpectrumAccumulator).
+    from .count import SPILL_LIMIT, DenseSpectrumAccumulator
 
-    def spill() -> None:
-        nonlocal base, total_dev, windows_since_spill
-        if total_dev is not None:
-            base = base + np.asarray(total_dev, dtype=np.int64).reshape(-1)
-            total_dev = None
-        windows_since_spill = 0
+    acc = DenseSpectrumAccumulator(
+        k, dispatch, base,
+        row_multiple=(mesh.size if mesh is not None and not seqpar else 1),
+        len_multiple=(
+            mesh.shape.get("sp", 1) if mesh is not None and seqpar else 1
+        ),
+    )
 
     gen = _resume_batches(path, k, batch_size, ckpt, byte_range)
     since_ckpt = 0
     for batch in _prefetched(gen, metrics=m):
         batch_windows = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
-        if windows_since_spill + batch_windows >= SPILL_LIMIT:
+        if acc.windows + batch_windows >= SPILL_LIMIT:
             with m.stage("materialize"):
-                spill()
+                acc.spill()
         with m.stage("dispatch"):
-            part = dispatch(jax.numpy.asarray(batch.codes))
-            total_dev = part if total_dev is None else total_dev + part
-            windows_since_spill += batch_windows
+            acc.add(batch.codes)
         m.batches += 1
         m.reads += batch.n_reads
         m.bases += int(batch.lengths.sum())
@@ -682,14 +669,13 @@ def stream_spectrum_file(
         since_ckpt += 1
         if cpath and since_ckpt >= checkpoint_every:
             with m.stage("checkpoint"):
-                spill()
-                ckpt.save_spectrum(cpath, base)
+                acc.spill()
+                ckpt.save_spectrum(cpath, acc.base)
                 ckpt.save(cpath)
             since_ckpt = 0
 
     with m.stage("materialize"):
-        spill()
-        total = base
+        total = acc.total()
     # cleanup=False keeps the checkpoint until the CALLER has written
     # the real output (runtime.checkpoint.cleanup_checkpoint) — a crash
     # during that write stays resumable.

@@ -441,3 +441,21 @@ def test_cli_impl_sort_validation_and_spectrum_small_k(tmp_path):
     assert main(base + ["-o", out, "--impl", "sort"]) == 0
     assert main(base + ["-o", out2, "--impl", "scatter"]) == 0
     assert open(out).read() == open(out2).read()
+
+
+def test_splice_perread_parts_empty_nonzero_row(tmp_path):
+    """A 0-byte part holding ONE read (empty --nonzero row) must still
+    contribute a row; a 0-read part must not (bytes are ambiguous, the
+    .nreads sidecar disambiguates)."""
+    from cfrk_tpu.cli import _splice_perread_parts
+
+    specs = [(b"0:2 1:1", 1), (b"", 1), (b"", 0), (b"3:4 ", 1)]
+    parts = []
+    for i, (content, nreads) in enumerate(specs):
+        p = tmp_path / f"o.part{i}"
+        p.write_bytes(content)
+        (tmp_path / f"o.part{i}.nreads").write_text(str(nreads))
+        parts.append(str(p))
+    out = tmp_path / "o.cfrk"
+    _splice_perread_parts(parts, str(out))
+    assert out.read_bytes() == b"0:2 1:1\n\n3:4 "  # 3 rows, middle empty

@@ -108,3 +108,20 @@ def test_seqpar_rejects_narrow_slices(devices, rng):
     codes = rng.integers(0, 4, size=(2, 32)).astype(np.int8)  # slice = 4
     with _pytest.raises(ValueError, match="span >2 slices"):
         count_perread_seqpar(codes, 8, mesh)
+
+
+def test_sharded_impl_host_reroutes_to_scatter(devices):
+    """impl='host' cannot run under shard_map's trace; it must reroute
+    to the traceable scatter impl instead of raising
+    TracerArrayConversionError (the CLI auto-meshes >1 device, so
+    `--impl host` used to crash any multi-device run)."""
+    import numpy as np
+
+    from cfrk_tpu.ops.perread import count_perread
+    from cfrk_tpu.parallel.sharded import count_perread_sharded
+
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, size=(16, 40)).astype(np.int8)
+    got = np.asarray(count_perread_sharded(codes, 4, make_mesh(devices), impl="host"))
+    want = np.asarray(count_perread(codes, 4, impl="host"))
+    np.testing.assert_array_equal(got, want)

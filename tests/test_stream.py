@@ -926,3 +926,61 @@ def test_gzip_byte_addressing_still_rejected(tmp_path):
         stream_spectrum_file(gz, 3, byte_range=(0, 100))
     with pytest.raises(ValueError, match="gzip"):
         stream_sparse_spectrum_file(gz, 31, byte_range=(0, 100))
+
+
+def test_iter_spill_chunks_exact_partition():
+    """Row and position chunking preserves every window exactly and
+    respects row/length multiples (the single-batch overflow guard)."""
+    from cfrk_tpu.ops.reference import spectrum_np
+    from cfrk_tpu.pipeline.count import iter_spill_chunks
+
+    rng = np.random.default_rng(11)
+    k = 3
+    codes = rng.integers(-1, 4, size=(12, 41)).astype(np.int8)
+    want = spectrum_np(codes, k)
+    for limit, rm, lm in [(10**9, 1, 1), (200, 1, 1), (200, 4, 1),
+                          (20, 1, 1), (20, 1, 5), (45, 2, 3)]:
+        got = np.zeros_like(want)
+        rows_seen = 0
+        for chunk in iter_spill_chunks(codes, k, rm, lm, limit):
+            w = chunk.shape[1] - k + 1
+            # valid windows per dispatch stay under the limit; -1 column
+            # padding can add < lm invalid (zero-count) windows per row
+            assert chunk.shape[0] * w < limit + chunk.shape[0] * lm
+            if limit > 40:  # row-chunk branch: whole rows, multiples hold
+                assert chunk.shape[0] % rm == 0 or chunk.shape[0] == 12
+            if lm > 1:
+                assert chunk.shape[1] % lm == 0
+            got += spectrum_np(chunk, k)
+            rows_seen += 0  # position slices revisit rows; count windows only
+        np.testing.assert_array_equal(got, want, err_msg=f"{limit},{rm},{lm}")
+
+
+def test_dense_spectrum_accumulator_tiny_limit():
+    """With a tiny injected limit the accumulator must spill repeatedly
+    and still produce the exact table (oracle: one-shot spectrum_np)."""
+    from cfrk_tpu.ops.reference import spectrum_np
+    from cfrk_tpu.pipeline.count import DenseSpectrumAccumulator
+
+    rng = np.random.default_rng(5)
+    k = 2
+    batches = [rng.integers(-1, 4, size=(6, 33)).astype(np.int8)
+               for _ in range(3)]
+    want = sum(spectrum_np(b, k) for b in batches)
+
+    calls = []
+
+    def dispatch(arr):
+        arr = np.asarray(arr)
+        calls.append(arr.shape)
+        return spectrum_np(arr, k).astype(np.int32)
+
+    acc = DenseSpectrumAccumulator(
+        k, dispatch, np.zeros(4**k, dtype=np.int64), limit=50
+    )
+    for b in batches:
+        acc.add(b)
+    np.testing.assert_array_equal(acc.total(), want)
+    # the tiny limit must actually have split the 6x33 batches
+    assert all(s[0] * (s[1] - k + 1) < 50 for s in calls)
+    assert len(calls) > len(batches)

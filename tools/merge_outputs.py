@@ -46,6 +46,11 @@ def _open_out(path: str, mode: str = "wb"):
 
 
 def merge_perread(parts: list[str], out: str) -> None:
+    # A 0-byte part is treated as a ZERO-READ shard.  Dense .cfrk rows
+    # are never empty (all 4^k cells are printed), so this is only
+    # ambiguous for a --nonzero part holding exactly one read with no
+    # valid windows; the CLI's own multi-host splice disambiguates via
+    # .nreads sidecars (cli._run_byte_ranged) — prefer it for such runs.
     with _open_out(out, "wb") as f:
         wrote_any = False
         for p in parts:
