@@ -124,7 +124,24 @@ def sparse_spectrum(codes: jax.Array, k: int, canonical: bool = False):
     caller compacts/merges on host or feeds the sorted stream onward.
     """
     hi, lo = kmer_keys(codes, k, canonical)
-    hi, lo = hi.reshape(-1), lo.reshape(-1)
+    lo = lo.reshape(-1)
+    if k <= LO_BASES:
+        # hi is structurally 0 for every valid key (the whole code fits
+        # lo) and sentinel exactly when lo is — sorting and RLE-ing lo
+        # ALONE is order-identical to the (hi, lo) lexicographic sort
+        # at half the sort-operand traffic (measured on-chip, PERF.md).
+        from .perread_sparse import rle_rows
+
+        lo = jax.lax.sort(lo)
+        ulo, counts = rle_rows(
+            (lo[None, :],),
+            (lo != INVALID_SENTINEL)[None, :],
+            (INVALID_SENTINEL,),
+        )
+        ulo, counts = ulo[0], counts[0]
+        uhi = jnp.where(counts > 0, jnp.uint32(0), INVALID_SENTINEL)
+        return uhi, ulo, counts
+    hi = hi.reshape(-1)
     hi, lo = jax.lax.sort((hi, lo), num_keys=2)
     return _rle(hi, lo)
 
