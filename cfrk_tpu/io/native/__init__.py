@@ -91,8 +91,11 @@ def iter_record_blocks_native(
     / ``limit_offset`` are rejected, matching the no-random-access
     contract of a gzip stream.
     """
-    if _fastaio is None:
-        raise RuntimeError("native extension not built")
+    if not HAVE_STREAM_NATIVE:
+        # Also covers a stale prebuilt .so that predates
+        # parse_encode_stream — fail with the contract error, not an
+        # AttributeError from inside the lookahead thread.
+        raise RuntimeError("native extension not built (or stale build)")
     from concurrent.futures import ThreadPoolExecutor
 
     if decompress:

@@ -511,15 +511,17 @@ PyObject* format_rows(PyObject*, PyObject* args) {
   out.reserve((size_t)n_rows * (size_t)n_cols * 8 + 64);
 
   Py_BEGIN_ALLOW_THREADS
-  /* Precompute "idx:" prefixes once per call — shared by every row. */
+  /* Precompute "idx:" prefixes once per call — shared by every row.
+   * Offsets are size_t: a dense k=15 row (4^15 columns) accumulates
+   * ~10.7 GB of prefix bytes, which overflows 32-bit offsets. */
   std::vector<char> prefixes;
-  std::vector<uint32_t> pref_off(n_cols + 1, 0);
+  std::vector<size_t> pref_off(n_cols + 1, 0);
   {
     char buf[24];
     for (Py_ssize_t j = 0; j < n_cols; j++) {
       char* e = emit_u64(buf, (uint64_t)j);
       *e++ = ':';
-      pref_off[j + 1] = pref_off[j] + (uint32_t)(e - buf);
+      pref_off[j + 1] = pref_off[j] + (size_t)(e - buf);
       prefixes.insert(prefixes.end(), buf, e);
     }
   }

@@ -195,21 +195,14 @@ def merge_sorted_spectra(parts):
     np.unique-based reduction over all batches rather than a Python
     loop per key.
     """
-    key_parts, cnt_parts = [], []
+    pairs = []
     for hi, lo, counts in parts:
         mask = counts > 0
         keys = (hi[mask].astype(np.uint64) << np.uint64(2 * LO_BASES)) | lo[
             mask
         ].astype(np.uint64)
-        key_parts.append(keys)
-        cnt_parts.append(counts[mask].astype(np.int64))
-    if not key_parts:
-        return {}
-    all_keys = np.concatenate(key_parts)
-    all_counts = np.concatenate(cnt_parts)
-    uniq, inv = np.unique(all_keys, return_inverse=True)
-    sums = np.zeros(len(uniq), dtype=np.int64)
-    np.add.at(sums, inv, all_counts)
+        pairs.append((keys, counts[mask].astype(np.int64)))
+    uniq, sums = merge_sorted_key_counts(pairs)
     return dict(zip(uniq.tolist(), sums.tolist()))
 
 

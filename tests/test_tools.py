@@ -218,8 +218,15 @@ def test_query_spectrum_dense_npy(tmp_path):
     dense[255] = 11   # TTTT
     p = tmp_path / "spect.npy"
     np.save(open(p, "wb"), dense)
-    r = _run([str(TOOLS / "query_spectrum.py"), str(p), "--stats",
-              "--top", "2", "--k", "4", "ACGT", "AAAC"])
+    import subprocess
+
+    try:  # AAAC is absent -> exit 1 (presence-gate contract), output intact
+        r = _run([str(TOOLS / "query_spectrum.py"), str(p), "--stats",
+                  "--top", "2", "--k", "4", "ACGT", "AAAC"])
+        raise AssertionError("expected exit 1 for a missing k-mer")
+    except subprocess.CalledProcessError as e:
+        assert e.returncode == 1
+        r = e
     lines = r.stdout.strip().splitlines()
     assert "distinct\t3" in lines and "total\t21" in lines
     assert "max\t11\tTTTT" in lines and "unique\t0" in lines
@@ -234,11 +241,15 @@ def test_query_spectrum_sparse_tsv_gz(tmp_path):
     p = tmp_path / "out.kmers.tsv.gz"
     with gzip.open(p, "wt") as f:
         f.write("AACGT\t4\nGGGGG\t2\n")
-    r = _run([str(TOOLS / "query_spectrum.py"), str(p), "GGGGG", "CCCCC"])
-    assert r.stdout.splitlines() == ["GGGGG\t2", "CCCCC\t0"]
-    # k inferred from the strings: wrong-length query is an error
     import subprocess
 
+    try:  # CCCCC is absent -> exit 1, both lookups still printed
+        _run([str(TOOLS / "query_spectrum.py"), str(p), "GGGGG", "CCCCC"])
+        raise AssertionError("expected exit 1 for a missing k-mer")
+    except subprocess.CalledProcessError as e:
+        assert e.returncode == 1
+        assert e.stdout.splitlines() == ["GGGGG\t2", "CCCCC\t0"]
+    # k inferred from the strings: wrong-length query is an error
     try:
         _run([str(TOOLS / "query_spectrum.py"), str(p), "AAAA"])
         raise AssertionError("expected nonzero exit")

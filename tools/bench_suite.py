@@ -99,7 +99,11 @@ def main() -> None:
 
         data_dir = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
         manifest = json.load(open(os.path.join(data_dir, "goldens.json")))
-        name, meta = sorted(manifest["files"].items())[1]  # seq2 (small)
+        # config-1 case: the SMALLEST golden sample (read count from the
+        # manifest, not filename order — seq2 is 710 reads vs seq1's 7898)
+        name, meta = min(
+            manifest["files"].items(), key=lambda kv: kv[1]["n_reads"]
+        )
         t0 = time.perf_counter()
         reads = read_fasta_encoded(os.path.join(data_dir, name))
         out = format_file_bytes(count_reads(reads, manifest["k"]))

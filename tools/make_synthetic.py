@@ -43,6 +43,11 @@ def main() -> None:
         for _ in range(args.genomes)
     ]
 
+    if args.read_len > args.genome_len:
+        raise SystemExit(
+            f"--read-len {args.read_len} exceeds --genome-len "
+            f"{args.genome_len}: reads are sampled as genome windows"
+        )
     opener = gzip.open if args.gzip else open
     chunk = 10_000
     written = 0

@@ -123,7 +123,8 @@ def merge_spectrum(parts: list[str], out: str, fmt: str) -> None:
             with CfrkWriter(out) as w:
                 w.write_batch(total[None, :].astype(np.int32))
         else:
-            with open(out, "wb") as f:
+            # int64 fallback: keep the .gz transparency of the fast path
+            with _open_out(out, "wb") as f:
                 f.write(format_file_bytes(total[None, :]))
 
 

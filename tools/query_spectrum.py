@@ -10,6 +10,9 @@ dumps.  Works on every spectrum artifact the CLI writes:
   .kmers.tsv[.gz]    `KMERSTRING<TAB>count` rows (sparse mode)
   .cfrk              single dense spectrum row (reference cell format)
 
+Exit status: 1 if any queried k-mer is absent from the table (so shell
+scripts can gate on presence), 0 otherwise.
+
 Usage:
   python tools/query_spectrum.py spect.npy --stats
   python tools/query_spectrum.py spect.npy --top 10 --k 8
@@ -138,7 +141,9 @@ def main() -> int:
         else:
             print(f"{km}\t0")
             missing += 1
-    return 0
+    # exit 1 when any queried k-mer is absent (the jellyfish-query-style
+    # contract: scripts can gate on presence), 0 otherwise
+    return 1 if missing else 0
 
 
 if __name__ == "__main__":

@@ -41,9 +41,13 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.cpu:
-        os.environ.setdefault(
-            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-        )
+        # Append, never setdefault: with XLA_FLAGS already exported the
+        # device-count flag would silently not apply and the "scaling"
+        # ladder would degenerate to a single n=1 row.
+        flag = "--xla_force_host_platform_device_count=8"
+        prev = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in prev:
+            os.environ["XLA_FLAGS"] = (prev + " " + flag).strip()
     import jax
 
     if args.cpu:
