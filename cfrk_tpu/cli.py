@@ -96,7 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
         help=(
             "spectrum output format (cfrk = single dense row; hist = "
             "count-of-counts histogram, the k-mer spectrum curve used "
-            "for genome-size estimation)"
+            "for genome-size estimation).  --mode sparse honors 'hist' "
+            "too (the k=31 abundance-curve workflow); its other "
+            "formats stay KMER<TAB>count tsv"
         ),
     )
     p.add_argument(
@@ -331,6 +333,33 @@ def _write_spectrum(
                 f.write(format_file_bytes(table2d))
 
 
+def _write_sparse(
+    path: str, keys, counts, k: int, fmt: str = "tsv", min_count: int = 1
+) -> None:
+    """Write a sparse spectrum (keys uint64, counts int64, key-sorted).
+
+    fmt 'tsv' (default): ``KMERSTRING<TAB>count`` rows in key order.
+    fmt 'hist': count-of-counts — the abundance curve used for
+    genome-size estimation, the standard k=31 workflow the dense
+    'hist' spectrum format cannot reach (4**31 bins).  Any other
+    --spectrum-format means dense tables and keeps the tsv default.
+    """
+    keys = np.asarray(keys)
+    counts = np.asarray(counts)
+    mask = counts >= max(min_count, 1)
+    if fmt == "hist":
+        vals, occ = np.unique(counts[mask], return_counts=True)
+        with open(path, "w") as f:
+            for c, n in zip(vals.tolist(), occ.tolist()):
+                f.write(f"{c}\t{n}\n")
+        return
+    from .ops.sparse import decode_key
+
+    with open(path, "w") as f:
+        for key, cnt in zip(keys[mask].tolist(), counts[mask].tolist()):
+            f.write(f"{decode_key(int(key), k)}\t{cnt}\n")
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -558,7 +587,7 @@ def _run_byte_ranged(args, t0) -> int:
                 total = t if total is None else total + t
             _write_spectrum(out, total, args.spectrum_format, args.min_count)
         else:
-            from .ops.sparse import decode_key, merge_sorted_key_counts
+            from .ops.sparse import merge_sorted_key_counts
 
             # Byte-range partition means no key duplication ACROSS parts
             # only for per-read; sparse keys DO repeat across ranges —
@@ -568,10 +597,10 @@ def _run_byte_ranged(args, t0) -> int:
                 z = np.load(p)
                 pairs.append((z["keys"], z["counts"]))
             uniq, sums = merge_sorted_key_counts(pairs)
-            with open(out, "w") as f:
-                for key, cnt in zip(uniq.tolist(), sums.tolist()):
-                    if cnt >= args.min_count:
-                        f.write(f"{decode_key(key, args.k)}\t{cnt}\n")
+            _write_sparse(
+                out, uniq, sums, args.k,
+                args.spectrum_format, args.min_count,
+            )
         for p in parts:
             os.remove(p)
             if args.mode == "perread":
@@ -724,7 +753,6 @@ def _run_inputs(args, t0) -> int:
             else _out_path(inp, args.out_dir or ".", args.mode)
         )
         if args.stream and args.mode == "sparse":
-            from .ops.sparse import decode_key
             from .pipeline.stream import stream_sparse_spectrum_file
             from .runtime.checkpoint import cleanup_checkpoint
 
@@ -735,10 +763,10 @@ def _run_inputs(args, t0) -> int:
                 checkpoint_every=args.checkpoint_every or 64,
                 cleanup=False, mesh=args.mesh, slack=args.slack,
             )
-            with open(out, "w") as f:
-                for key, cnt in zip(keys.tolist(), cnts.tolist()):
-                    if cnt >= args.min_count:
-                        f.write(f"{decode_key(key, args.k)}\t{cnt}\n")
+            _write_sparse(
+                out, keys, cnts, args.k,
+                args.spectrum_format, args.min_count,
+            )
             # Checkpoint survives until the REAL output exists: a crash
             # during the write above stays resumable.
             cleanup_checkpoint(out)
@@ -807,8 +835,6 @@ def _run_inputs(args, t0) -> int:
             with CfrkWriter(out, nonzero=args.nonzero) as w:
                 w.write_batch(counts)
         elif args.mode == "sparse":
-            from .ops.sparse import decode_key
-
             table = sparse_spectrum_file(
                 inp,
                 args.k,
@@ -818,10 +844,11 @@ def _run_inputs(args, t0) -> int:
                 mesh=args.mesh,
                 slack=args.slack,
             )
-            with open(out, "w") as f:
-                for key in sorted(table):
-                    if table[key] >= args.min_count:
-                        f.write(f"{decode_key(key, args.k)}\t{table[key]}\n")
+            skeys = sorted(table)
+            _write_sparse(
+                out, skeys, [table[key] for key in skeys], args.k,
+                args.spectrum_format, args.min_count,
+            )
         else:
             table = spectrum_file(
                 inp,

@@ -214,7 +214,6 @@ def count_one_factory(
                 w.write_batch(counts)
             return counts.shape[0]
         if mode == "sparse":
-            from ..ops.sparse import decode_key
 
             if stream:
                 from ..pipeline.stream import stream_sparse_spectrum_file
@@ -230,7 +229,6 @@ def count_one_factory(
                     cleanup=False, mesh=mesh, slack=slack,
                 )
                 n = m.reads
-                items = zip(keys.tolist(), cnts.tolist())
             else:
                 from ..pipeline.count import sparse_spectrum_file
 
@@ -239,11 +237,11 @@ def count_one_factory(
                     max_len=max_len, mesh=mesh, slack=slack,
                 )
                 n = 0
-                items = ((key, table[key]) for key in sorted(table))
-            with open(out, "w") as f:
-                for key, cnt in items:
-                    if cnt >= min_count:
-                        f.write(f"{decode_key(key, k)}\t{cnt}\n")
+                keys = sorted(table)
+                cnts = [table[key] for key in keys]
+            from ..cli import _write_sparse
+
+            _write_sparse(out, keys, cnts, k, spectrum_format, min_count)
             if stream:
                 from .checkpoint import cleanup_checkpoint
 

@@ -459,3 +459,38 @@ def test_splice_perread_parts_empty_nonzero_row(tmp_path):
     out = tmp_path / "o.cfrk"
     _splice_perread_parts(parts, str(out))
     assert out.read_bytes() == b"0:2 1:1\n\n3:4 "  # 3 rows, middle empty
+
+
+def test_sparse_hist_format(tmp_path):
+    """--mode sparse --spectrum-format hist writes the count-of-counts
+    curve (genome-size estimation workflow at k beyond dense reach)."""
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+
+    rng = np.random.default_rng(4)
+    fa = tmp_path / "h.fasta"
+    with open(fa, "w") as f:
+        for i in range(12):
+            f.write(f">r{i}\n" + "".join(
+                "ACGT"[c] for c in rng.integers(0, 4, 50)) + "\n")
+    tsv = tmp_path / "o.kmers.tsv"
+    assert main([str(fa), "-k", "17", "--mode", "sparse", "-o", str(tsv),
+                 "--devices", "1"]) == 0
+    hist = tmp_path / "o.hist"
+    assert main([str(fa), "-k", "17", "--mode", "sparse", "-o", str(hist),
+                 "--spectrum-format", "hist", "--devices", "1"]) == 0
+    # oracle: histogram of the tsv counts
+    from collections import Counter
+    occ = Counter(int(l.split("\t")[1]) for l in tsv.read_text().splitlines())
+    got = dict(
+        (int(a), int(b))
+        for a, b in (l.split("\t") for l in hist.read_text().splitlines())
+    )
+    assert got == dict(occ)
+    # streaming path produces the identical hist
+    hist2 = tmp_path / "o2.hist"
+    assert main([str(fa), "-k", "17", "--mode", "sparse", "-o", str(hist2),
+                 "--spectrum-format", "hist", "--stream",
+                 "--batch-size", "4", "--devices", "1"]) == 0
+    assert hist2.read_text() == hist.read_text()
