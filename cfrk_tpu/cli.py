@@ -389,6 +389,11 @@ def main(argv=None) -> int:
         args, load_config(args.config), parser,
         explicit=explicit_dests(argv if argv is not None else sys.argv[1:], parser),
     )
+    for inp in args.inputs:
+        if not os.path.exists(inp):
+            # Clean error, not a FileNotFoundError traceback from deep
+            # inside the parser (matches the reference's argv check).
+            raise SystemExit(f"input not found: {inp}")
     if args.k is None:
         raise SystemExit("k is required (positional or -k)")
     if not 1 <= args.k <= 31:

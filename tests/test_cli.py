@@ -494,3 +494,12 @@ def test_sparse_hist_format(tmp_path):
                  "--spectrum-format", "hist", "--stream",
                  "--batch-size", "4", "--devices", "1"]) == 0
     assert hist2.read_text() == hist.read_text()
+
+
+def test_missing_input_clean_error(tmp_path):
+    import pytest
+
+    from cfrk_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="input not found: nope.fasta"):
+        main(["nope.fasta", "-k", "2", "-o", str(tmp_path / "x.cfrk")])
