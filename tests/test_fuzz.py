@@ -60,3 +60,58 @@ def test_spectrum_impls_vs_numpy_spec(seed):
     for impl in ("matmul", "scatter", "pallas"):
         got = np.asarray(spectrum(codes, k, impl=impl), dtype=np.int64)
         np.testing.assert_array_equal(got, want, err_msg=f"{impl} k={k}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("canonical", [False, True])
+def test_sparse_spectrum_vs_numpy_spec(seed, canonical):
+    """Sort+RLE sparse spectra (single-key route k<=15 AND 2-key route
+    k>15) agree with a brute-force int64 window-code oracle across
+    random shapes, N rates, and canonical modes."""
+    from cfrk_tpu.ops.reference import canonical_indices_np, window_indices_np
+    from cfrk_tpu.ops.sparse import merge_sorted_spectra, sparse_spectrum
+
+    _, codes = _case(seed + 100)
+    rng = np.random.default_rng(seed + 3000)
+    k = int(rng.choice([2, 9, 15, 16, 23, 31]))
+    if codes.shape[1] < k:
+        codes = np.pad(codes, ((0, 0), (0, k - codes.shape[1])),
+                       constant_values=-1)
+    fn = canonical_indices_np if canonical else window_indices_np
+    want: dict[int, int] = {}
+    for row in codes:
+        idx = fn(row, k)
+        for v in idx[idx >= 0].tolist():
+            want[v] = want.get(v, 0) + 1
+    triple = tuple(np.asarray(a) for a in sparse_spectrum(codes, k, canonical))
+    got = merge_sorted_spectra([triple])
+    assert got == want, f"k={k}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_perread_sparse_rows_vs_numpy_spec(seed):
+    """Per-read sparse rows (both the small-k idx route and the large-k
+    (hi, lo) route) agree with the dense NumPy histograms."""
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+        pairs_to_host,
+    )
+    from cfrk_tpu.ops.reference import window_indices_np
+
+    _, codes = _case(seed + 200)
+    rng = np.random.default_rng(seed + 4000)
+    for k, op in [(int(rng.integers(1, 16)), count_perread_sparse),
+                  (int(rng.integers(16, 24)), count_perread_sparse_large)]:
+        c = codes
+        if c.shape[1] < k:
+            c = np.pad(c, ((0, 0), (0, k - c.shape[1])), constant_values=-1)
+        idx, cnt = pairs_to_host(op(c, k), c.shape[0])
+        for r, row in enumerate(c):
+            widx = window_indices_np(row, k)
+            want: dict[int, int] = {}
+            for v in widx[widx >= 0].tolist():
+                want[v] = want.get(v, 0) + 1
+            m = cnt[r] > 0
+            got = dict(zip(idx[r][m].tolist(), cnt[r][m].tolist()))
+            assert got == want, f"k={k} row={r}"
