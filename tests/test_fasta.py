@@ -149,3 +149,30 @@ def test_iter_reads_fastq_with_leading_blank_line(tmp_path):
     p.write_bytes(b"\n@r0\nACGT\n+\nIIII\n")
     recs = list(iter_reads(p))
     assert recs == [(b"r0", b"ACGT")]
+
+
+def test_crlf_line_endings_all_parsers(tmp_path):
+    """Windows CRLF FASTA parses identically to LF in the pure-Python,
+    native, and streaming parsers — '\\r' must never leak into codes."""
+    import numpy as np
+
+    from cfrk_tpu.io.fasta import read_fasta_encoded
+    from cfrk_tpu.pipeline.stream import stream_batches
+
+    data = b">r1\r\nACGTACGT\r\nACGT\r\n>r2\r\nTTTT\r\n"
+    crlf = tmp_path / "crlf.fasta"
+    lf = tmp_path / "lf.fasta"
+    crlf.write_bytes(data)
+    lf.write_bytes(data.replace(b"\r\n", b"\n"))
+
+    def all_reads(path):
+        out = [r.tolist() for r in read_fasta_encoded(path)]
+        for b in stream_batches(path, 2, 4):
+            for i in range(b.n_reads):
+                out.append(b.codes[i, : b.lengths[i]].tolist())
+        return out
+
+    got_crlf, got_lf = all_reads(crlf), all_reads(lf)
+    assert got_crlf == got_lf
+    assert got_crlf[0] == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3]
+    assert all(-1 not in r for r in got_crlf)
