@@ -750,6 +750,15 @@ def _run_inputs(args, t0) -> int:
     from .format import CfrkWriter
     from .pipeline.count import count_file, sparse_spectrum_file, spectrum_file
 
+    if not args.stream:
+        big = sum(os.path.getsize(p) for p in args.inputs)
+        if big > 4 << 30:
+            print(
+                f"cfrk-tpu: note: {big / (1 << 30):.1f} GiB of input will "
+                "be held in memory; --stream runs in constant memory "
+                "with checkpoint/resume",
+                file=sys.stderr,
+            )
     total_reads = 0
     for inp in args.inputs:
         out = (
