@@ -206,12 +206,31 @@ def count_reads(
                 canonical=canonical, impl=impl,
             )
         elif mesh is not None:
-            from ..parallel.sharded import count_perread_sharded
+            from ..ops.pallas.perread import DEFAULT_READ_BLOCK, resolve_packed
 
-            counts = count_perread_sharded(
-                jax.numpy.asarray(batch.codes), k, mesh,
-                canonical=canonical, impl=impl,
-            )
+            rb = DEFAULT_READ_BLOCK
+            w = batch.max_len - k + 1
+            if (
+                packed_auto(impl, k, w)
+                and (batch.codes.shape[0] // mesh.size) % rb == 0
+            ):
+                # Same packed policy as the streaming mesh dispatch:
+                # each device emits its packed row block (1-2 bytes/bin
+                # of HBM write + D2H instead of 4), unpacked on host.
+                from ..parallel.sharded import count_perread_sharded_packed
+
+                pk = resolve_packed(True, w)
+                counts = count_perread_sharded_packed(
+                    jax.numpy.asarray(batch.codes), k, mesh,
+                    canonical=canonical, packed=pk, read_block=rb,
+                )
+            else:
+                from ..parallel.sharded import count_perread_sharded
+
+                counts = count_perread_sharded(
+                    jax.numpy.asarray(batch.codes), k, mesh,
+                    canonical=canonical, impl=impl,
+                )
         elif packed_auto(impl, k, batch.max_len - k + 1):
             # Packed Pallas output (1-2 bytes/bin): less HBM write AND
             # 2-4x less D2H than int16 dense; unpacked on host.
