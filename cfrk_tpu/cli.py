@@ -537,9 +537,11 @@ def _run_byte_ranged(args, t0) -> int:
         # Row-count sidecar: part BYTES cannot distinguish "zero reads"
         # from "one read whose --nonzero row is empty" (both are 0
         # bytes) — the splice needs the read count to keep row/read
-        # alignment across parts.
+        # alignment across parts.  total_reads, not reads: a resumed
+        # range that was already complete processes 0 new reads but its
+        # part still holds every row.
         with open(part + ".nreads", "w") as f:
-            f.write(str(m.reads))
+            f.write(str(m.total_reads))
     elif args.mode == "spectrum":
         from .pipeline.stream import stream_spectrum_file
 

@@ -235,6 +235,7 @@ def count_reads(
             # Packed Pallas output (1-2 bytes/bin): less HBM write AND
             # 2-4x less D2H than int16 dense; unpacked on host.
             from ..ops.pallas.perread import (
+                DEFAULT_READ_BLOCK,
                 count_perread_pallas,
                 resolve_packed,
             )
@@ -242,7 +243,8 @@ def count_reads(
             pk = resolve_packed(True, batch.max_len - k + 1)
             counts = count_perread_pallas(
                 jax.numpy.asarray(batch.codes), k,
-                canonical=canonical, packed=pk, read_block=16,
+                canonical=canonical, packed=pk,
+                read_block=DEFAULT_READ_BLOCK,
             )
         else:
             counts = count_perread(

@@ -197,6 +197,24 @@ def _stream_batches_flat(
         yield cut_batch(len(lens))
 
 
+
+def _resume_fingerprint(path, k, mode_tag, canonical, out_path, byte_range):
+    """Shared resume plumbing for the three stream drivers: reject gzip
+    byte ranges, tag ranged runs as a distinct unit of work (resume must
+    never mix a ranged checkpoint with a whole-file one), and build the
+    (fingerprint, checkpoint-path) pair."""
+    if byte_range is not None:
+        if _is_gzip(path):
+            raise ValueError(
+                "byte_range needs a plain (uncompressed) input: a gzip "
+                "stream has no random access"
+            )
+        mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
+    fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
+    cpath = checkpoint_path(out_path) if out_path else None
+    return fp, cpath
+
+
 def _batch_feeder(gen: Iterator[ReadBatch], q: queue.Queue, err: list,
                   stop: threading.Event) -> None:
     def put(item) -> bool:
@@ -323,6 +341,7 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
                 w = arr.shape[1] - k + 1
                 if (packed and w < 2**15) or packed_auto(impl, k, w):
                     from ..ops.pallas.perread import (
+                        DEFAULT_READ_BLOCK,
                         count_perread_pallas,
                         resolve_packed,
                     )
@@ -330,7 +349,7 @@ def _make_dispatch(k, canonical, impl, mesh, mode, packed=False, seqpar=False):
                     pm = resolve_packed(True, w)
                     return pm, count_perread_pallas(
                         arr, k, canonical=canonical, packed=pm,
-                        read_block=16,
+                        read_block=DEFAULT_READ_BLOCK,
                     )
                 return "dense", count_perread(
                     arr, k, canonical=canonical, impl=impl,
@@ -436,11 +455,6 @@ def stream_count_file(
                 f"the read block ({DEFAULT_READ_BLOCK}): got "
                 f"{batch_size} over {mesh.size} devices"
             )
-    if byte_range is not None and _is_gzip(path):
-        raise ValueError(
-            "byte_range needs a plain (uncompressed) input: a gzip "
-            "stream has no random access"
-        )
     if str(out_path).endswith(".gz"):
         raise ValueError(
             "streaming .gz output is unsupported (checkpoints need byte "
@@ -472,13 +486,10 @@ def stream_count_file(
     if not seqpar:  # seqpar shards positions, not batch rows
         _check_mesh_batch(mesh, batch_size)
     m = metrics or RunMetrics(k=k, mode="perread")
-    mode_tag = "perread-nonzero" if nonzero else "perread"
-    if byte_range is not None:
-        # A ranged run is a DIFFERENT unit of work from a whole-file
-        # run: resume must never mix their checkpoints.
-        mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
-    fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
-    cpath = checkpoint_path(out_path)
+    fp, cpath = _resume_fingerprint(
+        path, k, "perread-nonzero" if nonzero else "perread",
+        canonical, out_path, byte_range,
+    )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
     if resume and os.path.exists(cpath):
@@ -563,6 +574,7 @@ def stream_count_file(
 
     if os.path.exists(cpath):
         ckpt.cleanup(cpath)
+    m.total_reads = ckpt.reads_done
     return m
 
 
@@ -615,16 +627,9 @@ def stream_spectrum_file(
         k, canonical, impl, mesh, "spectrum", seqpar=seqpar
     )
     m = metrics or RunMetrics(k=k, mode="spectrum")
-    mode_tag = "spectrum"
-    if byte_range is not None:
-        if _is_gzip(path):
-            raise ValueError(
-                "byte_range needs a plain (uncompressed) input: a gzip "
-                "stream has no random access"
-            )
-        mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
-    fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
-    cpath = checkpoint_path(out_path) if out_path else None
+    fp, cpath = _resume_fingerprint(
+        path, k, "spectrum", canonical, out_path, byte_range
+    )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
     base = np.zeros(4**k, dtype=np.int64)
@@ -681,6 +686,7 @@ def stream_spectrum_file(
     # during that write stays resumable.
     if cleanup and cpath and os.path.exists(cpath):
         ckpt.cleanup(cpath)
+    m.total_reads = ckpt.reads_done
     return total, m
 
 
@@ -721,16 +727,9 @@ def stream_sparse_spectrum_file(
         _check_mesh_batch(mesh, batch_size)
 
     m = metrics or RunMetrics(k=k, mode="sparse")
-    mode_tag = "sparse"
-    if byte_range is not None:
-        if _is_gzip(path):
-            raise ValueError(
-                "byte_range needs a plain (uncompressed) input: a gzip "
-                "stream has no random access"
-            )
-        mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
-    fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
-    cpath = checkpoint_path(out_path) if out_path else None
+    fp, cpath = _resume_fingerprint(
+        path, k, "sparse", canonical, out_path, byte_range
+    )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
     acc = SparseAccumulator(merge_every=merge_every)
@@ -774,4 +773,5 @@ def stream_sparse_spectrum_file(
     keys, counts = acc.result_arrays()
     if cleanup and cpath and os.path.exists(cpath):
         ckpt.cleanup(cpath)
+    m.total_reads = ckpt.reads_done
     return keys, counts, m

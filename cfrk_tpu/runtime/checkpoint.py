@@ -68,7 +68,10 @@ class StreamCheckpoint:
         return {
             "input": os.path.abspath(str(input_path)),
             "input_size": st.st_size,
-            "input_mtime": int(st.st_mtime),
+            # nanosecond mtime: a same-size input regenerated within the
+            # same SECOND (fast CI reruns) must not match and splice two
+            # different files' counts together.
+            "input_mtime": int(st.st_mtime_ns),
             "k": k,
             "mode": mode,
             "canonical": bool(canonical),
@@ -103,7 +106,10 @@ class StreamCheckpoint:
         resume paths fall back to a fresh start instead of crashing."""
         try:
             return StreamCheckpoint.load(path)
-        except (OSError, ValueError, KeyError, TypeError):
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
+            # AttributeError: a JSON whose top level is not an object
+            # ('null', '[]') — fall back to a fresh start like any
+            # other torn/foreign sidecar.
             return None
 
     def matches(self, fingerprint: dict) -> bool:
@@ -123,7 +129,11 @@ class StreamCheckpoint:
         return old
 
     def save_spectrum(self, ckpt_path: str, table: np.ndarray) -> None:
-        spath = f"{ckpt_path}.spectrum.{self.reads_done}.npy"
+        # abspath: a run launched with a relative out_path must resume
+        # from ANY working directory (the fingerprint already stores the
+        # input's abspath) — a dangling relative sidecar path silently
+        # discards all checkpointed accumulation.
+        spath = os.path.abspath(f"{ckpt_path}.spectrum.{self.reads_done}.npy")
         tmp = spath + ".tmp.npy"
         with open(tmp, "wb") as f:
             np.save(f, table)
@@ -139,7 +149,7 @@ class StreamCheckpoint:
 
     def save_sparse(self, ckpt_path: str, keys: np.ndarray,
                     counts: np.ndarray) -> None:
-        spath = f"{ckpt_path}.sparse.{self.reads_done}.npz"
+        spath = os.path.abspath(f"{ckpt_path}.sparse.{self.reads_done}.npz")
         tmp = spath + ".tmp.npz"
         with open(tmp, "wb") as f:
             np.savez(f, keys=keys, counts=counts)

@@ -29,6 +29,11 @@ class RunMetrics:
     """Counters + per-stage wall times for one counting run."""
 
     reads: int = 0
+    # reads in the OUTPUT including checkpoint-resumed ones (== reads on
+    # a fresh run); consumers that need the part's total row count (the
+    # multi-host splice sidecars) must use this, not `reads`, or a
+    # resumed already-complete range reports 0 rows.
+    total_reads: int = 0
     bases: int = 0
     batches: int = 0
     k: int = 0

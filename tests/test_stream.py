@@ -984,3 +984,62 @@ def test_dense_spectrum_accumulator_tiny_limit():
     # the tiny limit must actually have split the 6x33 batches
     assert all(s[0] * (s[1] - k + 1) < 50 for s in calls)
     assert len(calls) > len(batches)
+
+
+def test_total_reads_survives_resume_of_complete_run(tmp_path):
+    """A resumed run whose work is already done processes 0 new reads but
+    must still report the output's total row count via total_reads — the
+    multi-host splice sidecars depend on it (a 0 would silently drop the
+    whole part from the merged .cfrk)."""
+    rng = np.random.default_rng(9)
+    reads = _random_reads(9, rng, lo=10, hi=40)
+    fasta = tmp_path / "t.fasta"
+    _write_fasta(fasta, reads)
+    out = tmp_path / "o.cfrk"
+    m1 = stream_count_file(fasta, out, 4, batch_size=4)
+    assert m1.reads == 9 and m1.total_reads == 9
+    want = out.read_bytes()
+    # Simulate a crash AFTER the final checkpoint save but BEFORE the
+    # cleanup: the rerun finds all work done and processes 0 new reads.
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(fasta, 4, "perread", False),
+        reads_done=9,
+        out_bytes=len(want),
+        input_offset=os.path.getsize(fasta),
+    )
+    ckpt.save(checkpoint_path(out))
+    m2 = stream_count_file(fasta, out, 4, batch_size=4, resume=True)
+    assert m2.reads == 0  # nothing new to process
+    assert m2.total_reads == 9  # but the part holds every row
+    assert out.read_bytes() == want
+
+
+def test_checkpoint_non_object_json_falls_back(tmp_path):
+    """A checkpoint file whose top level is not a JSON object must read
+    as 'no checkpoint', not crash resume with an AttributeError."""
+    p = tmp_path / "o.cfrk.ckpt.json"
+    for content in ("null", "[]", '"str"'):
+        p.write_text(content)
+        assert StreamCheckpoint.load_if_valid(str(p)) is None
+
+
+def test_checkpoint_sidecar_paths_absolute(tmp_path, monkeypatch):
+    """Accumulator sidecar paths are stored absolute: a run launched with
+    a relative out_path must resume from any working directory."""
+    monkeypatch.chdir(tmp_path)
+    ckpt = StreamCheckpoint(fingerprint={}, reads_done=3)
+    ckpt.save_spectrum("rel.ckpt.json", np.arange(4, dtype=np.int64))
+    assert os.path.isabs(ckpt.spectrum_path)
+    monkeypatch.chdir("/")
+    np.testing.assert_array_equal(ckpt.load_spectrum(), np.arange(4))
+
+
+def test_checkpoint_fingerprint_mtime_ns(tmp_path):
+    """Fingerprints use nanosecond mtimes: a same-size rewrite within the
+    same second must not match (it would splice two different inputs)."""
+    f = tmp_path / "a.fasta"
+    f.write_bytes(b">r\nACGT\n")
+    fp1 = StreamCheckpoint.fingerprint_of(f, 2, "perread", False)
+    os.utime(f, ns=(os.stat(f).st_atime_ns, os.stat(f).st_mtime_ns + 1))
+    fp2 = StreamCheckpoint.fingerprint_of(f, 2, "perread", False)
+    assert fp1 != fp2

@@ -304,13 +304,14 @@ def main() -> None:
                     and jax.default_backend() == "tpu"
                 ):
                     from cfrk_tpu.ops.pallas.perread import (
+                        DEFAULT_READ_BLOCK,
                         count_perread_pallas,
                         resolve_packed,
                     )
 
                     pm = resolve_packed(True, wlen - ks + 1)
                     np.asarray(count_perread_pallas(
-                        dummy, ks, packed=pm, read_block=16
+                        dummy, ks, packed=pm, read_block=DEFAULT_READ_BLOCK
                     ))
                 else:
                     from cfrk_tpu.ops.perread import count_perread
