@@ -61,10 +61,10 @@ N_BATCHES = 64
 DISTINCT = 4  # distinct input batches cycled through the loop
 
 
-def _chip_specs(platform: str) -> dict:
+def _chip_specs(platform: str, *, int8: bool = False) -> dict:
     if platform in ("tpu", "axon"):
-        # TPU v5e: ~197 Tflop/s bf16, ~819 GB/s HBM.
-        return {"flops": 197e12, "hbm_bw": 819e9}
+        # TPU v5e: ~197 Tflop/s bf16, ~394 Top/s int8, ~819 GB/s HBM.
+        return {"flops": 394e12 if int8 else 197e12, "hbm_bw": 819e9}
     # CPU fallback numbers (only used off-TPU; keeps vs_baseline finite).
     return {"flops": 1e12, "hbm_bw": 50e9}
 
@@ -77,11 +77,14 @@ def speed_of_light_bases_per_s(
     *,
     count_bytes: float,
     read_back: bool,
+    int8_mxu: bool = False,
 ) -> float:
     """Per-impl roofline: max(MXU contraction time, count-matrix HBM
-    traffic).  ``count_bytes``/bin and whether a read-back is charged
-    depend on the implementation measured (module docstring)."""
-    specs = _chip_specs(platform)
+    traffic).  ``count_bytes``/bin, whether a read-back is charged, and
+    the MXU peak (the pallas kernel's default is int8 MACs at 2x the
+    bf16 peak — charging the bf16 peak would UNDERSTATE its speed of
+    light) depend on the implementation measured (module docstring)."""
+    specs = _chip_specs(platform, int8=int8_mxu)
     w = read_len - k + 1
     four_k = 4**k
     flops = 2.0 * batch * w * four_k  # one-hot outer-product matmuls
@@ -149,6 +152,7 @@ def main(impl_override: str | None = None) -> None:
             checksum = int(np.asarray(fn(xs)))
             dt = min(dt, time.perf_counter() - t0)
         count_bytes, read_back = (1.0 if pk == "b4" else 2.0), False
+        int8_mxu = True  # count_perread_pallas default mxu_dtype="int8"
     else:
         from cfrk_tpu.ops.perread import count_perread
 
@@ -169,12 +173,13 @@ def main(impl_override: str | None = None) -> None:
             checksum = int(np.asarray(chk))  # one end-of-run sync
             dt = min(dt, time.perf_counter() - t0)
         count_bytes, read_back = 4.0, True
+        int8_mxu = False  # the einsum path contracts in bf16/f32
 
     bases = n_batches * batch * READ_LEN
     bases_per_s = bases / dt
     sol = speed_of_light_bases_per_s(
         platform, batch, READ_LEN, K,
-        count_bytes=count_bytes, read_back=read_back,
+        count_bytes=count_bytes, read_back=read_back, int8_mxu=int8_mxu,
     )
     frac = bases_per_s / sol
     assert checksum > 0

@@ -53,9 +53,12 @@ def parse_encode_bytes(data: bytes) -> list[np.ndarray]:
         ]
     import io as _io
 
-    from ..fasta import encode_seq, iter_fasta
+    from ..fasta import encode_seq, iter_reads
 
-    return [encode_seq(s) for _, s in iter_fasta(_io.BytesIO(data))]
+    # iter_reads sniffs FASTA vs FASTQ from the first record byte, the
+    # same dispatch the C++ parse_encode does — the fallback must accept
+    # the same inputs as the extension.
+    return [encode_seq(s) for _, s in iter_reads(_io.BytesIO(data))]
 
 
 def iter_record_blocks_native(

@@ -113,6 +113,22 @@ def test_native_parser_throughput_sanity():
     assert HAVE_NATIVE and _fastaio is not None
 
 
+def test_parse_encode_bytes_fallback_sniffs_fastq(monkeypatch):
+    """Without the extension, parse_encode_bytes must still accept FASTQ
+    (the C++ parse_encode sniffs '@' records; the fallback has to match)."""
+    import numpy as np
+
+    import cfrk_tpu.io.native as native
+    from cfrk_tpu.io.fasta import encode_seq
+
+    monkeypatch.setattr(native, "_fastaio", None)
+    data = b"@r0\nACGTN\n+\nIIIII\n@r1\nGGCC\n+\nIIII\n"
+    got = native.parse_encode_bytes(data)
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0], encode_seq(b"ACGTN"))
+    np.testing.assert_array_equal(got[1], encode_seq(b"GGCC"))
+
+
 def test_format_pairs_bytes_matches_python():
     import numpy as np
 
