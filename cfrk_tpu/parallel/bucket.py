@@ -42,13 +42,28 @@ def _bucket_of(hi: jax.Array, lo: jax.Array, k: int, n_dev: int) -> jax.Array:
     Keeping key ranges contiguous per device means concatenating the
     per-device outputs yields one globally sorted spectrum.
     """
-    shift = max(2 * k - (n_dev - 1).bit_length(), 0) if n_dev > 1 else 2 * k
+    bits = (n_dev - 1).bit_length() if n_dev > 1 else 0
+    if bits == 0:
+        # One device owns everything; avoid a >= 32-bit shift below
+        # (undefined for uint32 operands).
+        return jnp.zeros(lo.shape, dtype=jnp.int32)
     if k > LO_BASES:
-        full_top = hi  # top bits live in hi (hi has 2*(k-15) bits)
-        top_shift = max(2 * (k - LO_BASES) - (n_dev - 1).bit_length(), 0)
-        b = (full_top >> jnp.uint32(top_shift)).astype(jnp.int32)
+        hi_bits = 2 * (k - LO_BASES)
+        if hi_bits >= bits:
+            b = (hi >> jnp.uint32(hi_bits - bits)).astype(jnp.int32)
+        else:
+            # hi alone has fewer bits than the bucket needs (k = 16..17
+            # on an 8+ device mesh): borrow the remainder from the top
+            # of lo so all n_dev buckets are populated — still the top
+            # ``bits`` bits of the combined 2k-bit code, so per-device
+            # key ranges stay contiguous.
+            take = bits - hi_bits
+            b = (
+                (hi << jnp.uint32(take))
+                | (lo >> jnp.uint32(2 * LO_BASES - take))
+            ).astype(jnp.int32)
     else:
-        b = (lo >> jnp.uint32(shift)).astype(jnp.int32)
+        b = (lo >> jnp.uint32(max(2 * k - bits, 0))).astype(jnp.int32)
     return jnp.minimum(b, n_dev - 1)
 
 

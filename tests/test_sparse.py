@@ -81,7 +81,29 @@ def mesh():
     return make_seq_mesh(devs[:N_DEV])
 
 
-@pytest.mark.parametrize("k,canonical", [(8, False), (21, False), (31, True)])
+def test_bucket_of_uses_all_devices_at_k16():
+    """k=16 leaves hi only 2 bits; the bucket must borrow lo bits so all
+    8 devices own keys (and ranges stay contiguous by construction)."""
+    import jax.numpy as jnp
+
+    from cfrk_tpu.parallel.bucket import _bucket_of
+
+    r = np.random.default_rng(0)
+    hi = jnp.asarray(r.integers(0, 4, 4096), dtype=jnp.uint32)
+    lo = jnp.asarray(r.integers(0, 2**30, 4096), dtype=jnp.uint32)
+    b = np.asarray(_bucket_of(hi, lo, 16, 8))
+    assert set(b.tolist()) == set(range(8))
+    # bucket order must agree with (hi, lo) key order (contiguous ranges)
+    full = (np.asarray(hi).astype(np.uint64) << np.uint64(30)) | np.asarray(
+        lo
+    ).astype(np.uint64)
+    order = np.argsort(full)
+    assert (np.diff(b[order]) >= 0).all()
+
+
+@pytest.mark.parametrize(
+    "k,canonical", [(8, False), (16, False), (21, False), (31, True)]
+)
 def test_sparse_sharded_matches_oracle(rng, mesh, k, canonical):
     codes = _batch(rng, 2 * N_DEV, 96)
     hi, lo, counts, overflowed = sparse_spectrum_sharded(
