@@ -486,6 +486,53 @@ inline char* emit_u64(char* out, uint64_t v) {
   return out;
 }
 
+/* Run fn(r0, r1, seg) over [0, n_rows) split into row-contiguous
+ * segments, one worker thread + private output buffer each; the caller
+ * concatenates the segments in order.  Byte-exactness is structural:
+ * the split is at row boundaries and each row's leading-'\n' rule
+ * depends only on its GLOBAL index (r > 0 || !first), which fn applies.
+ * Serial below ~4 MB of estimated output — thread spawn would dominate.
+ * The formatter analog of the 4-way segment-parallel parser above. */
+template <typename Fn>
+static std::vector<std::vector<char>> format_row_segments(
+    Py_ssize_t n_rows, size_t est_total, Fn fn) {
+  unsigned hc = std::thread::hardware_concurrency();
+  unsigned T = hc ? (hc < 8 ? hc : 8) : 1;
+  if ((Py_ssize_t)T > n_rows) T = (unsigned)(n_rows > 0 ? n_rows : 1);
+  if (est_total < (4u << 20)) T = 1;
+  std::vector<std::vector<char>> segs(T);
+  for (auto& s : segs) s.reserve(est_total / T + 64);
+  if (T == 1) {
+    fn((Py_ssize_t)0, n_rows, segs[0]);
+    return segs;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(T);
+  for (unsigned t = 0; t < T; t++) {
+    const Py_ssize_t r0 = n_rows * (Py_ssize_t)t / (Py_ssize_t)T;
+    const Py_ssize_t r1 = n_rows * (Py_ssize_t)(t + 1) / (Py_ssize_t)T;
+    workers.emplace_back(
+        [&fn, &segs, r0, r1, t] { fn(r0, r1, segs[t]); });
+  }
+  for (auto& w : workers) w.join();
+  return segs;
+}
+
+/* Concatenate segments into one PyBytes (called WITH the GIL). */
+static PyObject* segments_to_bytes(
+    const std::vector<std::vector<char>>& segs) {
+  size_t total = 0;
+  for (const auto& s : segs) total += s.size();
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)total);
+  if (!out) return nullptr;
+  char* dst = PyBytes_AS_STRING(out);
+  for (const auto& s : segs) {
+    std::memcpy(dst, s.data(), s.size());
+    dst += s.size();
+  }
+  return out;
+}
+
 /* format_rows(counts: bytes/int32-LE, n_rows, n_cols, first) -> bytes
  *
  * The exact .cfrk byte contract (reference src/main.cu:26-62 + goldens):
@@ -506,14 +553,12 @@ PyObject* format_rows(PyObject*, PyObject* args) {
   }
   const int32_t* c = (const int32_t*)view.buf;
 
-  std::vector<char> out;
-  /* "idx:" ≤ 11 chars + count ≤ 10 + space + newline */
-  out.reserve((size_t)n_rows * (size_t)n_cols * 8 + 64);
-
+  std::vector<std::vector<char>> segs;
   Py_BEGIN_ALLOW_THREADS
-  /* Precompute "idx:" prefixes once per call — shared by every row.
-   * Offsets are size_t: a dense k=15 row (4^15 columns) accumulates
-   * ~10.7 GB of prefix bytes, which overflows 32-bit offsets. */
+  /* Precompute "idx:" prefixes once per call — shared (read-only) by
+   * every worker.  Offsets are size_t: a dense k=15 row (4^15 columns)
+   * accumulates ~10.7 GB of prefix bytes, which overflows 32-bit
+   * offsets. */
   std::vector<char> prefixes;
   std::vector<size_t> pref_off(n_cols + 1, 0);
   {
@@ -525,22 +570,27 @@ PyObject* format_rows(PyObject*, PyObject* args) {
       prefixes.insert(prefixes.end(), buf, e);
     }
   }
-  char num[24];
-  for (Py_ssize_t r = 0; r < n_rows; r++) {
-    if (r > 0 || !first) out.push_back('\n');
-    const int32_t* row = c + r * n_cols;
-    for (Py_ssize_t j = 0; j < n_cols; j++) {
-      out.insert(out.end(), prefixes.begin() + pref_off[j],
-                 prefixes.begin() + pref_off[j + 1]);
-      char* e = emit_u64(num, (uint64_t)(uint32_t)row[j]);
-      *e++ = ' ';
-      out.insert(out.end(), num, e);
-    }
-  }
+  /* "idx:" ≤ 11 chars + count ≤ 10 + space + newline */
+  segs = format_row_segments(
+      n_rows, (size_t)n_rows * (size_t)n_cols * 8 + 64,
+      [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
+        char num[24];
+        for (Py_ssize_t r = r0; r < r1; r++) {
+          if (r > 0 || !first) out.push_back('\n');
+          const int32_t* row = c + r * n_cols;
+          for (Py_ssize_t j = 0; j < n_cols; j++) {
+            out.insert(out.end(), prefixes.begin() + pref_off[j],
+                       prefixes.begin() + pref_off[j + 1]);
+            char* e = emit_u64(num, (uint64_t)(uint32_t)row[j]);
+            *e++ = ' ';
+            out.insert(out.end(), num, e);
+          }
+        }
+      });
   Py_END_ALLOW_THREADS
 
   PyBuffer_Release(&view);
-  return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
+  return segments_to_bytes(segs);
 }
 
 /* format_pairs(idx: bytes/int32-LE, counts: bytes/int32-LE, n_rows,
@@ -567,30 +617,32 @@ PyObject* format_pairs(PyObject*, PyObject* args) {
   const int32_t* idx = (const int32_t*)idx_view.buf;
   const int32_t* cnt = (const int32_t*)cnt_view.buf;
 
-  std::vector<char> out;
-  out.reserve((size_t)(n_rows * n_cols) * 4 + 64);
-
+  std::vector<std::vector<char>> segs;
   Py_BEGIN_ALLOW_THREADS
-  char num[24];
-  for (Py_ssize_t r = 0; r < n_rows; r++) {
-    if (r > 0 || !first) out.push_back('\n');
-    const int32_t* ri = idx + r * n_cols;
-    const int32_t* rc = cnt + r * n_cols;
-    for (Py_ssize_t j = 0; j < n_cols; j++) {
-      if (rc[j] <= 0) continue;
-      char* e = emit_u64(num, (uint64_t)(uint32_t)ri[j]);
-      *e++ = ':';
-      out.insert(out.end(), num, e);
-      e = emit_u64(num, (uint64_t)(uint32_t)rc[j]);
-      *e++ = ' ';
-      out.insert(out.end(), num, e);
-    }
-  }
+  segs = format_row_segments(
+      n_rows, (size_t)(n_rows * n_cols) * 4 + 64,
+      [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
+        char num[24];
+        for (Py_ssize_t r = r0; r < r1; r++) {
+          if (r > 0 || !first) out.push_back('\n');
+          const int32_t* ri = idx + r * n_cols;
+          const int32_t* rc = cnt + r * n_cols;
+          for (Py_ssize_t j = 0; j < n_cols; j++) {
+            if (rc[j] <= 0) continue;
+            char* e = emit_u64(num, (uint64_t)(uint32_t)ri[j]);
+            *e++ = ':';
+            out.insert(out.end(), num, e);
+            e = emit_u64(num, (uint64_t)(uint32_t)rc[j]);
+            *e++ = ' ';
+            out.insert(out.end(), num, e);
+          }
+        }
+      });
   Py_END_ALLOW_THREADS
 
   PyBuffer_Release(&idx_view);
   PyBuffer_Release(&cnt_view);
-  return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
+  return segments_to_bytes(segs);
 }
 
 /* format_pairs64(idx: bytes/uint64-LE, counts: bytes/int32-LE, n_rows,
@@ -614,30 +666,32 @@ PyObject* format_pairs64(PyObject*, PyObject* args) {
   const uint64_t* idx = (const uint64_t*)idx_view.buf;
   const int32_t* cnt = (const int32_t*)cnt_view.buf;
 
-  std::vector<char> out;
-  out.reserve((size_t)(n_rows * n_cols) * 8 + 64);
-
+  std::vector<std::vector<char>> segs;
   Py_BEGIN_ALLOW_THREADS
-  char num[24];
-  for (Py_ssize_t r = 0; r < n_rows; r++) {
-    if (r > 0 || !first) out.push_back('\n');
-    const uint64_t* ri = idx + r * n_cols;
-    const int32_t* rc = cnt + r * n_cols;
-    for (Py_ssize_t j = 0; j < n_cols; j++) {
-      if (rc[j] <= 0) continue;
-      char* e = emit_u64(num, ri[j]);
-      *e++ = ':';
-      out.insert(out.end(), num, e);
-      e = emit_u64(num, (uint64_t)(uint32_t)rc[j]);
-      *e++ = ' ';
-      out.insert(out.end(), num, e);
-    }
-  }
+  segs = format_row_segments(
+      n_rows, (size_t)(n_rows * n_cols) * 8 + 64,
+      [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
+        char num[24];
+        for (Py_ssize_t r = r0; r < r1; r++) {
+          if (r > 0 || !first) out.push_back('\n');
+          const uint64_t* ri = idx + r * n_cols;
+          const int32_t* rc = cnt + r * n_cols;
+          for (Py_ssize_t j = 0; j < n_cols; j++) {
+            if (rc[j] <= 0) continue;
+            char* e = emit_u64(num, ri[j]);
+            *e++ = ':';
+            out.insert(out.end(), num, e);
+            e = emit_u64(num, (uint64_t)(uint32_t)rc[j]);
+            *e++ = ' ';
+            out.insert(out.end(), num, e);
+          }
+        }
+      });
   Py_END_ALLOW_THREADS
 
   PyBuffer_Release(&idx_view);
   PyBuffer_Release(&cnt_view);
-  return PyBytes_FromStringAndSize(out.data(), (Py_ssize_t)out.size());
+  return segments_to_bytes(segs);
 }
 
 PyMethodDef kMethods[] = {

@@ -113,6 +113,27 @@ def test_native_parser_throughput_sanity():
     assert HAVE_NATIVE and _fastaio is not None
 
 
+def test_format_parallel_path_parity():
+    """Outputs past the ~4 MB threshold format on multiple threads
+    (row-contiguous segments); bytes must be identical to the Python
+    formatter, including the leading-newline row framing."""
+    import numpy as np
+
+    from cfrk_tpu.format import format_file_bytes, format_rows_pairs
+    from cfrk_tpu.io.native import format_pairs_bytes, format_rows_bytes
+
+    rng = np.random.default_rng(1)
+    counts = rng.integers(0, 150, size=(60000, 16)).astype(np.int32)
+    want = format_file_bytes(counts)  # ~5.5 MB
+    assert format_rows_bytes(counts, first=True) == want
+    assert format_rows_bytes(counts, first=False) == b"\n" + want
+
+    idx = np.sort(rng.integers(0, 65536, size=(8192, 143)), axis=1)
+    cnt = rng.integers(0, 4, size=(8192, 143)).astype(np.int32)
+    want2 = b"\n".join(format_rows_pairs(idx.astype(np.int32), cnt))
+    assert format_pairs_bytes(idx.astype(np.int32), cnt, first=True) == want2
+
+
 def test_parse_encode_bytes_fallback_sniffs_fastq(monkeypatch):
     """Without the extension, parse_encode_bytes must still accept FASTQ
     (the C++ parse_encode sniffs '@' records; the fallback has to match)."""
