@@ -828,6 +828,11 @@ def _run_inputs(args, t0) -> int:
                         f"per-read k={args.k} > 8 requires --nonzero "
                         "(dense 4**k rows would be gigabytes per read)"
                     )
+                if args.seqpar:
+                    raise SystemExit(
+                        "--seqpar does not compose with per-read k > 8 "
+                        "(per-row sort needs the whole row on one device)"
+                    )
                 from .pipeline.count import count_file_sparse_rows
 
                 total_reads += count_file_sparse_rows(
@@ -835,6 +840,7 @@ def _run_inputs(args, t0) -> int:
                     canonical=args.canonical,
                     batch_size=args.batch_size,
                     max_len=args.max_len,
+                    mesh=args.mesh,
                 )
                 continue
             counts = count_file(

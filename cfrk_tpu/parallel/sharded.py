@@ -35,6 +35,7 @@ from .mesh import DP_AXIS, TP_AXIS, batch_sharding, table_sharding
 __all__ = [
     "count_perread_sharded",
     "count_perread_sharded_packed",
+    "count_perread_sparse_sharded",
     "spectrum_sharded",
     "shard_batch",
 ]
@@ -144,6 +145,49 @@ def count_perread_sharded_packed(
     return _perread_sharded_packed_fn(
         mesh, k, canonical, packed, read_block
     )(codes)
+
+
+@lru_cache(maxsize=None)
+def _perread_sparse_sharded_fn(mesh: Mesh, k: int, canonical: bool):
+    """Sparse per-read rows (sort + RLE per row, ops/perread_sparse)
+    with rows sharded over the mesh — per-row work needs no collectives,
+    exactly like the dense per-read op."""
+    from ..ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+    )
+
+    op = count_perread_sparse if k <= 15 else count_perread_sparse_large
+
+    def local(codes_blk):
+        return op(codes_blk, k, canonical)
+
+    spec = P((DP_AXIS, TP_AXIS), None)
+    n_out = 2 if k <= 15 else 3
+    return jax.jit(
+        shard_map(
+            local, mesh=mesh, in_specs=spec, out_specs=(spec,) * n_out,
+            check_vma=False,
+        )
+    )
+
+
+def count_perread_sparse_sharded(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+):
+    """Per-read SPARSE rows (8 < k <= 31) with rows sharded over the mesh.
+
+    codes: [B, L] int8, B divisible by the mesh size.  Returns the same
+    row-sorted RLE layout as ``ops.perread_sparse``: an (idx, counts)
+    pair for k <= 15 or an (hi, lo, counts) triple for k <= 31, each
+    [B, W] and sharded rows-over-devices.  Zero collectives — the
+    bitonic sorts run per row inside each device's block.
+    """
+    return _perread_sparse_sharded_fn(mesh, k, canonical)(codes)
 
 
 @lru_cache(maxsize=None)

@@ -425,13 +425,15 @@ def count_file_sparse_rows(
     canonical: bool = False,
     batch_size: int | None = 8192,
     max_len: int | None = None,
+    mesh=None,
 ) -> int:
     """Per-read SPARSE rows for 8 < k <= 31, streamed straight to disk.
 
     Dense [n_reads, 4**k] materialisation is impossible at these k
     (the reference OOM-exited, ``src/kmer_main.cu:51-56``); rows use the
     nonzero ``idx:count`` format — for k > 15 the idx is the combined
-    64-bit code ``hi * 4**15 + lo``.  Returns the number of reads written.
+    64-bit code ``hi * 4**15 + lo``.  With ``mesh``, rows shard over the
+    devices (zero collectives).  Returns the number of reads written.
     """
     from ..ops.perread_sparse import (
         count_perread_sparse,
@@ -445,8 +447,17 @@ def count_file_sparse_rows(
         if not reads:
             return 0
         bs, ml = _plan_shapes(reads, k, batch_size, max_len)
+        if mesh is not None:
+            from ..parallel.sharded import count_perread_sparse_sharded
+
+            bs = -(-bs // mesh.size) * mesh.size
         for batch in iter_batches(reads, bs, ml):
-            if k <= 15:
+            if mesh is not None:
+                out = count_perread_sparse_sharded(
+                    jax.numpy.asarray(batch.codes), k, mesh,
+                    canonical=canonical,
+                )
+            elif k <= 15:
                 out = count_perread_sparse(
                     jax.numpy.asarray(batch.codes), k, canonical
                 )

@@ -468,17 +468,30 @@ def stream_count_file(
                 f"per-read k={k} > 8 requires nonzero=True (dense 4**k "
                 "rows would be gigabytes per read)"
             )
+        if seqpar:
+            raise ValueError(
+                "sparse per-read rows do not compose with seqpar "
+                "(per-row sort needs the whole row on one device)"
+            )
         if mesh is not None:
-            raise ValueError("sparse per-read streaming is single-device")
-        from ..ops.perread_sparse import (
-            count_perread_sparse,
-            count_perread_sparse_large,
-        )
+            # Rows shard over the mesh with zero collectives, exactly
+            # like dense per-read mode (the default auto-mesh must not
+            # break k > 8 --nonzero streaming).
+            from ..parallel.sharded import count_perread_sparse_sharded
 
-        if k <= 15:
-            dispatch = lambda arr: count_perread_sparse(arr, k, canonical)  # noqa: E731
+            dispatch = lambda arr: count_perread_sparse_sharded(  # noqa: E731
+                arr, k, mesh, canonical=canonical
+            )
         else:
-            dispatch = lambda arr: count_perread_sparse_large(arr, k, canonical)  # noqa: E731
+            from ..ops.perread_sparse import (
+                count_perread_sparse,
+                count_perread_sparse_large,
+            )
+
+            if k <= 15:
+                dispatch = lambda arr: count_perread_sparse(arr, k, canonical)  # noqa: E731
+            else:
+                dispatch = lambda arr: count_perread_sparse_large(arr, k, canonical)  # noqa: E731
     else:
         dispatch = _make_dispatch(
             k, canonical, impl, mesh, "perread", packed, seqpar

@@ -201,6 +201,7 @@ def count_one_factory(
                 return count_file_sparse_rows(
                     inp, out, k, canonical=canonical,
                     batch_size=batch_size, max_len=max_len,
+                    mesh=None if seqpar else mesh,
                 )
             from ..format import CfrkWriter
             from ..pipeline.count import count_file

@@ -56,6 +56,56 @@ def test_spectrum_sharded_matches_numpy(devices, rng, k, tp):
     np.testing.assert_array_equal(np.asarray(got).astype(np.int64), want)
 
 
+@pytest.mark.parametrize("k,canonical", [(12, False), (21, True)])
+def test_perread_sparse_sharded_matches_single(devices, rng, k, canonical):
+    """Row-sharded sparse per-read rows == the single-device op, via the
+    host pair normalisation both drains use."""
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+        pairs_to_host,
+    )
+    from cfrk_tpu.parallel import count_perread_sparse_sharded
+
+    mesh = make_mesh(devices)
+    codes = _batch(rng, 2 * N_DEV, 64)
+    got = pairs_to_host(
+        count_perread_sparse_sharded(
+            jnp.asarray(codes), k, mesh, canonical=canonical
+        ),
+        len(codes),
+    )
+    op = count_perread_sparse if k <= 15 else count_perread_sparse_large
+    want = pairs_to_host(op(jnp.asarray(codes), k, canonical), len(codes))
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_stream_sparse_rows_on_mesh_matches_single(devices, rng, tmp_path):
+    """k > 8 --nonzero streaming must work under the default auto-mesh
+    (it used to raise 'single-device') and produce identical bytes."""
+    from cfrk_tpu.io.fasta import decode_codes
+    from cfrk_tpu.pipeline.stream import stream_count_file
+
+    mesh = make_mesh(devices)
+    fasta = tmp_path / "r.fasta"
+    recs = []
+    for i in range(2 * N_DEV + 3):  # non-divisible tail batch too
+        codes = rng.integers(0, 4, size=rng.integers(20, 60)).astype(np.int8)
+        recs.append(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    fasta.write_bytes(b"".join(recs))
+    single = tmp_path / "single.cfrk"
+    meshed = tmp_path / "meshed.cfrk"
+    stream_count_file(
+        str(fasta), str(single), 12, nonzero=True, batch_size=N_DEV
+    )
+    stream_count_file(
+        str(fasta), str(meshed), 12, nonzero=True, batch_size=N_DEV,
+        mesh=mesh,
+    )
+    assert meshed.read_bytes() == single.read_bytes()
+
+
 @pytest.mark.parametrize("k", [1, 2, 4, 7])
 def test_seqpar_matches_numpy(devices, rng, k):
     """Position-sharded counting with halo exchange: windows crossing
