@@ -81,6 +81,32 @@ def mesh():
     return make_seq_mesh(devs[:N_DEV])
 
 
+@pytest.mark.parametrize("k", [4, 15, 16, 17, 21, 31])
+@pytest.mark.parametrize("n_dev", [1, 2, 3, 5, 8, 16])
+def test_bucket_of_contiguous_and_in_range(k, n_dev):
+    """Property: buckets are in [0, n_dev) and monotone in key order —
+    concatenated per-device outputs stay one globally sorted spectrum
+    for every (k, mesh size) combination."""
+    import jax.numpy as jnp
+
+    from cfrk_tpu.ops.sparse import LO_BASES
+    from cfrk_tpu.parallel.bucket import _bucket_of
+
+    r = np.random.default_rng(k * 100 + n_dev)
+    kh = max(k - LO_BASES, 0)
+    hi = jnp.asarray(r.integers(0, 4**kh, 2048), dtype=jnp.uint32)
+    lo = jnp.asarray(
+        r.integers(0, 4 ** min(k, LO_BASES), 2048), dtype=jnp.uint32
+    )
+    b = np.asarray(_bucket_of(hi, lo, k, n_dev))
+    assert b.min() >= 0 and b.max() < n_dev
+    full = (np.asarray(hi).astype(np.uint64) << np.uint64(2 * LO_BASES)) | (
+        np.asarray(lo).astype(np.uint64)
+    )
+    order = np.argsort(full, kind="stable")
+    assert (np.diff(b[order]) >= 0).all()
+
+
 def test_bucket_of_uses_all_devices_at_k16():
     """k=16 leaves hi only 2 bits; the bucket must borrow lo bits so all
     8 devices own keys (and ranges stay contiguous by construction)."""
