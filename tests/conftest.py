@@ -34,6 +34,49 @@ import numpy as np
 import pytest
 
 
+def _ensure_native_extension() -> None:
+    """Build the C extension in place if it is missing (fresh checkout:
+    the .so is gitignored).  Best-effort — tests that REQUIRE the
+    extension still assert HAVE_NATIVE, so a broken toolchain fails
+    loudly there rather than silently testing only the fallback."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    try:
+        from cfrk_tpu.io.native import HAVE_NATIVE
+
+        if HAVE_NATIVE:
+            return
+    except ImportError:
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=root, capture_output=True, timeout=300, check=False,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return
+    # Re-import with the freshly built .so.  A plain reload is NOT
+    # enough: the failed first import left `_fastaio = None` as a
+    # package attribute, and `from . import _fastaio` resolves that
+    # stale attribute instead of importing the new extension.  Drop the
+    # cached modules (every consumer imports the package lazily, so the
+    # fresh module object takes effect everywhere) and invalidate the
+    # FileFinder caches that would otherwise hide the just-written .so.
+    import importlib
+    import sys as _sys
+
+    for name in ("cfrk_tpu.io.native._fastaio", "cfrk_tpu.io.native"):
+        _sys.modules.pop(name, None)
+    importlib.invalidate_caches()
+    importlib.import_module("cfrk_tpu.io.native")
+
+
+_ensure_native_extension()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
