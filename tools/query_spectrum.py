@@ -121,7 +121,7 @@ def main() -> int:
             print(f"max\t{int(counts[am])}\t{label(keys[am])}")
             print(f"unique\t{int((counts == 1).sum())}")
 
-    if args.top:
+    if args.top and len(keys):
         # partial-select then sort: top-N of a config-4-size table
         # must not sort all of it.
         n = min(args.top, len(keys))
