@@ -81,6 +81,27 @@ def test_perread_sparse_sharded_matches_single(devices, rng, k, canonical):
     np.testing.assert_array_equal(got[1], want[1])
 
 
+def test_count_file_sparse_rows_on_mesh_matches_single(devices, rng, tmp_path):
+    """The in-memory driver's k > 8 sparse-rows path on a mesh writes
+    the same bytes as single-device."""
+    from cfrk_tpu.io.fasta import decode_codes
+    from cfrk_tpu.pipeline.count import count_file_sparse_rows
+
+    mesh = make_mesh(devices)
+    fasta = tmp_path / "r.fasta"
+    recs = []
+    for i in range(N_DEV + 5):
+        codes = rng.integers(0, 4, size=rng.integers(24, 48)).astype(np.int8)
+        recs.append(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    fasta.write_bytes(b"".join(recs))
+    single = tmp_path / "single.cfrk"
+    meshed = tmp_path / "meshed.cfrk"
+    n1 = count_file_sparse_rows(str(fasta), str(single), 13)
+    n2 = count_file_sparse_rows(str(fasta), str(meshed), 13, mesh=mesh)
+    assert n1 == n2 == N_DEV + 5
+    assert meshed.read_bytes() == single.read_bytes()
+
+
 def test_stream_sparse_rows_on_mesh_matches_single(devices, rng, tmp_path):
     """k > 8 --nonzero streaming must work under the default auto-mesh
     (it used to raise 'single-device') and produce identical bytes."""
