@@ -820,14 +820,19 @@ def _run_inputs(args, t0) -> int:
                 print(m.json_line(), file=sys.stderr)
             continue
         if args.mode == "perread":
-            if args.k > 8:
+            if args.k > 8 and not args.nonzero:
                 # Dense per-read rows are impossible past k=8 (4**k bins
                 # per read); the sort-based sparse path needs --nonzero.
-                if not args.nonzero:
-                    raise SystemExit(
-                        f"per-read k={args.k} > 8 requires --nonzero "
-                        "(dense 4**k rows would be gigabytes per read)"
-                    )
+                raise SystemExit(
+                    f"per-read k={args.k} > 8 requires --nonzero "
+                    "(dense 4**k rows would be gigabytes per read)"
+                )
+            # --nonzero routes through the row-sorted sparse op whenever
+            # the kernel choice is ours (same rule as the streaming
+            # driver): pairs ship to host instead of the dense matrix.
+            if args.nonzero and (
+                args.k > 8 or (args.impl == "auto" and not args.seqpar)
+            ):
                 if args.seqpar:
                     raise SystemExit(
                         "--seqpar does not compose with per-read k > 8 "

@@ -461,13 +461,23 @@ def stream_count_file(
             "offsets); write plain .cfrk and compress afterwards, or use "
             "the in-memory driver (cfrk_tpu.count_file + write_cfrk)"
         )
-    sparse_rows = k > 8
+    if k > 8 and not nonzero:
+        raise ValueError(
+            f"per-read k={k} > 8 requires nonzero=True (dense 4**k "
+            "rows would be gigabytes per read)"
+        )
+    # nonzero output goes through the row-sorted sparse op whenever the
+    # kernel choice is ours: each read has <= W nonzero cells of 4**k,
+    # so the drain ships (idx, count) pairs instead of the dense matrix
+    # — ~57x less D2H at k=8/150 bp and no dense host materialisation
+    # or per-cell nonzero scan.  Bytes are identical (pinned by tests).
+    # An explicit impl/packed request keeps the dense kernel the user
+    # asked for; seqpar at k <= 8 keeps the dense position-sharded path
+    # (a per-row sort needs the whole row on one device).
+    sparse_rows = nonzero and (
+        k > 8 or (impl == "auto" and not packed and not seqpar)
+    )
     if sparse_rows:
-        if not nonzero:
-            raise ValueError(
-                f"per-read k={k} > 8 requires nonzero=True (dense 4**k "
-                "rows would be gigabytes per read)"
-            )
         if seqpar:
             raise ValueError(
                 "sparse per-read rows do not compose with seqpar "

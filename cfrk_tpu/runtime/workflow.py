@@ -191,11 +191,14 @@ def count_one_factory(
                     mesh=mesh, seqpar=seqpar,
                 )
                 return m.reads
-            if k > 8:
-                if not nonzero:
-                    raise ValueError(
-                        f"per-read k={k} > 8 requires nonzero=True"
-                    )
+            if k > 8 and not nonzero:
+                raise ValueError(
+                    f"per-read k={k} > 8 requires nonzero=True"
+                )
+            # Same sparse-rows routing rule as cli._run_inputs and
+            # stream_count_file: nonzero output ships pairs, not the
+            # dense matrix, whenever the kernel choice is ours.
+            if nonzero and (k > 8 or (impl == "auto" and not seqpar)):
                 from ..pipeline.count import count_file_sparse_rows
 
                 return count_file_sparse_rows(

@@ -382,6 +382,35 @@ def test_stream_sparse_perread_rows(tmp_path):
     assert out_s.read_bytes() == out_m.read_bytes()
 
 
+def test_stream_nonzero_k8_sparse_route_byte_parity(tmp_path):
+    """k <= 8 --nonzero auto-routes through the row-sorted sparse op;
+    bytes must equal the dense-kernel + host-nonzero-scan route (forced
+    via an explicit impl)."""
+    rng = np.random.default_rng(21)
+    reads = _random_reads(30, rng, lo=20, hi=90)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    sparse_out = tmp_path / "sparse.cfrk"
+    dense_out = tmp_path / "dense.cfrk"
+    m = stream_count_file(fasta, sparse_out, 8, batch_size=8, nonzero=True)
+    assert m.reads == 30
+    # explicit impl keeps the dense kernel (the user's choice wins)
+    stream_count_file(
+        fasta, dense_out, 8, batch_size=8, nonzero=True, impl="scatter"
+    )
+    assert sparse_out.read_bytes() == dense_out.read_bytes()
+    # canonical too
+    s2, d2 = tmp_path / "s2.cfrk", tmp_path / "d2.cfrk"
+    stream_count_file(
+        fasta, s2, 6, batch_size=8, nonzero=True, canonical=True
+    )
+    stream_count_file(
+        fasta, d2, 6, batch_size=8, nonzero=True, canonical=True,
+        impl="scatter",
+    )
+    assert s2.read_bytes() == d2.read_bytes()
+
+
 def test_stream_sparse_perread_requires_nonzero(tmp_path):
     import pytest as _pytest
 
