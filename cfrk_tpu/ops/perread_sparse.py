@@ -24,9 +24,27 @@ from .encode import window_indices
 __all__ = [
     "count_perread_sparse",
     "count_perread_sparse_large",
+    "compact_pairs",
     "pairs_to_host",
     "MAX_SPARSE_PERREAD_K",
 ]
+
+
+def compact_pairs(idx: jax.Array, counts: jax.Array, k: int):
+    """Narrow a (idx, counts) pair's dtypes before the device→host fetch.
+
+    For k <= 8 every REAL index fits uint16 (< 4**8 = 65536); the
+    sentinel 4**k wraps to 0, but it only appears on count-0 cells,
+    which every consumer (the pair formatters) skips — so the wrap is
+    unobservable.  Counts fit int16 whenever windows/read < 2**15
+    (counts are bounded by it).  Halves the drain's D2H bytes;
+    :func:`pairs_to_host` widens back to int32 for the formatter.
+    """
+    if k <= 8:
+        idx = idx.astype(jnp.uint16)
+    if counts.shape[-1] < 2**15:
+        counts = counts.astype(jnp.int16)
+    return idx, counts
 
 MAX_SPARSE_PERREAD_K = 15
 
@@ -115,7 +133,12 @@ def pairs_to_host(device_out, n_reads: int):
 
     if len(device_out) == 2:
         idx, counts = device_out
-        return np.asarray(idx)[:n_reads], np.asarray(counts)[:n_reads]
+        # Widen compact_pairs dtypes back: the native formatters take
+        # int32 buffers (and uint16 must not sign-confuse anyone).
+        return (
+            np.asarray(idx)[:n_reads].astype(np.int32, copy=False),
+            np.asarray(counts)[:n_reads].astype(np.int32, copy=False),
+        )
     hi, lo, counts = device_out
     hi = np.asarray(hi)[:n_reads].astype(np.uint64)
     lo = np.asarray(lo)[:n_reads].astype(np.uint64)

@@ -451,6 +451,8 @@ def count_file_sparse_rows(
             from ..parallel.sharded import count_perread_sparse_sharded
 
             bs = -(-bs // mesh.size) * mesh.size
+        from ..ops.perread_sparse import compact_pairs
+
         for batch in iter_batches(reads, bs, ml):
             if mesh is not None:
                 out = count_perread_sparse_sharded(
@@ -465,6 +467,9 @@ def count_file_sparse_rows(
                 out = count_perread_sparse_large(
                     jax.numpy.asarray(batch.codes), k, canonical
                 )
+            if len(out) == 2:
+                # halve the D2H: uint16 idx (k <= 8), int16 counts
+                out = compact_pairs(*out, k)
             idx, counts = pairs_to_host(out, batch.n_reads)
             w.write_pairs(idx, counts)
             n_written += batch.n_reads

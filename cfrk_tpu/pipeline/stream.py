@@ -483,25 +483,29 @@ def stream_count_file(
                 "sparse per-read rows do not compose with seqpar "
                 "(per-row sort needs the whole row on one device)"
             )
+        from ..ops.perread_sparse import compact_pairs
+
         if mesh is not None:
             # Rows shard over the mesh with zero collectives, exactly
             # like dense per-read mode (the default auto-mesh must not
             # break k > 8 --nonzero streaming).
             from ..parallel.sharded import count_perread_sparse_sharded
 
-            dispatch = lambda arr: count_perread_sparse_sharded(  # noqa: E731
-                arr, k, mesh, canonical=canonical
+            def dispatch(arr):
+                out = count_perread_sparse_sharded(
+                    arr, k, mesh, canonical=canonical
+                )
+                return compact_pairs(*out, k) if len(out) == 2 else out
+        elif k <= 15:
+            from ..ops.perread_sparse import count_perread_sparse
+
+            dispatch = lambda arr: compact_pairs(  # noqa: E731
+                *count_perread_sparse(arr, k, canonical), k
             )
         else:
-            from ..ops.perread_sparse import (
-                count_perread_sparse,
-                count_perread_sparse_large,
-            )
+            from ..ops.perread_sparse import count_perread_sparse_large
 
-            if k <= 15:
-                dispatch = lambda arr: count_perread_sparse(arr, k, canonical)  # noqa: E731
-            else:
-                dispatch = lambda arr: count_perread_sparse_large(arr, k, canonical)  # noqa: E731
+            dispatch = lambda arr: count_perread_sparse_large(arr, k, canonical)  # noqa: E731
     else:
         dispatch = _make_dispatch(
             k, canonical, impl, mesh, "perread", packed, seqpar
