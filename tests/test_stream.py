@@ -502,6 +502,52 @@ def test_stream_resume_at_every_boundary(tmp_path):
         assert out.read_bytes() == want, f"cut={cut}"
 
 
+def test_stream_nonzero_k8_resume_midway(tmp_path):
+    """Kill + resume on the k <= 8 nonzero sparse route: resumed output
+    must equal the uninterrupted run byte-for-byte."""
+    rng = np.random.default_rng(31)
+    reads = _random_reads(20, rng, lo=20, hi=60)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    k, bs = 8, 4
+    full = tmp_path / "full.cfrk"
+    stream_count_file(fasta, full, k, batch_size=bs, nonzero=True)
+    want = full.read_bytes()
+
+    # simulate a crash after 2 batches by running with a tiny limit:
+    # write the first 8 reads' rows, checkpoint, then resume.
+    from cfrk_tpu.format import CfrkWriter
+    from cfrk_tpu.ops.perread_sparse import count_perread_sparse, pairs_to_host
+    import jax.numpy as jnp
+
+    cut = 8
+    out = tmp_path / "resumed.cfrk"
+    with open(out, "wb") as f:
+        w = CfrkWriter(f, nonzero=True)
+        for s in range(0, cut, bs):
+            batch = [np.asarray(r, np.int8) for r in reads[s : s + bs]]
+            from cfrk_tpu.pipeline.batch import pad_reads
+
+            b = pad_reads(batch, bs, 64)
+            idx, cnt = pairs_to_host(
+                count_perread_sparse(jnp.asarray(b.codes), k, False), bs
+            )
+            w.write_pairs(idx, cnt)
+        f.flush()
+        nbytes = f.tell()
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(
+            fasta, k, "perread-nonzero", False
+        ),
+        reads_done=cut,
+        out_bytes=nbytes,
+    )
+    ckpt.save(checkpoint_path(out))
+    m = stream_count_file(fasta, out, k, batch_size=bs, nonzero=True, resume=True)
+    assert m.reads == len(reads) - cut
+    assert out.read_bytes() == want
+
+
 def test_stage_timer_accumulates():
     import time as _time
 
