@@ -299,7 +299,21 @@ def main() -> None:
                 # compiles (see the stream_spectrum comment: remote
                 # compile weather must not land in the timed region).
                 tw0 = time.perf_counter()
-                if (
+                if nz:
+                    # nonzero routes through the row-sorted sparse op
+                    # (stream_count_file's sparse_rows rule) — warm THAT
+                    # executable, not the dense kernel.
+                    from cfrk_tpu.ops.perread_sparse import (
+                        compact_pairs,
+                        count_perread_sparse,
+                    )
+
+                    wi, wc = compact_pairs(
+                        *count_perread_sparse(dummy, ks, False), ks
+                    )
+                    np.asarray(wi)
+                    np.asarray(wc)
+                elif (
                     ks >= 5
                     and jax.default_backend() == "tpu"
                 ):
