@@ -69,6 +69,11 @@ def _open_maybe_gzip(path: str | os.PathLike) -> IO[bytes]:
     magic = f.read(2)
     f.seek(0)
     if magic == b"\x1f\x8b":
+        from .bgzf import is_bgzf, open_maybe_bgzf
+
+        if is_bgzf(path):  # blocked gzip: parallel-inflating reader
+            f.close()
+            return open_maybe_bgzf(path)
         return gzip.open(f, "rb")  # type: ignore[return-value]
     return f
 

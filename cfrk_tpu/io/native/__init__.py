@@ -107,9 +107,12 @@ def iter_record_blocks_native(
                 "byte offsets cannot address a gzip stream; "
                 "decompress the input first"
             )
-        import gzip as _gzip
+        from ..bgzf import open_maybe_bgzf
 
-        opened = _gzip.open(path, "rb")
+        # bgzf inputs (bgzip'd FASTQ — the common config-5 framing)
+        # inflate blocks on a thread pool; plain gzip stays single
+        # stream (no boundaries without inflating).
+        opened = open_maybe_bgzf(path)
     else:
         opened = open(path, "rb")
     with opened as f, ThreadPoolExecutor(1) as pool:

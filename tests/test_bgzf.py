@@ -1,0 +1,115 @@
+"""BGZF (blocked gzip) ingest: parallel inflate, full-path parity."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from cfrk_tpu.io.bgzf import BgzfReader, is_bgzf, open_maybe_bgzf, write_bgzf
+
+
+def test_bgzf_roundtrip_and_gzip_validity(tmp_path):
+    rng = np.random.default_rng(0)
+    data = bytes(rng.integers(32, 127, size=1_500_000).astype(np.uint8))
+    p = tmp_path / "t.bgzf"
+    write_bgzf(p, data, block=50_000)
+    # every bgzf file is a valid (multi-member) gzip file
+    assert gzip.decompress(p.read_bytes()) == data
+    assert is_bgzf(p)
+    with BgzfReader(p) as r:
+        got = []
+        for n in (1, 777, 65536, 1 << 20, -1):
+            got.append(r.read(n))
+        assert b"".join(got) == data
+
+
+def test_bgzf_sniff_rejects_plain_gzip(tmp_path):
+    p = tmp_path / "t.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(b"hello world" * 100)
+    assert not is_bgzf(p)
+    with open_maybe_bgzf(p) as f:
+        assert f.read() == b"hello world" * 100
+
+
+def test_bgzf_empty_and_eof_marker(tmp_path):
+    p = tmp_path / "e.bgzf"
+    write_bgzf(p, b"")
+    with BgzfReader(p) as r:
+        assert r.read() == b""
+
+
+def test_bgzf_truncated_block_raises(tmp_path):
+    rng = np.random.default_rng(1)
+    data = bytes(rng.integers(32, 127, size=200_000).astype(np.uint8))
+    p = tmp_path / "t.bgzf"
+    write_bgzf(p, data, block=50_000)
+    raw = p.read_bytes()
+    (tmp_path / "cut.bgzf").write_bytes(raw[: len(raw) // 2])
+    with pytest.raises(OSError):
+        with BgzfReader(tmp_path / "cut.bgzf") as r:
+            r.read()
+
+
+def _fasta_blob(rng, n=300):
+    from cfrk_tpu.io.fasta import decode_codes
+
+    recs = []
+    for i in range(n):
+        codes = rng.integers(0, 4, size=rng.integers(30, 200)).astype(np.int8)
+        recs.append(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    return b"".join(recs)
+
+
+def test_bgzf_fasta_ingest_parity_all_paths(tmp_path):
+    """bgzf FASTA parses identically to the plain file through the
+    in-memory reader AND the streaming batch iterator."""
+    from cfrk_tpu.io.fasta import read_fasta_encoded
+    from cfrk_tpu.pipeline.stream import stream_batches
+
+    rng = np.random.default_rng(3)
+    blob = _fasta_blob(rng)
+    plain = tmp_path / "r.fasta"
+    plain.write_bytes(blob)
+    bg = tmp_path / "r.fasta.bgzf"
+    write_bgzf(bg, blob, block=4096)  # many blocks
+
+    a = read_fasta_encoded(plain)
+    b = read_fasta_encoded(bg)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+    ba = list(stream_batches(plain, 5, 64))
+    bb = list(stream_batches(bg, 5, 64))
+    assert len(ba) == len(bb)
+    for x, y in zip(ba, bb):
+        np.testing.assert_array_equal(x.codes, y.codes)
+        assert x.n_reads == y.n_reads
+
+
+def test_bgzf_fastq_stream_count_parity(tmp_path):
+    """bgzf FASTQ (the config-5 input framing) through the full
+    streaming driver == the plain-file run, byte-for-byte."""
+    from cfrk_tpu.pipeline.stream import stream_count_file
+
+    rng = np.random.default_rng(4)
+    recs = []
+    from cfrk_tpu.io.fasta import decode_codes
+
+    for i in range(100):
+        codes = rng.integers(0, 4, size=60).astype(np.int8)
+        seq = decode_codes(codes)
+        recs.append(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * len(seq) + b"\n")
+    blob = b"".join(recs)
+    plain = tmp_path / "r.fastq"
+    plain.write_bytes(blob)
+    bg = tmp_path / "r.fastq.gz"
+    write_bgzf(bg, blob, block=2048)
+    assert is_bgzf(bg)
+
+    out_p = tmp_path / "p.cfrk"
+    out_b = tmp_path / "b.cfrk"
+    stream_count_file(plain, out_p, 4, batch_size=32)
+    stream_count_file(bg, out_b, 4, batch_size=32)
+    assert out_b.read_bytes() == out_p.read_bytes()

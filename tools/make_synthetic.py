@@ -16,9 +16,12 @@ from __future__ import annotations
 
 import argparse
 import gzip
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
@@ -35,7 +38,14 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fastq", action="store_true")
     ap.add_argument("--gzip", action="store_true")
+    ap.add_argument(
+        "--bgzf", action="store_true",
+        help="blocked gzip (bgzip framing): cfrk-tpu inflates bgzf "
+             "blocks in parallel, plain --gzip single-threaded",
+    )
     args = ap.parse_args()
+    if args.bgzf and args.gzip:
+        raise SystemExit("--bgzf and --gzip are mutually exclusive")
 
     rng = np.random.default_rng(args.seed)
     genomes = [
@@ -48,7 +58,43 @@ def main() -> None:
             f"--read-len {args.read_len} exceeds --genome-len "
             f"{args.genome_len}: reads are sampled as genome windows"
         )
-    opener = gzip.open if args.gzip else open
+    if args.bgzf:
+        from cfrk_tpu.io.bgzf import write_bgzf
+
+        class _BgzfSink:
+            """Buffer record text and emit whole bgzf blocks."""
+
+            def __init__(self, path):
+                self._f = open(path, "wb")
+                self._buf = bytearray()
+
+            def write(self, b):
+                self._buf += b
+                while len(self._buf) >= (1 << 20):
+                    head = bytes(self._buf[: 1 << 20])
+                    del self._buf[: 1 << 20]
+                    self._write_blocks(head, final=False)
+
+            def _write_blocks(self, data, final):
+                import io as _io
+
+                sink = _io.BytesIO()
+                write_bgzf(sink, data)
+                raw = sink.getvalue()
+                if not final:
+                    raw = raw[: -28]  # strip the EOF marker between flushes
+                self._f.write(raw)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                self._write_blocks(bytes(self._buf), final=True)
+                self._f.close()
+
+        opener = lambda path, mode: _BgzfSink(path)  # noqa: E731
+    else:
+        opener = gzip.open if args.gzip else open
     chunk = 10_000
     written = 0
     with opener(args.out, "wb") as f:
