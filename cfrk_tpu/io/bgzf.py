@@ -205,6 +205,55 @@ class BgzfReader(io.RawIOBase):
         b[: len(data)] = data
         return len(data)
 
+    def seek_decompressed(self, target: int) -> None:
+        """Position the stream at DECOMPRESSED offset ``target`` in
+        O(#blocks) metadata reads — no inflation.  Each block's
+        uncompressed size (ISIZE) sits in its last 4 bytes and its
+        compressed size in the BC header subfield, so the cumulative
+        decompressed offset of every block boundary is computable from
+        headers+trailers alone.  This is what makes checkpoint resume
+        on bgzf inputs O(metadata) instead of a full re-inflation
+        (plain gzip has no such framing and still re-parses)."""
+        if target < 0:
+            raise ValueError("negative seek target")
+        for fut in self._pending:
+            fut.cancel()
+        self._pending.clear()
+        self._buf = b""
+        self._buf_pos = 0
+        self._eof = False
+        off = 0  # compressed position of the current block
+        cum = 0  # decompressed position of the current block's start
+        while True:
+            self._f.seek(off)
+            fixed = self._f.read(12)
+            if not fixed:
+                # target at/past EOF: subsequent reads return b""
+                self._next_read_off = off
+                self._eof = True
+                return
+            if len(fixed) < 12:
+                raise OSError("truncated bgzf header")
+            xlen = int.from_bytes(fixed[10:12], "little")
+            extra = self._f.read(xlen)
+            bsize = _block_size_from_header(fixed + extra)
+            if bsize is None:
+                raise OSError(f"not a bgzf block at offset {off}")
+            self._f.seek(off + bsize - 4)
+            isize = int.from_bytes(self._f.read(4), "little")
+            if cum + isize > target:
+                break
+            cum += isize
+            off += bsize
+        self._next_read_off = off
+        skip = target - cum
+        if skip:
+            if not self._fill():
+                raise OSError("bgzf seek target past end of data")
+            # the group read by _fill starts at this block, so the
+            # in-group skip equals the in-block skip
+            self._buf_pos = skip
+
     def close(self) -> None:
         if not self.closed:
             self._pool.shutdown(wait=False, cancel_futures=True)

@@ -200,57 +200,101 @@ def iter_encoded_with_offsets(
     end_offset).
     """
     f = open(path, "rb")
-    try:
-        if f.peek(2)[:2] == b"\x1f\x8b":
-            f.close()
+    if f.peek(2)[:2] == b"\x1f\x8b":
+        f.close()
+        from .bgzf import is_bgzf, open_maybe_bgzf
+
+        if not is_bgzf(path):
+            # plain gzip: no random access, offsets meaningless
             if start_offset:
                 raise ValueError("start_offset unsupported for gzip input")
             for codes in iter_fasta_encoded(path):
                 yield codes, None
             return
+        # bgzf: decompressed offsets are valid resume points
+        # (BgzfReader.seek_decompressed) — count positions manually,
+        # since tell() on the unseekable raw stream is unavailable.
+        bf = open_maybe_bgzf(path)
+        try:
+            if start_offset:
+                bf.raw.seek_decompressed(start_offset)
+            yield from _offset_records(
+                _CountingReader(bf, start_offset or 0)
+            )
+        finally:
+            bf.close()
+        return
+    try:
         if start_offset:
             f.seek(start_offset)
-        head = f.peek(64)
-        fastq = head.lstrip(b"\r\n")[:1] == b"@"
-        if fastq:
-            while True:
-                hdr = f.readline()
-                if not hdr:
-                    return
-                if not hdr.rstrip(b"\r\n"):
-                    continue
-                if not hdr.startswith(b"@"):
-                    raise ValueError(f"malformed FASTQ header: {hdr[:40]!r}")
-                seq = f.readline().rstrip(b"\r\n")
-                plus = f.readline()
-                if not plus.startswith(b"+"):
-                    raise ValueError("malformed FASTQ record: missing '+' line")
-                qual = f.readline()
-                if len(qual.rstrip(b"\r\n")) != len(seq):
-                    raise ValueError(
-                        "malformed FASTQ record: quality length mismatch"
-                    )
-                yield encode_seq(seq), f.tell()
-        else:
-            parts: list[bytes] = []
-            in_record = False
-            while True:
-                line_start = f.tell()
-                line = f.readline()
-                if not line:
-                    if in_record:
-                        yield encode_seq(b"".join(parts)), f.tell()
-                    return
-                stripped = line.rstrip(b"\r\n")
-                if stripped.startswith(b">"):
-                    if in_record:
-                        yield encode_seq(b"".join(parts)), line_start
-                    in_record = True
-                    parts = []
-                elif stripped and in_record:
-                    parts.append(stripped)
+        yield from _offset_records(f)
     finally:
         f.close()
+
+
+class _CountingReader:
+    """readline/tell/peek over an unseekable stream, counting positions
+    (bgzf path of :func:`iter_encoded_with_offsets`)."""
+
+    def __init__(self, f, pos: int):
+        self._f = f
+        self._pos = pos
+
+    def readline(self) -> bytes:
+        line = self._f.readline()
+        self._pos += len(line)
+        return line
+
+    def tell(self) -> int:
+        return self._pos
+
+    def peek(self, n: int = 64) -> bytes:
+        return self._f.peek(n)
+
+
+def _offset_records(f) -> Iterator[tuple[np.ndarray, int]]:
+    """The (codes, end_offset) record loop over an open byte stream
+    positioned at a record boundary (shared by the plain-file and
+    bgzf branches of :func:`iter_encoded_with_offsets`)."""
+    head = f.peek(64)
+    fastq = head.lstrip(b"\r\n")[:1] == b"@"
+    if fastq:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                return
+            if not hdr.rstrip(b"\r\n"):
+                continue
+            if not hdr.startswith(b"@"):
+                raise ValueError(f"malformed FASTQ header: {hdr[:40]!r}")
+            seq = f.readline().rstrip(b"\r\n")
+            plus = f.readline()
+            if not plus.startswith(b"+"):
+                raise ValueError("malformed FASTQ record: missing '+' line")
+            qual = f.readline()
+            if len(qual.rstrip(b"\r\n")) != len(seq):
+                raise ValueError(
+                    "malformed FASTQ record: quality length mismatch"
+                )
+            yield encode_seq(seq), f.tell()
+    else:
+        parts: list[bytes] = []
+        in_record = False
+        while True:
+            line_start = f.tell()
+            line = f.readline()
+            if not line:
+                if in_record:
+                    yield encode_seq(b"".join(parts)), f.tell()
+                return
+            stripped = line.rstrip(b"\r\n")
+            if stripped.startswith(b">"):
+                if in_record:
+                    yield encode_seq(b"".join(parts)), line_start
+                in_record = True
+                parts = []
+            elif stripped and in_record:
+                parts.append(stripped)
 
 
 def read_fasta_encoded(path) -> list[np.ndarray]:

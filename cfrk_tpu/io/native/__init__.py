@@ -102,22 +102,30 @@ def iter_record_blocks_native(
     from concurrent.futures import ThreadPoolExecutor
 
     if decompress:
-        if start_offset or limit_offset is not None:
-            raise ValueError(
-                "byte offsets cannot address a gzip stream; "
-                "decompress the input first"
-            )
         from ..bgzf import open_maybe_bgzf
 
         # bgzf inputs (bgzip'd FASTQ — the common config-5 framing)
         # inflate blocks on a thread pool; plain gzip stays single
-        # stream (no boundaries without inflating).
+        # stream (no boundaries without inflating).  Offsets for bgzf
+        # are DECOMPRESSED positions and ARE resume points: BgzfReader
+        # seeks them from block metadata alone.
         opened = open_maybe_bgzf(path)
+        seekable = hasattr(getattr(opened, "raw", None), "seek_decompressed")
+        if limit_offset is not None or (start_offset and not seekable):
+            opened.close()
+            raise ValueError(
+                "byte offsets cannot address a gzip stream; "
+                "decompress the input first (bgzf inputs support "
+                "start_offset resume, but not byte-range sharding)"
+            )
     else:
         opened = open(path, "rb")
     with opened as f, ThreadPoolExecutor(1) as pool:
         if start_offset:
-            f.seek(start_offset)
+            if decompress:
+                f.raw.seek_decompressed(start_offset)
+            else:
+                f.seek(start_offset)
         base = start_offset or 0
         carry = b""
         fastq = None

@@ -81,14 +81,19 @@ def stream_batches(
 
     gz = _is_gzip(path)
     if gz and (start_offset or limit_offset is not None):
+        from ..io.bgzf import is_bgzf
+
         # Raise here, not just in stream_count_file: a limit_offset the
         # pure-Python gzip path cannot observe (offsets are all None)
         # would otherwise stream the WHOLE file — silent double counting
-        # in a ranged multi-host run.
-        raise ValueError(
-            "byte offsets cannot address a gzip stream; "
-            "decompress the input first"
-        )
+        # in a ranged multi-host run.  Exception: bgzf supports
+        # start_offset (decompressed-position resume via block
+        # metadata), though not byte-range sharding.
+        if limit_offset is not None or not is_bgzf(path):
+            raise ValueError(
+                "byte offsets cannot address a gzip stream; "
+                "decompress the input first"
+            )
     if HAVE_STREAM_NATIVE:
         # Chunked native ingest: the C++ parser encodes 64 MB blocks in
         # one pass and the flat packer assembles batches without any
@@ -160,6 +165,15 @@ def _stream_batches_flat(
     lens = np.empty(0, np.int64)
     offs = np.empty(0, np.int64)
 
+    # bgzf offsets are decompressed positions and remain valid resume
+    # points (BgzfReader.seek_decompressed); plain-gzip offsets are not.
+    if decompress:
+        from ..io.bgzf import is_bgzf
+
+        offsets_ok = is_bgzf(path)
+    else:
+        offsets_ok = True
+
     def cut_batch(n: int) -> ReadBatch:
         nonlocal flat, lens, offs
         nbytes = int(lens[:n].sum())
@@ -168,7 +182,7 @@ def _stream_batches_flat(
             flat[:nbytes], lens[:n], batch_size, _len_bucket(longest, len_base)
         )
         b = dataclasses.replace(
-            b, end_offset=None if decompress else int(offs[n - 1])
+            b, end_offset=int(offs[n - 1]) if offsets_ok else None
         )
         flat = flat[nbytes:]
         lens = lens[n:]

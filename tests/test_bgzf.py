@@ -88,6 +88,66 @@ def test_bgzf_fasta_ingest_parity_all_paths(tmp_path):
         assert x.n_reads == y.n_reads
 
 
+def test_bgzf_seek_decompressed_random_targets(tmp_path):
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(32, 127, size=800_000).astype(np.uint8))
+    p = tmp_path / "t.bgzf"
+    write_bgzf(p, data, block=10_000)
+    for target in [0, 1, 9_999, 10_000, 10_001, 123_456, 799_999, 800_000]:
+        with BgzfReader(p) as r:
+            r.seek_decompressed(target)
+            assert r.read() == data[target:], target
+
+
+def test_bgzf_stream_batches_offsets_and_resume(tmp_path):
+    """Native streaming ingest yields REAL end offsets for bgzf, and
+    stream_count_file resumes through seek_decompressed — output equals
+    the uninterrupted run byte-for-byte."""
+    from cfrk_tpu.pipeline.stream import stream_batches, stream_count_file
+    from cfrk_tpu.runtime.checkpoint import StreamCheckpoint, checkpoint_path
+
+    rng = np.random.default_rng(6)
+    blob = _fasta_blob(rng, n=96)
+    bg = tmp_path / "r.fasta.gz"
+    write_bgzf(bg, blob, block=1024)
+    plain = tmp_path / "r.fasta"
+    plain.write_bytes(blob)
+
+    bb = list(stream_batches(bg, 4, 16))
+    pb = list(stream_batches(plain, 4, 16))
+    assert all(b.end_offset is not None for b in bb)
+    assert [b.end_offset for b in bb] == [b.end_offset for b in pb]
+
+    # full uninterrupted run vs a run resumed after 2 batches
+    k, bs = 4, 16
+    full = tmp_path / "full.cfrk"
+    stream_count_file(bg, full, k, batch_size=bs)
+    want = full.read_bytes()
+
+    out = tmp_path / "resumed.cfrk"
+    from cfrk_tpu.format import CfrkWriter
+    from cfrk_tpu.pipeline.count import count_reads
+    from cfrk_tpu.io.fasta import read_fasta_encoded
+
+    reads = read_fasta_encoded(plain)
+    cut = 2 * bs
+    with open(out, "wb") as f:
+        w = CfrkWriter(f)
+        w.write_batch(count_reads(reads[:cut], k, batch_size=bs))
+        f.flush()
+        nbytes = f.tell()
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(bg, k, "perread", False),
+        reads_done=cut,
+        out_bytes=nbytes,
+        input_offset=bb[1].end_offset,  # decompressed offset: seekable
+    )
+    ckpt.save(checkpoint_path(out))
+    m = stream_count_file(bg, out, k, batch_size=bs, resume=True)
+    assert m.reads == 96 - cut
+    assert out.read_bytes() == want
+
+
 def test_bgzf_fastq_stream_count_parity(tmp_path):
     """bgzf FASTQ (the config-5 input framing) through the full
     streaming driver == the plain-file run, byte-for-byte."""
