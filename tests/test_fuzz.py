@@ -1,6 +1,7 @@
 """Cross-implementation fuzz: every impl must agree with the NumPy spec
 across random shapes, k values, N rates, and canonical modes."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -115,3 +116,22 @@ def test_perread_sparse_rows_vs_numpy_spec(seed):
             m = cnt[r] > 0
             got = dict(zip(idx[r][m].tolist(), cnt[r][m].tolist()))
             assert got == want, f"k={k} row={r}"
+
+
+def test_cli_differential_fuzz(tmp_path):
+    """Bounded version of tools/fuzz_cli.py: random CLI configurations
+    (mode x k x canonical x stream x nonzero x compression x mesh) end
+    to end against the NumPy oracle, through real output files.  Kept
+    small — every random shape is a fresh XLA compile; deep campaigns
+    run offline via the tool."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from fuzz_cli import run_trial
+
+    rng = np.random.default_rng(1000)
+    for t in range(3):
+        d = tmp_path / f"t{t}"
+        d.mkdir()
+        run_trial(rng, str(d), use_mesh=len(jax.devices()) >= 8)

@@ -1,0 +1,187 @@
+"""Differential fuzz of the WHOLE CLI surface against the NumPy oracle.
+
+Each trial synthesises a random FASTA/FASTQ (random lengths, N rate,
+optional CRLF, optional gzip/bgzf), draws a random configuration
+(mode × k × canonical × stream × nonzero × batch size × mesh), runs the
+real CLI (`cfrk_tpu.cli.main`) and checks the OUTPUT FILE against the
+pure-NumPy specification (ops/reference.py) — parsing the bytes back,
+so the format layer is covered too.
+
+The bounded version runs in CI (tests/test_fuzz.py::test_cli_differential_fuzz);
+this tool runs open-ended campaigns:
+
+    python tools/fuzz_cli.py --trials 500 [--seed 0] [--devices 8]
+
+Exit code 1 on the first mismatch, with the failing config printed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
+    """One random config end-to-end; returns the config dict (raises on
+    mismatch)."""
+    from cfrk_tpu.cli import main as cli_main
+    from cfrk_tpu.format import parse_cfrk
+    from cfrk_tpu.io.fasta import decode_codes
+    from cfrk_tpu.ops.reference import (
+        canonical_indices_np,
+        count_perread_np,
+        spectrum_np,
+        window_indices_np,
+    )
+
+    n_reads = int(rng.integers(1, 60))
+    fastq = bool(rng.integers(0, 2))
+    crlf = bool(rng.integers(0, 4) == 0)
+    compress = rng.choice(["plain", "gzip", "bgzf"], p=[0.6, 0.2, 0.2])
+    nl = b"\r\n" if crlf else b"\n"
+    reads, blob = [], []
+    for i in range(n_reads):
+        codes = rng.integers(0, 4, size=int(rng.integers(1, 90))).astype(np.int8)
+        codes[rng.random(len(codes)) < 0.05] = -1  # N bases
+        reads.append(codes)
+        seq = decode_codes(codes)
+        if fastq:
+            blob.append(
+                b"@r%d" % i + nl + seq + nl + b"+" + nl + b"I" * len(seq) + nl
+            )
+        else:
+            blob.append(b">r%d" % i + nl + seq + nl)
+    data = b"".join(blob)
+    ext = ".fastq" if fastq else ".fasta"
+    inp = os.path.join(tmp, f"in{ext}")
+    if compress == "gzip":
+        import gzip
+
+        inp += ".gz"
+        with gzip.open(inp, "wb") as f:
+            f.write(data)
+    elif compress == "bgzf":
+        from cfrk_tpu.io.bgzf import write_bgzf
+
+        inp += ".gz"
+        write_bgzf(inp, data, block=int(rng.integers(200, 4096)))
+    else:
+        with open(inp, "wb") as f:
+            f.write(data)
+
+    mode = str(rng.choice(["perread", "spectrum", "sparse"]))
+    if mode == "perread":
+        k = int(rng.integers(1, 13))
+    elif mode == "spectrum":
+        k = int(rng.integers(1, 8))  # dense table parsed back: keep small
+    else:
+        k = int(rng.integers(2, 32))
+    canonical = bool(rng.integers(0, 2))
+    stream = bool(rng.integers(0, 2))
+    nonzero = k > 8 or (mode == "perread" and bool(rng.integers(0, 2)))
+    batch = int(rng.integers(1, 24))
+    mesh_n = int(rng.choice([2, 4, 8])) if use_mesh and bool(
+        rng.integers(0, 2)
+    ) else 0
+
+    cfg = dict(
+        mode=mode, k=k, canonical=canonical, stream=stream, nonzero=nonzero,
+        batch=batch, fastq=fastq, crlf=crlf, compress=str(compress),
+        n_reads=n_reads, mesh=mesh_n,
+    )
+
+    out = os.path.join(tmp, "out.dat")
+    argv = [inp, "-k", str(k), "-o", out, "--mode", mode,
+            "--batch-size", str(batch)]
+    if canonical:
+        argv.append("--canonical")
+    if stream and not (mode == "sparse" and False):
+        argv.append("--stream")
+    if mode == "perread" and nonzero:
+        argv.append("--nonzero")
+    if mode == "sparse":
+        argv += ["--spectrum-format", "tsv"]
+    argv += ["--devices", str(mesh_n) if mesh_n else "1"]
+    rc = cli_main(argv)
+    assert rc == 0, f"CLI rc={rc} for {cfg}"
+
+    # oracle check
+    if mode == "perread":
+        want = count_perread_np(reads, k, canonical)
+        got_rows = open(out, "rb").read()
+        rows = got_rows.split(b"\n")
+        assert len(rows) == n_reads, (len(rows), cfg)
+        got = np.zeros_like(want)
+        for r, row in enumerate(rows):
+            for cell in row.split(b" "):
+                if not cell:
+                    continue
+                i, c = cell.split(b":")
+                got[r, int(i)] += int(c)
+            if not nonzero:
+                # dense rows must enumerate every index in order
+                assert row.endswith(b" ") or want.shape[1] == 0
+        np.testing.assert_array_equal(got, want, err_msg=str(cfg))
+    elif mode == "spectrum":
+        want = spectrum_np(reads, k, canonical)
+        got = parse_cfrk(open(out, "rb").read())[0]
+        np.testing.assert_array_equal(got, want, err_msg=str(cfg))
+    else:
+        fn = canonical_indices_np if canonical else window_indices_np
+        from collections import Counter
+
+        oracle: Counter = Counter()
+        for codes in reads:
+            idx = fn(codes, k)
+            oracle.update(int(v) for v in idx[idx >= 0])
+        got = {}
+        from cfrk_tpu.ops.sparse import decode_key
+
+        for line in open(out, "rb").read().splitlines():
+            kmer, cnt = line.split(b"\t")
+            got[kmer.decode()] = int(cnt)
+        want = {decode_key(code, k): c for code, c in oracle.items()}
+        assert got == want, f"sparse mismatch for {cfg}"
+    return cfg
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--devices", type=int, default=0,
+        help="also draw mesh trials over this many (virtual) devices",
+    )
+    args = ap.parse_args()
+    if args.devices:
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            f"--xla_force_host_platform_device_count={args.devices}",
+        )
+    import jax
+
+    # Differential fuzzing is a semantics exercise: always run on the
+    # CPU backend (virtual mesh for --devices) — per-trial shapes would
+    # recompile endlessly through a real-TPU tunnel.
+    jax.config.update("jax_platforms", "cpu")
+    rng = np.random.default_rng(args.seed)
+    for t in range(args.trials):
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = run_trial(rng, tmp, use_mesh=args.devices > 1)
+        if (t + 1) % 10 == 0:
+            print(f"# {t + 1}/{args.trials} ok, last: {json.dumps(cfg)}",
+                  flush=True)
+    print(f"all {args.trials} trials passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
