@@ -30,8 +30,6 @@ from concurrent.futures import ThreadPoolExecutor
 
 __all__ = ["is_bgzf", "BgzfReader", "write_bgzf", "open_maybe_bgzf"]
 
-# gzip header: magic, CM=deflate, FLG with FEXTRA set
-_HDR = struct.Struct("<4BIBB")  # magic1, magic2, CM, FLG, MTIME, XFL, OS
 _EOF_BLOCK = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"
 )  # the 28-byte empty terminator block bgzip appends
@@ -85,10 +83,11 @@ def _inflate_group(raw: bytes, sizes: list[int]) -> bytes:
         payload = block[12 + xlen : -8]  # strip hdr+extra and CRC+ISIZE
         data = zlib.decompress(payload, wbits=-15)
         isize = int.from_bytes(block[-4:], "little")
-        if len(data) != isize:
+        crc = int.from_bytes(block[-8:-4], "little")
+        if len(data) != isize or zlib.crc32(data) != crc:
             raise OSError(
-                f"bgzf block ISIZE mismatch: {len(data)} != {isize} "
-                "(corrupt?)"
+                f"bgzf block corrupt: ISIZE {isize} vs {len(data)} "
+                f"or CRC mismatch"
             )
         out.append(data)
     return b"".join(out)
