@@ -444,9 +444,11 @@ def stream_count_file(
     device emits its packed row block; rows/device must divide the
     read block); it does not compose with ``seqpar``.
 
-    For 8 < k <= 15 the dense [B, 4**k] rows are impossible; the driver
-    switches to the sort-based sparse per-read op and requires
-    ``nonzero=True`` (rows list only present k-mers).
+    ``nonzero=True`` rows route through the sort-based sparse per-read
+    op whenever the kernel choice is ours (impl='auto', no packed/
+    seqpar): the drain ships (idx, count) pairs instead of the dense
+    matrix — mandatory past k=8 (dense 4**k rows are impossible), a
+    large D2H/host win below it; bytes identical either way.
     """
     if packed:
         from ..ops.pallas.perread import DEFAULT_READ_BLOCK
