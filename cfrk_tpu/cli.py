@@ -293,19 +293,30 @@ def _out_path(inp: str, out_dir: str, mode: str) -> str:
     return os.path.join(out_dir, base + suffix)
 
 
+def _open_out(path: str, mode: str):
+    """Text/binary output opener, gzip-transparent for .gz names (the
+    same contract the perread CfrkWriter and tools/merge_outputs use —
+    a '.gz' path must never hold uncompressed bytes)."""
+    if str(path).endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
 def _write_spectrum(
     path: str, table: np.ndarray, fmt: str, min_count: int = 1
 ) -> None:
     if fmt == "npy":
         # Write through a handle so np.save cannot append ".npy" and
         # create a file the CLI never reported.
-        with open(path, "wb") as f:
+        with _open_out(path, "wb") as f:
             np.save(f, table)
     elif fmt == "tsv":
         # Rows below min_count (default: zeros) are skipped — a dense
         # k=15 table would otherwise emit 4**15 lines of mostly zeros.
         (nz,) = np.nonzero(np.asarray(table) >= max(min_count, 1))
-        with open(path, "w") as f:
+        with _open_out(path, "wt") as f:
             for i in nz:
                 f.write(f"{i}\t{int(table[i])}\n")
     elif fmt == "hist":
@@ -313,7 +324,7 @@ def _write_spectrum(
         # np.unique, not bincount — one k-mer with abundance 1e9 must
         # not allocate a 1e9-bin dense histogram.
         counts = table[table > 0]
-        with open(path, "w") as f:
+        with _open_out(path, "wt") as f:
             if counts.size:
                 vals, occ = np.unique(counts, return_counts=True)
                 for c, n in zip(vals.tolist(), occ.tolist()):
@@ -349,13 +360,13 @@ def _write_sparse(
     mask = counts >= max(min_count, 1)
     if fmt == "hist":
         vals, occ = np.unique(counts[mask], return_counts=True)
-        with open(path, "w") as f:
+        with _open_out(path, "wt") as f:
             for c, n in zip(vals.tolist(), occ.tolist()):
                 f.write(f"{c}\t{n}\n")
         return
     from .ops.sparse import decode_key
 
-    with open(path, "w") as f:
+    with _open_out(path, "wt") as f:
         for key, cnt in zip(keys[mask].tolist(), counts[mask].tolist()):
             f.write(f"{decode_key(int(key), k)}\t{cnt}\n")
 

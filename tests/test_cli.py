@@ -167,6 +167,41 @@ def test_cli_stream_sparse_mode(tmp_path):
     assert got == {decode_key(key, 19): c for key, c in want.items()}
 
 
+def test_cli_gz_output_is_really_gzip(tmp_path):
+    """Every writer honors the '.gz' output contract — a .gz path must
+    hold gzip bytes (merge_outputs and the query tool rely on it)."""
+    import gzip
+
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.io.fasta import decode_codes
+
+    rng = np.random.default_rng(9)
+    fasta = tmp_path / "r.fasta"
+    with open(fasta, "wb") as f:
+        for i in range(8):
+            codes = rng.integers(0, 4, size=50).astype(np.int8)
+            f.write(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    cases = [
+        (["--mode", "sparse", "-k", "19"], "o.kmers.tsv.gz"),
+        (["--mode", "spectrum", "-k", "4", "--spectrum-format", "tsv"],
+         "o.tsv.gz"),
+        (["--mode", "spectrum", "-k", "4", "--spectrum-format", "npy"],
+         "o.npy.gz"),
+        (["--mode", "spectrum", "-k", "4", "--spectrum-format", "hist"],
+         "o.hist.gz"),
+        (["-k", "4"], "o.cfrk.gz"),
+    ]
+    for extra, name in cases:
+        out = tmp_path / name
+        rc = main([str(fasta), *extra, "-o", str(out)])
+        assert rc == 0, name
+        raw = out.read_bytes()
+        assert raw[:2] == b"\x1f\x8b", f"{name} is not gzip"
+        assert gzip.decompress(raw), name
+
+
 def test_cli_spectrum_hist_and_min_count(tmp_path):
     import numpy as np
 
