@@ -449,9 +449,10 @@ def main(argv=None) -> int:
 
             if jax.process_count() > 1:
                 inp = args.inputs[0]
-                rangeable = (
-                    not str(inp).endswith(".gz") and _sniff_fasta(inp)
-                )
+                # plain OR bgzf FASTA shards by record-aligned ranges
+                # (_sniff_fasta reads through the bgzf block reader;
+                # plain gzip sniffs False — no random access).
+                rangeable = _sniff_fasta(inp)
                 if rangeable:
                     args.stream = True
                     args.byte_ranged = True
@@ -507,12 +508,21 @@ def main(argv=None) -> int:
 
 
 def _sniff_fasta(path) -> bool:
-    """True when the file's first non-blank byte is '>' (plain FASTA —
+    """True when the (decompressed) first non-blank byte is '>' (FASTA —
     byte-range sharding needs unambiguous record starts; '@' quality
-    lines make FASTQ ranges ambiguous)."""
+    lines make FASTQ ranges ambiguous).  bgzf-compressed FASTA sniffs
+    through the block reader; plain gzip returns False (no random
+    access for ranges anyway)."""
     try:
         with open(path, "rb") as f:
             head = f.read(256)
+        if head[:2] == b"\x1f\x8b":
+            from .io.bgzf import is_bgzf, open_maybe_bgzf
+
+            if not is_bgzf(path):
+                return False
+            with open_maybe_bgzf(path) as bf:
+                head = bf.read(256)
     except OSError:
         return False
     return head.lstrip(b"\r\n")[:1] == b">"

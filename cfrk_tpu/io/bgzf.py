@@ -28,7 +28,13 @@ import struct
 import zlib
 from concurrent.futures import ThreadPoolExecutor
 
-__all__ = ["is_bgzf", "BgzfReader", "write_bgzf", "open_maybe_bgzf"]
+__all__ = [
+    "is_bgzf",
+    "BgzfReader",
+    "write_bgzf",
+    "open_maybe_bgzf",
+    "decompressed_size",
+]
 
 _EOF_BLOCK = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"
@@ -286,6 +292,31 @@ def write_bgzf(path_or_file, data: bytes, block: int = 1 << 16) -> None:
     finally:
         if owns:
             f.close()
+
+
+def decompressed_size(path) -> int:
+    """Total decompressed size of a bgzf file from block metadata alone
+    (sum of ISIZE trailers; no inflation — O(#blocks) seeks).  Lets
+    byte-range host sharding address bgzf inputs in decompressed
+    coordinates (parallel/distributed.host_byte_range)."""
+    total = 0
+    with open(path, "rb") as f:
+        off = 0
+        while True:
+            f.seek(off)
+            fixed = f.read(12)
+            if not fixed:
+                return total
+            if len(fixed) < 12:
+                raise OSError("truncated bgzf header")
+            xlen = int.from_bytes(fixed[10:12], "little")
+            extra = f.read(xlen)
+            bsize = _block_size_from_header(fixed + extra)
+            if bsize is None:
+                raise OSError(f"not a bgzf block at offset {off}")
+            f.seek(off + bsize - 4)
+            total += int.from_bytes(f.read(4), "little")
+            off += bsize
 
 
 def open_maybe_bgzf(path):

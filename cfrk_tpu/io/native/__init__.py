@@ -111,12 +111,13 @@ def iter_record_blocks_native(
         # seeks them from block metadata alone.
         opened = open_maybe_bgzf(path)
         seekable = hasattr(getattr(opened, "raw", None), "seek_decompressed")
-        if limit_offset is not None or (start_offset and not seekable):
+        if (start_offset or limit_offset is not None) and not seekable:
             opened.close()
             raise ValueError(
                 "byte offsets cannot address a gzip stream; "
-                "decompress the input first (bgzf inputs support "
-                "start_offset resume, but not byte-range sharding)"
+                "decompress the input first (or recompress with bgzip "
+                "— bgzf offsets are decompressed positions and work "
+                "for both resume and byte-range sharding)"
             )
     else:
         opened = open(path, "rb")

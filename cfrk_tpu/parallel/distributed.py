@@ -71,8 +71,35 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
     return True
 
 
+def _input_geometry(path):
+    """(total_size, open_at(offset) -> readable) in the coordinate
+    system byte ranges use: raw file bytes for plain inputs,
+    DECOMPRESSED positions for bgzf (block metadata makes them
+    seekable; see io/bgzf.py).  Plain gzip has no random access and is
+    rejected by the callers' rangeable checks."""
+    from ..io.bgzf import decompressed_size, is_bgzf, open_maybe_bgzf
+
+    if is_bgzf(path):
+        size = decompressed_size(path)
+
+        def open_at(offset: int):
+            f = open_maybe_bgzf(path)
+            f.raw.seek_decompressed(offset)
+            return f
+
+        return size, open_at
+
+    def open_at_plain(offset: int):
+        f = open(path, "rb")
+        f.seek(offset)
+        return f
+
+    return os.path.getsize(path), open_at_plain
+
+
 def align_to_record(path, target: int) -> int:
-    """Smallest FASTA record-start offset >= target (plain files).
+    """Smallest FASTA record-start offset >= target (plain or bgzf
+    files; offsets are decompressed positions for bgzf).
 
     A record starts at a '>' that begins a line, i.e. at position 0 or
     just after a newline; scanning for b"\\n>" from target-1 finds it.
@@ -84,12 +111,11 @@ def align_to_record(path, target: int) -> int:
     """
     if target <= 0:
         return 0
-    size = os.path.getsize(path)
+    size, open_at = _input_geometry(path)
     if target >= size:
         return size
-    with open(path, "rb") as f:
-        pos = target - 1  # include a preceding '\n' at target-1
-        f.seek(pos)
+    pos = target - 1  # include a preceding '\n' at target-1
+    with open_at(pos) as f:
         prev = b""
         while True:
             chunk = f.read(1 << 20)
@@ -116,7 +142,7 @@ def host_byte_range(
 
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    size = os.path.getsize(path)
+    size, _ = _input_geometry(path)
     start = align_to_record(path, size * pi // pc)
     limit = size * (pi + 1) // pc if pi + 1 < pc else size
     return start, limit

@@ -86,13 +86,13 @@ def stream_batches(
         # Raise here, not just in stream_count_file: a limit_offset the
         # pure-Python gzip path cannot observe (offsets are all None)
         # would otherwise stream the WHOLE file — silent double counting
-        # in a ranged multi-host run.  Exception: bgzf supports
-        # start_offset (decompressed-position resume via block
-        # metadata), though not byte-range sharding.
-        if limit_offset is not None or not is_bgzf(path):
+        # in a ranged multi-host run.  Exception: bgzf offsets are
+        # DECOMPRESSED positions, seekable via block metadata — both
+        # resume and byte-range sharding work.
+        if not is_bgzf(path):
             raise ValueError(
                 "byte offsets cannot address a gzip stream; "
-                "decompress the input first"
+                "decompress the input first (or recompress with bgzip)"
             )
     if HAVE_STREAM_NATIVE:
         # Chunked native ingest: the C++ parser encodes 64 MB blocks in
@@ -219,10 +219,13 @@ def _resume_fingerprint(path, k, mode_tag, canonical, out_path, byte_range):
     (fingerprint, checkpoint-path) pair."""
     if byte_range is not None:
         if _is_gzip(path):
-            raise ValueError(
-                "byte_range needs a plain (uncompressed) input: a gzip "
-                "stream has no random access"
-            )
+            from ..io.bgzf import is_bgzf
+
+            if not is_bgzf(path):
+                raise ValueError(
+                    "byte_range needs a plain or bgzf input: a plain "
+                    "gzip stream has no random access"
+                )
         mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
     fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
     cpath = checkpoint_path(out_path) if out_path else None

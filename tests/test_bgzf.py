@@ -148,6 +148,65 @@ def test_bgzf_stream_batches_offsets_and_resume(tmp_path):
     assert out.read_bytes() == want
 
 
+def test_bgzf_byte_range_partition_exact(tmp_path):
+    """Record-aligned byte ranges over a bgzf FASTA (decompressed
+    coordinates) partition the records exactly — the multi-host
+    single-file sharding story for compressed inputs."""
+    from cfrk_tpu.io.bgzf import decompressed_size
+    from cfrk_tpu.parallel.distributed import align_to_record, host_byte_range
+    from cfrk_tpu.pipeline.stream import stream_batches
+
+    rng = np.random.default_rng(8)
+    blob = _fasta_blob(rng, n=120)
+    plain = tmp_path / "r.fasta"
+    plain.write_bytes(blob)
+    bg = tmp_path / "r.fasta.gz"
+    write_bgzf(bg, blob, block=700)  # many blocks, cuts mid-record
+    assert decompressed_size(bg) == len(blob)
+    # alignment agrees with the plain file at every probe point
+    for t in range(0, len(blob), 997):
+        assert align_to_record(bg, t) == align_to_record(plain, t)
+
+    full = [
+        b.codes[i, : b.lengths[i]].tolist()
+        for b in stream_batches(bg, 4, 8)
+        for i in range(b.n_reads)
+    ]
+    for n_hosts in (2, 3):
+        got = []
+        for pi in range(n_hosts):
+            start, limit = host_byte_range(bg, pi, n_hosts)
+            for b in stream_batches(
+                bg, 4, 8, start_offset=start, limit_offset=limit
+            ):
+                for i in range(b.n_reads):
+                    got.append(b.codes[i, : b.lengths[i]].tolist())
+        assert got == full, f"bgzf partition mismatch at n_hosts={n_hosts}"
+
+
+def test_bgzf_ranged_stream_count_splice(tmp_path):
+    """Two abutting byte-range stream_count_file runs over a bgzf FASTA
+    splice byte-identically to the whole-file run."""
+    from cfrk_tpu.parallel.distributed import host_byte_range
+    from cfrk_tpu.pipeline.stream import stream_count_file
+
+    rng = np.random.default_rng(9)
+    blob = _fasta_blob(rng, n=60)
+    bg = tmp_path / "r.fasta.gz"
+    write_bgzf(bg, blob, block=900)
+    full = tmp_path / "full.cfrk"
+    stream_count_file(bg, full, 4, batch_size=8)
+    parts = []
+    for pi in range(2):
+        start, limit = host_byte_range(bg, pi, 2)
+        p = tmp_path / f"part{pi}.cfrk"
+        stream_count_file(
+            bg, p, 4, batch_size=8, byte_range=(start, limit)
+        )
+        parts.append(p.read_bytes())
+    assert b"\n".join(x for x in parts if x) == full.read_bytes()
+
+
 def test_bgzf_fastq_stream_count_parity(tmp_path):
     """bgzf FASTQ (the config-5 input framing) through the full
     streaming driver == the plain-file run, byte-for-byte."""

@@ -164,22 +164,34 @@ _CLI_WORKER = textwrap.dedent(
 )
 
 
-@pytest.mark.parametrize("mode", ["perread", "spectrum", "sparse"])
+@pytest.mark.parametrize(
+    "mode", ["perread", "perread-bgzf", "spectrum", "sparse"]
+)
 def test_two_process_cli_byte_ranged_single_file(tmp_path, mode):
     """The full multi-host single-file CLI path: 2 real processes each
     stream their record-aligned byte range, process 0 merges the parts
-    — byte-identical to a single-process run, for every mode."""
+    — byte-identical to a single-process run, for every mode (and for a
+    bgzf-compressed input, whose ranges live in decompressed
+    coordinates)."""
     try:
         port = _free_port()
     except OSError:
         pytest.skip("local sockets unavailable")
     rng = np.random.default_rng(3)
-    fasta = tmp_path / "big.fasta"
-    with open(fasta, "wb") as f:
-        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-        for i in range(64):
-            n = int(rng.integers(20, 120))
-            f.write(b">r%d\n" % i + bytes(rng.choice(bases, size=n)) + b"\n")
+    blob = []
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i in range(64):
+        n = int(rng.integers(20, 120))
+        blob.append(b">r%d\n" % i + bytes(rng.choice(bases, size=n)) + b"\n")
+    if mode == "perread-bgzf":
+        from cfrk_tpu.io.bgzf import write_bgzf
+
+        fasta = tmp_path / "big.fasta.gz"
+        write_bgzf(fasta, b"".join(blob), block=512)
+        mode = "perread"
+    else:
+        fasta = tmp_path / "big.fasta"
+        fasta.write_bytes(b"".join(blob))
 
     mode_args = {
         "perread": ["-k", "4"],
