@@ -22,6 +22,7 @@ but never calls it (reference ``src/fastaIO.h:7``).
 
 from __future__ import annotations
 
+import functools
 import io
 import os
 import struct
@@ -298,7 +299,17 @@ def decompressed_size(path) -> int:
     """Total decompressed size of a bgzf file from block metadata alone
     (sum of ISIZE trailers; no inflation — O(#blocks) seeks).  Lets
     byte-range host sharding address bgzf inputs in decompressed
-    coordinates (parallel/distributed.host_byte_range)."""
+    coordinates (parallel/distributed.host_byte_range).  Cached per
+    (path, size, mtime): a ranged launch asks several times and the
+    scan is seconds on a 100 GB file."""
+    st = os.stat(path)
+    return _decompressed_size_cached(
+        str(path), st.st_size, st.st_mtime_ns
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _decompressed_size_cached(path: str, _size: int, _mtime_ns: int) -> int:
     total = 0
     with open(path, "rb") as f:
         off = 0
