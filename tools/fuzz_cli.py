@@ -97,6 +97,44 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
         n_reads=n_reads, mesh=mesh_n,
     )
 
+    # Sometimes run as a MULTI-FILE workflow (--out-dir, the Swift/K
+    # analog): duplicate the input under two names; both outputs must
+    # match the oracle of the (identical) per-file read set.
+    workflow = mode == "perread" and compress == "plain" and bool(
+        rng.integers(0, 5) == 0
+    )
+    cfg["workflow"] = workflow
+    if workflow:
+        import shutil
+
+        inp2 = os.path.join(tmp, "b" + ext)
+        shutil.copy(inp, inp2)
+        outdir = os.path.join(tmp, "out")
+        argv = [inp, inp2, "-k", str(k), "--out-dir", outdir,
+                "--mode", mode, "--batch-size", str(batch)]
+        if canonical:
+            argv.append("--canonical")
+        if stream:
+            argv.append("--stream")
+        if nonzero:
+            argv.append("--nonzero")
+        argv += ["--devices", str(mesh_n) if mesh_n else "1"]
+        rc = cli_main(argv)
+        assert rc == 0, f"workflow CLI rc={rc} for {cfg}"
+        want = count_perread_np(reads, k, canonical)
+        for base in ("in", "b"):
+            outp = os.path.join(outdir, base + ".cfrk")
+            rows = open(outp, "rb").read().split(b"\n")
+            assert len(rows) == n_reads, (base, len(rows), cfg)
+            got = np.zeros_like(want)
+            for r, row in enumerate(rows):
+                for cell in row.split(b" "):
+                    if cell:
+                        i, c = cell.split(b":")
+                        got[r, int(i)] += int(c)
+            np.testing.assert_array_equal(got, want, err_msg=f"{base} {cfg}")
+        return cfg
+
     out = os.path.join(tmp, "out.dat")
     argv = [inp, "-k", str(k), "-o", out, "--mode", mode,
             "--batch-size", str(batch)]
