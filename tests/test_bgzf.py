@@ -207,6 +207,56 @@ def test_bgzf_ranged_stream_count_splice(tmp_path):
     assert b"\n".join(x for x in parts if x) == full.read_bytes()
 
 
+def test_bgzf_ranged_resume(tmp_path):
+    """Kill + resume INSIDE a byte-ranged bgzf run (the multi-host
+    worker crash case): the resumed part equals the uninterrupted one."""
+    from cfrk_tpu.format import CfrkWriter
+    from cfrk_tpu.parallel.distributed import host_byte_range
+    from cfrk_tpu.pipeline.stream import stream_batches, stream_count_file
+    from cfrk_tpu.pipeline.count import count_reads
+    from cfrk_tpu.runtime.checkpoint import StreamCheckpoint, checkpoint_path
+
+    rng = np.random.default_rng(12)
+    blob = _fasta_blob(rng, n=80)
+    bg = tmp_path / "r.fasta.gz"
+    write_bgzf(bg, blob, block=800)
+    k, bs = 4, 8
+    start, limit = host_byte_range(bg, 0, 2)
+
+    full = tmp_path / "full.part"
+    stream_count_file(bg, full, k, batch_size=bs, byte_range=(start, limit))
+    want = full.read_bytes()
+
+    batches = list(
+        stream_batches(bg, k, bs, start_offset=start, limit_offset=limit)
+    )
+    assert len(batches) >= 2
+    first = batches[0]
+    out = tmp_path / "resumed.part"
+    with open(out, "wb") as f:
+        w = CfrkWriter(f)
+        rows = [
+            first.codes[i, : first.lengths[i]] for i in range(first.n_reads)
+        ]
+        w.write_batch(count_reads(rows, k, batch_size=bs))
+        f.flush()
+        nbytes = f.tell()
+    ckpt = StreamCheckpoint(
+        fingerprint=StreamCheckpoint.fingerprint_of(
+            bg, k, f"perread-range{start}-{limit}", False
+        ),
+        reads_done=first.n_reads,
+        out_bytes=nbytes,
+        input_offset=first.end_offset,
+    )
+    ckpt.save(checkpoint_path(out))
+    m = stream_count_file(
+        bg, out, k, batch_size=bs, byte_range=(start, limit), resume=True
+    )
+    assert m.total_reads == sum(b.n_reads for b in batches)
+    assert out.read_bytes() == want
+
+
 def test_bgzf_fastq_stream_count_parity(tmp_path):
     """bgzf FASTQ (the config-5 input framing) through the full
     streaming driver == the plain-file run, byte-for-byte."""
