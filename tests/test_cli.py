@@ -538,3 +538,28 @@ def test_missing_input_clean_error(tmp_path):
 
     with pytest.raises(SystemExit, match="input not found: nope.fasta"):
         main(["nope.fasta", "-k", "2", "-o", str(tmp_path / "x.cfrk")])
+
+
+def test_cli_empty_input_all_modes(tmp_path):
+    """A zero-record input is legal: empty .cfrk (no rows), an all-zero
+    dense spectrum row, and an empty sparse table — rc 0 everywhere."""
+    from cfrk_tpu.cli import main
+
+    empty = tmp_path / "empty.fasta"
+    empty.write_bytes(b"")
+    p1 = tmp_path / "o.cfrk"
+    assert main([str(empty), "-k", "4", "-o", str(p1)]) == 0
+    assert p1.read_bytes() == b""
+    p2 = tmp_path / "o2.cfrk"
+    assert main([str(empty), "-k", "4", "-o", str(p2), "--stream"]) == 0
+    assert p2.read_bytes() == b""
+    p3 = tmp_path / "o.spec"
+    assert main([str(empty), "-k", "3", "--mode", "spectrum",
+                 "-o", str(p3)]) == 0
+    from cfrk_tpu.format import parse_cfrk
+
+    assert parse_cfrk(p3.read_bytes()).sum() == 0
+    p4 = tmp_path / "o.kmers.tsv"
+    assert main([str(empty), "-k", "19", "--mode", "sparse",
+                 "-o", str(p4)]) == 0
+    assert p4.read_bytes() == b""
