@@ -135,3 +135,42 @@ def test_cli_differential_fuzz(tmp_path):
         d = tmp_path / f"t{t}"
         d.mkdir()
         run_trial(rng, str(d), use_mesh=len(jax.devices()) >= 8)
+
+
+def test_parser_garbage_parity():
+    """Random byte blobs (headers, half-records, stray separators):
+    the native and pure-Python parsers must either raise the same class
+    of error or parse to identical reads — never diverge silently."""
+    import io as _io
+
+    from cfrk_tpu.io.fasta import encode_seq, iter_reads
+    from cfrk_tpu.io.native import HAVE_NATIVE, _fastaio
+
+    if not HAVE_NATIVE:
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(0)
+    alphabet = b">@ACGTNacgtn+\r\n\t 0123xyz"
+    for t in range(150):
+        n = int(rng.integers(0, 200))
+        blob = bytes(alphabet[i] for i in rng.integers(0, len(alphabet), n))
+        try:
+            py = [
+                encode_seq(s).tolist()
+                for _, s in iter_reads(_io.BytesIO(blob))
+            ]
+        except ValueError:
+            py = None
+        try:
+            codes_b, lens_b = _fastaio.parse_encode(blob)
+            codes = np.frombuffer(codes_b, dtype=np.int8)
+            lens = np.frombuffer(lens_b, dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens))).astype(int)
+            nat = [
+                codes[offs[i] : offs[i + 1]].tolist()
+                for i in range(len(lens))
+            ]
+        except ValueError:
+            nat = None
+        assert (py is None) == (nat is None), (t, blob[:60])
+        if py is not None:
+            assert py == nat, (t, blob[:60])
