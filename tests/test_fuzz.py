@@ -174,3 +174,34 @@ def test_parser_garbage_parity():
         assert (py is None) == (nat is None), (t, blob[:60])
         if py is not None:
             assert py == nat, (t, blob[:60])
+
+
+def test_chunked_parser_garbage_parity():
+    """parse_encode_stream over random chunk splits of garbage-ish
+    FASTA bytes == parse_encode over the whole blob (the record-carry
+    logic must be split-point invariant)."""
+    from cfrk_tpu.io.native import HAVE_STREAM_NATIVE, _fastaio
+
+    if not HAVE_STREAM_NATIVE:
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(1)
+    alphabet = b">ACGTNacgtn\r\n\t 0123xyz"
+    for t in range(150):
+        n = int(rng.integers(0, 400))
+        blob = bytes(alphabet[i] for i in rng.integers(0, len(alphabet), n))
+        want = _fastaio.parse_encode(blob)
+        cuts = sorted(
+            set(int(c) for c in rng.integers(0, n + 1, int(rng.integers(1, 6))))
+        ) + [n]
+        got_codes, got_lens = b"", b""
+        data, prev = b"", 0
+        for i, c in enumerate(cuts):
+            data += blob[prev:c]
+            prev = c
+            codes_b, lens_b, _offs, consumed = _fastaio.parse_encode_stream(
+                data, False, i == len(cuts) - 1
+            )
+            got_codes += codes_b
+            got_lens += lens_b
+            data = data[consumed:]
+        assert (got_codes, got_lens) == want, (t, blob[:60])
