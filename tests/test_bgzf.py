@@ -282,3 +282,18 @@ def test_bgzf_fastq_stream_count_parity(tmp_path):
     stream_count_file(plain, out_p, 4, batch_size=32)
     stream_count_file(bg, out_b, 4, batch_size=32)
     assert out_b.read_bytes() == out_p.read_bytes()
+
+
+def test_bgzf_repeated_seeks_one_reader(tmp_path):
+    """A single reader seeked repeatedly (forwards and backwards) reads
+    correctly each time — seek must fully reset the inflate pipeline."""
+    rng = np.random.default_rng(2)
+    data = bytes(rng.integers(32, 127, 300_000).astype(np.uint8))
+    p = tmp_path / "ms.bgzf"
+    write_bgzf(p, data, block=7000)
+    with BgzfReader(p) as r:
+        for t in range(25):
+            target = int(rng.integers(0, len(data) + 1))
+            n = int(rng.integers(1, 50_000))
+            r.seek_decompressed(target)
+            assert r.read(n) == data[target : target + n], (t, target, n)
