@@ -205,3 +205,55 @@ def test_chunked_parser_garbage_parity():
             got_lens += lens_b
             data = data[consumed:]
         assert (got_codes, got_lens) == want, (t, blob[:60])
+
+
+def test_chunked_parser_fastq_garbage_parity():
+    """FASTQ branch of parse_encode_stream over random chunk splits ==
+    the single-pass parse (or both reject), across CRLF records, empty
+    reads, and stray blank lines at header position."""
+    from cfrk_tpu.io.native import HAVE_STREAM_NATIVE, _fastaio
+
+    if not HAVE_STREAM_NATIVE:
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(3)
+    for t in range(120):
+        recs = []
+        for i in range(int(rng.integers(0, 8))):
+            ln = int(rng.integers(0, 30))
+            seq = bytes(b"ACGTN"[c] for c in rng.integers(0, 5, ln))
+            qual = bytes(rng.integers(33, 80, ln).astype(np.uint8))
+            sep = b"\r\n" if rng.integers(0, 3) == 0 else b"\n"
+            recs.append(
+                b"@r%d" % i + sep + seq + sep + b"+" + sep + qual + sep
+            )
+            if rng.integers(0, 4) == 0:
+                recs.append(sep)  # stray blank line at header position
+        blob = b"".join(recs)
+        try:
+            want = _fastaio.parse_encode(blob)
+        except ValueError:
+            want = None
+        cuts = sorted(
+            set(
+                int(c)
+                for c in rng.integers(0, len(blob) + 1, int(rng.integers(1, 6)))
+            )
+        ) + [len(blob)]
+        got_codes, got_lens, data, prev = b"", b"", b"", 0
+        got = None
+        try:
+            for i, c in enumerate(cuts):
+                data += blob[prev:c]
+                prev = c
+                codes_b, lens_b, _o, consumed = _fastaio.parse_encode_stream(
+                    data, True, i == len(cuts) - 1
+                )
+                got_codes += codes_b
+                got_lens += lens_b
+                data = data[consumed:]
+            got = (got_codes, got_lens)
+        except ValueError:
+            got = None
+        assert (want is None) == (got is None), (t, blob[:80])
+        if want is not None:
+            assert got == want, (t, blob[:80])
