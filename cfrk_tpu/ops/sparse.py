@@ -34,6 +34,7 @@ __all__ = [
     "INVALID_SENTINEL",
     "kmer_keys",
     "sparse_spectrum",
+    "batch_spectrum_triples",
     "fetch_triples",
     "merge_sorted_key_counts",
     "merge_sorted_spectra",
@@ -161,6 +162,35 @@ def fetch_triples(hi, lo, counts, k: int):
     else:
         nphi = np.asarray(hi)
     return nphi, nplo, np.asarray(counts)
+
+
+def batch_spectrum_triples(codes, k: int, canonical: bool = False):
+    """Host (hi, lo, counts) of ONE batch for the sparse accumulator.
+
+    For k <= 15 the batch counts via PER-READ row sorts
+    (ops/perread_sparse): 8192 independent 256-element bitonic sorts
+    cost ~1/3 of one 2M-element full-batch sort on-chip (2.61 vs
+    8.01 ms at k=15, docs/PERF.md), and the accumulator's fold merges
+    row-level uniques exactly like batch-level ones.  Above 15 the
+    (hi, lo) pair needs the full lexicographic sort anyway.  The mesh
+    path is NOT served here — all_to_all bucket routing needs
+    bucket-contiguous keys (parallel/bucket.py).
+    """
+    import jax.numpy as jnp
+
+    if k <= 15:
+        from .perread_sparse import compact_pairs, count_perread_sparse
+
+        idx, cnt = compact_pairs(
+            *count_perread_sparse(jnp.asarray(codes), k, canonical), k
+        )
+        lo = np.asarray(idx).reshape(-1).astype(np.uint32)
+        c = np.asarray(cnt).reshape(-1).astype(np.int64)
+        # uint16-compacted idx wraps the sentinel to 0, but sentinel
+        # cells carry count 0 and every consumer masks counts > 0.
+        return np.zeros(lo.shape, dtype=np.uint32), lo, c
+    hi, lo, counts = sparse_spectrum(jnp.asarray(codes), k, canonical)
+    return fetch_triples(hi, lo, counts, k)
 
 
 def merge_sorted_key_counts(parts):

@@ -765,7 +765,11 @@ def stream_sparse_spectrum_file(
     bucket-box overflow retries with doubled ``slack`` automatically and
     later batches start at the discovered capacity.
     """
-    from ..ops.sparse import SparseAccumulator, fetch_triples, sparse_spectrum
+    from ..ops.sparse import (
+        SparseAccumulator,
+        batch_spectrum_triples,
+        fetch_triples,
+    )
 
     if mesh is not None:
         from ..parallel.bucket import sparse_spectrum_sharded_retry
@@ -791,18 +795,21 @@ def stream_sparse_spectrum_file(
     gen = _resume_batches(path, k, batch_size, ckpt, byte_range)
     since_ckpt = 0
     for batch in _prefetched(gen, metrics=m):
-        with m.stage("dispatch"):
-            if mesh is not None:
+        if mesh is not None:
+            with m.stage("dispatch"):
                 hi, lo, counts, slack = sparse_spectrum_sharded_retry(
                     jax.numpy.asarray(batch.codes), k, mesh,
                     canonical=canonical, slack=slack,
                 )
-            else:
-                hi, lo, counts = sparse_spectrum(
-                    jax.numpy.asarray(batch.codes), k, canonical
-                )
-        with m.stage("materialize"):
-            acc.add(*fetch_triples(hi, lo, counts, k))
+            with m.stage("materialize"):
+                acc.add(*fetch_triples(hi, lo, counts, k))
+        else:
+            # batch_spectrum_triples dispatches AND fetches (row sorts
+            # for k <= 15 — ~3x the full-batch sort; docs/PERF.md).
+            with m.stage("dispatch"):
+                triples = batch_spectrum_triples(batch.codes, k, canonical)
+            with m.stage("materialize"):
+                acc.add(*triples)
         m.batches += 1
         m.reads += batch.n_reads
         m.bases += int(batch.lengths.sum())
