@@ -167,14 +167,15 @@ def fetch_triples(hi, lo, counts, k: int):
 def batch_spectrum_triples(codes, k: int, canonical: bool = False):
     """Host (hi, lo, counts) of ONE batch for the sparse accumulator.
 
-    For k <= 15 the batch counts via PER-READ row sorts
-    (ops/perread_sparse): 8192 independent 256-element bitonic sorts
-    cost ~1/3 of one 2M-element full-batch sort on-chip (2.61 vs
-    8.01 ms at k=15, docs/PERF.md), and the accumulator's fold merges
-    row-level uniques exactly like batch-level ones.  Above 15 the
-    (hi, lo) pair needs the full lexicographic sort anyway.  The mesh
-    path is NOT served here — all_to_all bucket routing needs
-    bucket-contiguous keys (parallel/bucket.py).
+    Counts via PER-READ row sorts (ops/perread_sparse) instead of one
+    full-batch lexicographic sort: bitonic cost is n·log²n, so 8192
+    independent ~256-element row sorts beat one 2M-element sort by
+    3.1x at k=15 and 6.6x at k=31 canonical on-chip (docs/PERF.md).
+    The accumulator's fold merges row-level uniques exactly like
+    batch-level ones (and at k > 15 nearly every window is distinct
+    anyway, so the entry counts match too).  The mesh path is NOT
+    served here — all_to_all bucket routing needs bucket-contiguous
+    keys from the global sort (parallel/bucket.py).
     """
     import jax.numpy as jnp
 
@@ -189,8 +190,16 @@ def batch_spectrum_triples(codes, k: int, canonical: bool = False):
         # uint16-compacted idx wraps the sentinel to 0, but sentinel
         # cells carry count 0 and every consumer masks counts > 0.
         return np.zeros(lo.shape, dtype=np.uint32), lo, c
-    hi, lo, counts = sparse_spectrum(jnp.asarray(codes), k, canonical)
-    return fetch_triples(hi, lo, counts, k)
+    from .perread_sparse import count_perread_sparse_large
+
+    hi, lo, counts = count_perread_sparse_large(
+        jnp.asarray(codes), k, canonical
+    )
+    return (
+        np.asarray(hi).reshape(-1),
+        np.asarray(lo).reshape(-1),
+        np.asarray(counts).reshape(-1),
+    )
 
 
 def merge_sorted_key_counts(parts):
