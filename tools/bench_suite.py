@@ -171,10 +171,12 @@ def main() -> None:
 
     # 4. canonical k=31 sparse (sort + RLE).
     if want("sparse_k31"):
-        from cfrk_tpu.ops.sparse import sparse_spectrum
+        # The drivers' single-device route: per-read row 2-key sorts
+        # (6.6x the full-batch sort it replaced; docs/PERF.md).
+        from cfrk_tpu.ops.perread_sparse import count_perread_sparse_large
 
         def run31(a):
-            hi, lo, counts = sparse_spectrum(a, 31, True)
+            hi, lo, counts = count_perread_sparse_large(a, 31, True)
             return jnp.sum(counts & 3)
 
         fn = jax.jit(run31)
