@@ -195,6 +195,8 @@ def batch_spectrum_triples(codes, k: int, canonical: bool = False):
     hi, lo, counts = count_perread_sparse_large(
         jnp.asarray(codes), k, canonical
     )
+    if counts.shape[-1] < 2**15:  # per-row counts bounded by windows
+        counts = counts.astype(jnp.int16)
     return (
         np.asarray(hi).reshape(-1),
         np.asarray(lo).reshape(-1),

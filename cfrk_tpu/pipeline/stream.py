@@ -524,7 +524,11 @@ def stream_count_file(
         else:
             from ..ops.perread_sparse import count_perread_sparse_large
 
-            dispatch = lambda arr: count_perread_sparse_large(arr, k, canonical)  # noqa: E731
+            def dispatch(arr):
+                hi, lo, cnt = count_perread_sparse_large(arr, k, canonical)
+                if cnt.shape[-1] < 2**15:  # halve the counts D2H
+                    cnt = cnt.astype(jax.numpy.int16)
+                return hi, lo, cnt
     else:
         dispatch = _make_dispatch(
             k, canonical, impl, mesh, "perread", packed, seqpar
