@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: all ext test test-fast bench scaling clean
+.PHONY: all ext test test-fast bench warm scaling clean
 
 all: ext
 
@@ -19,6 +19,11 @@ test-fast:
 
 bench:
 	$(PY) bench.py
+
+# Pre-compile the exact kernel bench.py times (remote Mosaic cache warm;
+# run periodically so `make bench` never eats a 150-650 s cold compile).
+warm:
+	timeout 800 $(PY) tools/warm_compile.py
 
 scaling:
 	$(PY) tools/scaling_bench.py --cpu

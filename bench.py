@@ -93,7 +93,9 @@ def speed_of_light_bases_per_s(
     return batch * read_len / t
 
 
-def main(impl_override: str | None = None) -> None:
+def setup_compile_cache() -> None:
+    """Point JAX's persistent compile cache at the repo-local dir (shared
+    by bench.py and tools/warm_compile.py so their cache keys match)."""
     import os
 
     import jax
@@ -103,6 +105,45 @@ def main(impl_override: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+
+def build_pallas_programs(batch: int, n_batches: int):
+    """The exact traced programs the pallas measurement times: the bare
+    per-batch kernel step and the n-batch scan wrapper, plus the DISTINCT
+    cycled inputs.  tools/warm_compile.py imports this so the compile-cache
+    warmer can never desynchronize from what the bench compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, resolve_packed
+
+    pk = resolve_packed(True, READ_LEN - K + 1)  # b4 for 150 bp
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        rng.integers(0, 4, size=(DISTINCT, batch, READ_LEN)).astype(np.int8)
+    )
+
+    @jax.jit
+    def step_chk(x):
+        _counts, chk = count_perread_pallas(
+            x, K, packed=pk, read_block=16, checksum=True
+        )
+        return jnp.sum(chk)
+
+    def run(xs):
+        def body(c, i):
+            return c + step_chk(xs[i % DISTINCT]), ()
+
+        c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_batches))
+        return c
+
+    return xs, step_chk, jax.jit(run), pk
+
+
+def main(impl_override: str | None = None) -> None:
+    import jax
+
+    setup_compile_cache()
+
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
@@ -111,35 +152,12 @@ def main(impl_override: str | None = None) -> None:
     n_batches = N_BATCHES if on_tpu else 4
     impl = impl_override or ("pallas" if on_tpu else "matmul")
 
-    rng = np.random.default_rng(0)
-    xs = jnp.asarray(
-        rng.integers(0, 4, size=(DISTINCT, batch, READ_LEN)).astype(np.int8)
-    )
-
     if impl == "pallas":
-        from cfrk_tpu.ops.pallas.perread import count_perread_pallas, resolve_packed
-
-        pk = resolve_packed(True, READ_LEN - K + 1)  # b4 for 150 bp
-
-        @jax.jit
-        def step_chk(x):
-            _counts, chk = count_perread_pallas(
-                x, K, packed=pk, read_block=16, checksum=True
-            )
-            return jnp.sum(chk)
+        xs, step_chk, fn, pk = build_pallas_programs(batch, n_batches)
 
         # Stage 1: compile the bare kernel (primes the Mosaic cache);
         # the scan wrapper below then compiles in seconds.
         _ = int(np.asarray(step_chk(xs[0])))
-
-        def run(xs):
-            def body(c, i):
-                return c + step_chk(xs[i % DISTINCT]), ()
-
-            c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_batches))
-            return c
-
-        fn = jax.jit(run)
         _ = int(np.asarray(fn(xs)))  # compile scan + warm up
 
         # Best-of-3: the timed region includes one tunnel round trip
@@ -155,6 +173,11 @@ def main(impl_override: str | None = None) -> None:
         int8_mxu = True  # count_perread_pallas default mxu_dtype="int8"
     else:
         from cfrk_tpu.ops.perread import count_perread
+
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(
+            rng.integers(0, 4, size=(DISTINCT, batch, READ_LEN)).astype(np.int8)
+        )
 
         # Two separate executables: produce (A) and consume (B).  The
         # count matrix must cross HBM between them — the fusion that

@@ -5,11 +5,16 @@ compile of the headline Pallas kernel costs 150-650 s and can blow the
 driver's bench time slot (round 1 recorded the matmul fallback for
 exactly this reason — see VERDICT.md "What's weak" #1).  Running this
 script periodically re-compiles the EXACT kernel + scan wrapper that
-bench.py times (same shapes, same options, same persistent-cache dir),
-so a subsequent bench.py run compiles in seconds.
+bench.py times (imported from bench.build_pallas_programs, so the two
+cannot desynchronize), leaving a subsequent bench.py run to compile in
+seconds.
 
-Usage:  timeout 800 python tools/warm_compile.py
-Exits 0 and prints one status line either way; safe to run in a loop.
+Usage:  timeout 800 python tools/warm_compile.py   (or `make warm`)
+Run it in a loop, e.g.:
+    while true; do timeout 800 python tools/warm_compile.py; sleep 900; done
+Exits 0 and prints one status line on success; tunnel/compile failures
+print the error and exit 1 (a `timeout` expiry exits 124) — loop
+wrappers should just retry on the next iteration.
 """
 
 from __future__ import annotations
@@ -22,56 +27,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> None:
-    t0 = time.perf_counter()
+def main() -> int:
     import jax
-
-    cache_dir = os.path.join(REPO, ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-    import jax.numpy as jnp
     import numpy as np
+
+    import bench
+
+    bench.setup_compile_cache()
 
     platform = jax.devices()[0].platform
     if platform not in ("tpu", "axon"):
         print(f"warm_compile: not on TPU (platform={platform}); nothing to do")
-        return
+        return 0
 
-    from cfrk_tpu.ops.pallas.perread import count_perread_pallas, resolve_packed
+    xs, step_chk, fn, _pk = bench.build_pallas_programs(bench.BATCH, bench.N_BATCHES)
 
-    K, READ_LEN, BATCH, DISTINCT = 8, 150, 8192, 4
-    pk = resolve_packed(True, READ_LEN - K + 1)
-    rng = np.random.default_rng(0)
-    xs = jnp.asarray(
-        rng.integers(0, 4, size=(DISTINCT, BATCH, READ_LEN)).astype(np.int8)
-    )
-
-    @jax.jit
-    def step_chk(x):
-        _counts, chk = count_perread_pallas(
-            x, K, packed=pk, read_block=16, checksum=True
-        )
-        return jnp.sum(chk)
-
+    t0 = time.perf_counter()
     _ = int(np.asarray(step_chk(xs[0])))
     t_bare = time.perf_counter() - t0
-
-    def run(xs):
-        def body(c, i):
-            return c + step_chk(xs[i % DISTINCT]), ()
-
-        c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(64))
-        return c
-
-    fn = jax.jit(run)
     _ = int(np.asarray(fn(xs)))
     print(
         f"warm_compile: bare kernel ready in {t_bare:.0f}s, "
         f"scan wrapper in {time.perf_counter() - t0 - t_bare:.0f}s"
     )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        sys.exit(main())
+    except Exception as e:  # tunnel drop / remote-compile error: report, exit 1
+        print(f"warm_compile: FAILED ({type(e).__name__}: {e})", file=sys.stderr)
+        sys.exit(1)
