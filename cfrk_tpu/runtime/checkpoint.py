@@ -27,6 +27,8 @@ import os
 
 import numpy as np
 
+from . import faults
+
 __all__ = ["StreamCheckpoint", "checkpoint_path", "cleanup_checkpoint"]
 
 
@@ -90,6 +92,9 @@ class StreamCheckpoint:
         if stale and stale != self.spectrum_path and os.path.exists(stale):
             os.remove(stale)
         self._pending_cleanup = None
+        # Crash-consistency fault site: dies right after the checkpoint
+        # became durable (runtime/faults.py; no-op unless a test armed it).
+        faults.trip("checkpoint")
 
     @staticmethod
     def load(path: str) -> "StreamCheckpoint":

@@ -1,0 +1,128 @@
+"""Fault injection (runtime/faults.py): crash-consistency of the
+streaming drivers, exercised by ACTUALLY crashing them at checkpoint
+boundaries instead of hand-building checkpoint files.
+
+The reference has no fault-injection or resume story at all (SURVEY.md
+§5: executionRetries=0, restart = re-run the whole shard); these tests
+pin this framework's stronger contract — byte-identical output across a
+crash at any checkpoint save.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cfrk_tpu.io.fasta import decode_codes
+from cfrk_tpu.pipeline.stream import stream_count_file, stream_spectrum_file
+from cfrk_tpu.runtime import faults
+from cfrk_tpu.runtime.checkpoint import checkpoint_path, cleanup_checkpoint
+
+
+@pytest.fixture(autouse=True)
+def _disarm():
+    yield
+    faults.disarm()
+
+
+def test_trip_semantics():
+    faults.arm("site", 2)
+    faults.trip("site")  # 1st pass: survives
+    with pytest.raises(faults.InjectedFault):
+        faults.trip("site")  # 2nd pass: fires
+    faults.trip("site")  # self-disarmed: no re-fire
+
+
+def test_arm_validates():
+    with pytest.raises(ValueError):
+        faults.arm("site", 0)
+
+
+def test_env_spec_parsing(monkeypatch):
+    monkeypatch.setitem(faults._armed, "x", 99)  # isolated below
+    faults.disarm()
+    monkeypatch.setenv("CFRK_FAULT_INJECT", "checkpoint:3, other:1")
+    faults._load_env()
+    assert faults._armed == {"checkpoint": 3, "other": 1}
+    faults.disarm()
+    monkeypatch.setenv("CFRK_FAULT_INJECT", "bogus:notanint")
+    with pytest.raises(ValueError):
+        faults._load_env()
+
+
+def _write_fasta(path, reads):
+    with open(path, "wb") as f:
+        for i, codes in enumerate(reads):
+            f.write(b">r%d\n" % i + decode_codes(np.asarray(codes, np.int8)))
+            f.write(b"\n")
+
+
+def _random_reads(n, rng, lo=20, hi=60):
+    return [
+        rng.integers(0, 4, size=int(rng.integers(lo, hi))).astype(np.int8)
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("crash_after", [1, 2, 4])
+def test_stream_count_crash_resume(tmp_path, crash_after):
+    """Die right after the Nth durable checkpoint; --resume must finish
+    the run with bytes identical to an uninterrupted one."""
+    rng = np.random.default_rng(7)
+    reads = _random_reads(20, rng)
+    fasta = tmp_path / "in.fasta"
+    _write_fasta(fasta, reads)
+    k, bs = 3, 4
+
+    full = tmp_path / "full.cfrk"
+    stream_count_file(fasta, full, k, batch_size=bs)
+    want = full.read_bytes()
+
+    out = tmp_path / "crashed.cfrk"
+    faults.arm("checkpoint", crash_after)
+    with pytest.raises(faults.InjectedFault):
+        stream_count_file(fasta, out, k, batch_size=bs)
+    assert (tmp_path / (out.name + ".ckpt.json")).exists()
+
+    m = stream_count_file(fasta, out, k, batch_size=bs, resume=True)
+    assert m.reads == len(reads) - crash_after * bs
+    assert out.read_bytes() == want
+    assert not (tmp_path / (out.name + ".ckpt.json")).exists()
+
+
+def test_stream_spectrum_crash_resume(tmp_path):
+    """Spectrum driver: the checkpointed accumulator sidecar must carry
+    the partial table across the crash (no double counting either)."""
+    rng = np.random.default_rng(11)
+    reads = _random_reads(24, rng)
+    fasta = tmp_path / "in.fasta"
+    _write_fasta(fasta, reads)
+    k, bs = 3, 4
+
+    want, _ = stream_spectrum_file(fasta, k, batch_size=bs)
+
+    out = tmp_path / "crashed.spec"
+    faults.arm("checkpoint", 2)
+    with pytest.raises(faults.InjectedFault):
+        stream_spectrum_file(
+            fasta, k, batch_size=bs, out_path=out,
+            checkpoint_every=1, cleanup=False,
+        )
+    got, _ = stream_spectrum_file(
+        fasta, k, batch_size=bs, out_path=out,
+        checkpoint_every=1, resume=True, cleanup=False,
+    )
+    cleanup_checkpoint(out)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_checkpoint_trip_is_noop_when_disarmed(tmp_path):
+    rng = np.random.default_rng(3)
+    reads = _random_reads(8, rng)
+    fasta = tmp_path / "in.fasta"
+    _write_fasta(fasta, reads)
+    out = tmp_path / "out.cfrk"
+    m = stream_count_file(fasta, out, 2, batch_size=4)
+    assert m.reads == 8
+    assert not (tmp_path / (out.name + ".ckpt.json")).exists()
+    assert checkpoint_path(out).endswith(".ckpt.json")

@@ -147,8 +147,42 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     if mode == "sparse":
         argv += ["--spectrum-format", "tsv"]
     argv += ["--devices", str(mesh_n) if mesh_n else "1"]
-    rc = cli_main(argv)
-    assert rc == 0, f"CLI rc={rc} for {cfg}"
+
+    # Crash/resume draw: inject a crash right after a random checkpoint
+    # save (runtime/faults.py), resume through the REAL --resume path,
+    # and demand the final bytes equal an uninterrupted run's.
+    crash = stream and bool(rng.integers(0, 2))
+    cfg["crash"] = crash
+    if crash:
+        from cfrk_tpu.runtime import faults
+
+        argv += ["--checkpoint-every", "1"]
+        faults.arm("checkpoint", int(rng.integers(1, 4)))
+        try:
+            rc = cli_main(argv)
+            assert rc == 0, f"CLI rc={rc} for {cfg}"
+            fired = False
+        except faults.InjectedFault:
+            fired = True
+        finally:
+            faults.disarm()
+        cfg["crash_fired"] = fired
+        if fired:
+            rc = cli_main(argv + ["--resume"])
+            assert rc == 0, f"resume CLI rc={rc} for {cfg}"
+            full = os.path.join(tmp, "full.dat")
+            rc = cli_main(
+                [a if a != out else full for a in argv]
+            )
+            assert rc == 0, f"full-run CLI rc={rc} for {cfg}"
+            resumed_bytes = open(out, "rb").read()
+            full_bytes = open(full, "rb").read()
+            assert resumed_bytes == full_bytes, (
+                f"crash-resume bytes differ from uninterrupted run: {cfg}"
+            )
+    else:
+        rc = cli_main(argv)
+        assert rc == 0, f"CLI rc={rc} for {cfg}"
 
     # oracle check
     if mode == "perread":
