@@ -116,6 +116,18 @@ def run_workflow(
     t_start = time.perf_counter()
     abort = threading.Event()
 
+    # Elastic recovery: a count_one that accepts ``retrying`` (like
+    # count_one_factory's) is told when an attempt is a re-run, so a
+    # crashed STREAMING task resumes from its surviving checkpoint
+    # instead of redoing the whole file.  Plain 2-arg callables keep
+    # Swift/K's restart-from-scratch semantics.
+    import inspect
+
+    try:
+        accepts_retrying = "retrying" in inspect.signature(count_one).parameters
+    except (TypeError, ValueError):  # builtins / C callables
+        accepts_retrying = False
+
     def run_task(task: WorkflowTask) -> None:
         for attempt in range(retries + 1):
             if abort.is_set():
@@ -126,7 +138,8 @@ def run_workflow(
             task.attempts = attempt + 1
             t0 = time.perf_counter()
             try:
-                task.reads = int(count_one(task.input, task.output) or 0)
+                kw = {"retrying": attempt > 0} if accepts_retrying else {}
+                task.reads = int(count_one(task.input, task.output, **kw) or 0)
                 task.duration_s = time.perf_counter() - t0
                 task.ok = True
                 prov.record(task, attempt, True, task.duration_s, None)
@@ -179,7 +192,11 @@ def count_one_factory(
     Every per-file option of the single-input CLI path is honoured here,
     so multi-file runs behave identically per file."""
 
-    def count_one(inp: str, out: str) -> int:
+    def count_one(inp: str, out: str, retrying: bool = False) -> int:
+        # A retry after a mid-stream crash resumes from the surviving
+        # checkpoint (run_workflow sets retrying=True on re-attempts);
+        # a stale/mismatched checkpoint falls back to a fresh start.
+        res = resume or retrying
         if mode == "perread":
             if stream:
                 from ..pipeline.stream import stream_count_file
@@ -187,7 +204,7 @@ def count_one_factory(
                 m = stream_count_file(
                     inp, out, k, canonical=canonical, impl=impl,
                     batch_size=batch_size, nonzero=nonzero, packed=packed,
-                    resume=resume, checkpoint_every=checkpoint_every or 1,
+                    resume=res, checkpoint_every=checkpoint_every or 1,
                     mesh=mesh, seqpar=seqpar,
                 )
                 return m.reads
@@ -228,7 +245,7 @@ def count_one_factory(
                 # progress (same ordering as cli._run_inputs).
                 keys, cnts, m = stream_sparse_spectrum_file(
                     inp, k, canonical=canonical, batch_size=batch_size,
-                    out_path=out, resume=resume,
+                    out_path=out, resume=res,
                     checkpoint_every=checkpoint_every or 64,
                     cleanup=False, mesh=mesh, slack=slack,
                 )
@@ -259,7 +276,7 @@ def count_one_factory(
             # as above: keep resume progress until the output exists.
             table, m = stream_spectrum_file(
                 inp, k, canonical=canonical, impl=impl,
-                batch_size=batch_size, out_path=out, resume=resume,
+                batch_size=batch_size, out_path=out, resume=res,
                 checkpoint_every=checkpoint_every or 16,
                 cleanup=False, mesh=mesh, seqpar=seqpar,
             )

@@ -116,6 +116,35 @@ def test_stream_spectrum_crash_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_workflow_retry_resumes_from_checkpoint(tmp_path):
+    """Elastic recovery: a streaming workflow task that crashes mid-file
+    is retried AND resumes from its surviving checkpoint — the retry
+    processes only the remaining reads, and the output is byte-identical
+    to an uninterrupted run.  (The reference's Swift/K layer could only
+    re-run a whole shard; swift/swift.conf:137 executionRetries=0.)"""
+    from cfrk_tpu.runtime.workflow import count_one_factory, run_workflow
+
+    rng = np.random.default_rng(17)
+    reads = _random_reads(20, rng)
+    fasta = tmp_path / "in.fasta"
+    _write_fasta(fasta, reads)
+    k, bs = 3, 4
+
+    full = tmp_path / "full.cfrk"
+    stream_count_file(fasta, full, k, batch_size=bs)
+    want = full.read_bytes()
+
+    out = tmp_path / "wf.cfrk"
+    count_one = count_one_factory(k, stream=True, batch_size=bs)
+    faults.arm("checkpoint", 2)  # attempt 1 dies after 8 reads are durable
+    res = run_workflow([(str(fasta), str(out))], count_one, retries=1)
+    assert res.ok
+    task = res.tasks[0]
+    assert task.attempts == 2
+    assert task.reads == len(reads) - 2 * bs  # resumed, not restarted
+    assert out.read_bytes() == want
+
+
 def test_checkpoint_trip_is_noop_when_disarmed(tmp_path):
     rng = np.random.default_rng(3)
     reads = _random_reads(8, rng)
