@@ -37,6 +37,7 @@ import numpy as np
 from ..format import CfrkWriter
 from ..ops.perread import count_perread
 from ..ops.spectrum import spectrum as spectrum_op
+from ..runtime import faults
 from ..runtime.checkpoint import StreamCheckpoint, checkpoint_path
 from ..runtime.metrics import RunMetrics
 from .batch import (
@@ -593,6 +594,10 @@ def stream_count_file(
                     w.write_pairs(*pairs)
                 else:
                     w.write_batch(counts)
+            # Fault site: dies with this batch's rows written but NOT
+            # checkpointed — resume must truncate the torn tail and redo
+            # the batch (runtime/faults.py; no-op unless a test armed it).
+            faults.trip("batch-written")
             ckpt.reads_done += n
             ckpt.input_offset = end_off
             since_ckpt += 1

@@ -116,6 +116,40 @@ def test_stream_spectrum_crash_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("crash_after", [1, 3])
+def test_stream_count_torn_tail_resume(tmp_path, crash_after):
+    """Die AFTER a batch's rows are written but BEFORE its checkpoint:
+    the file has a torn, unclaimed tail.  Resume must truncate it, redo
+    the batch, and still end byte-identical."""
+    rng = np.random.default_rng(13)
+    reads = _random_reads(20, rng)
+    fasta = tmp_path / "in.fasta"
+    _write_fasta(fasta, reads)
+    k, bs = 3, 4
+
+    full = tmp_path / "full.cfrk"
+    stream_count_file(fasta, full, k, batch_size=bs)
+    want = full.read_bytes()
+
+    out = tmp_path / "torn.cfrk"
+    faults.arm("batch-written", crash_after)
+    with pytest.raises(faults.InjectedFault):
+        stream_count_file(fasta, out, k, batch_size=bs)
+    # the torn tail exists on disk; the checkpoint (if any) claims less
+    ckpt_file = tmp_path / (out.name + ".ckpt.json")
+    if crash_after > 1:
+        import json
+
+        claimed = json.loads(ckpt_file.read_text())["out_bytes"]
+        assert out.stat().st_size > claimed
+    else:
+        assert not ckpt_file.exists()  # died before the first checkpoint
+
+    m = stream_count_file(fasta, out, k, batch_size=bs, resume=True)
+    assert m.reads == len(reads) - (crash_after - 1) * bs
+    assert out.read_bytes() == want
+
+
 def test_workflow_retry_resumes_from_checkpoint(tmp_path):
     """Elastic recovery: a streaming workflow task that crashes mid-file
     is retried AND resumes from its surviving checkpoint — the retry

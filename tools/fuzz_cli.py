@@ -157,7 +157,14 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
         from cfrk_tpu.runtime import faults
 
         argv += ["--checkpoint-every", "1"]
-        faults.arm("checkpoint", int(rng.integers(1, 4)))
+        # perread streams also have the torn-tail site (rows written,
+        # checkpoint not yet saved); spectrum/sparse only checkpoint.
+        site = str(rng.choice(
+            ["checkpoint", "batch-written"] if mode == "perread"
+            else ["checkpoint"]
+        ))
+        cfg["crash_site"] = site
+        faults.arm(site, int(rng.integers(1, 4)))
         try:
             rc = cli_main(argv)
             assert rc == 0, f"CLI rc={rc} for {cfg}"
