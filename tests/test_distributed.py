@@ -252,3 +252,95 @@ def test_two_process_cli_byte_ranged_single_file(tmp_path, mode):
     assert out.read_bytes() == want_out.read_bytes()
     # parts cleaned up
     assert not list(tmp_path.glob("got.out.part*"))
+
+
+def test_two_process_cli_worker_crash_then_resume(tmp_path):
+    """The config-5 worker-crash story, end to end: BOTH workers die at
+    their 2nd durable checkpoint (real fault injection via
+    CFRK_FAULT_INJECT, not hand-built state), then a relaunch with
+    --resume picks each byte range up from its checkpoint and the
+    spliced output is byte-identical to a single-process run."""
+    try:
+        port = _free_port()
+    except OSError:
+        pytest.skip("local sockets unavailable")
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    blob = []
+    for i in range(64):
+        n = int(rng.integers(20, 120))
+        blob.append(b">r%d\n" % i + bytes(rng.choice(bases, size=n)) + b"\n")
+    fasta = tmp_path / "big.fasta"
+    fasta.write_bytes(b"".join(blob))
+
+    from cfrk_tpu.cli import main as cli_main
+
+    want_out = tmp_path / "want.out"
+    assert cli_main([str(fasta), "-k", "4", "-o", str(want_out),
+                     "--devices", "1"]) == 0
+
+    worker = tmp_path / "cli_worker.py"
+    worker.write_text(_CLI_WORKER)
+    out = tmp_path / "got.out"
+    argv = [str(fasta), "-k", "4", "-o", str(out), "--distributed",
+            "--batch-size", "8", "--checkpoint-every", "1",
+            "--devices", "1"]
+    env_base = {
+        **os.environ,
+        "JAX_NUM_PROCESSES": "2",
+        "CFRK_TEST_ARGV": json.dumps(argv),
+        "PYTHONPATH": os.pathsep.join(
+            [str(Path(__file__).resolve().parent.parent)]
+            + [
+                p
+                for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                if p and "axon" not in p
+            ]
+        ),
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "JAX_PLATFORMS": "cpu",
+    }
+
+    def launch(extra_env, argv_override=None):
+        env2 = {**env_base, **extra_env}
+        if argv_override is not None:
+            env2["CFRK_TEST_ARGV"] = json.dumps(argv_override)
+        procs = []
+        for i in range(2):
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker)],
+                env={**env2, "JAX_PROCESS_ID": str(i)},
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                o, e = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.skip("distributed coordinator timed out here")
+            outs.append((p.returncode, o, e))
+        return outs
+
+    # Phase 1: both workers crash right after their 2nd checkpoint save
+    # (16 of 32 range-local reads durable).
+    outs = launch({
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "CFRK_FAULT_INJECT": "checkpoint:2",
+    })
+    for rc, _o, e in outs:
+        assert rc != 0, "worker should have crashed"
+        assert "InjectedFault" in e, e[-2000:]
+    parts = list(tmp_path.glob("got.out.part*ckpt.json"))
+    assert parts, "crashed workers left no checkpoints"
+
+    # Phase 2: relaunch with --resume on a fresh coordinator port.
+    outs = launch(
+        {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{_free_port()}"},
+        argv_override=argv + ["--resume"],
+    )
+    for rc, o, e in outs:
+        assert rc == 0 and "WORKER_DONE" in o, f"resume failed:\n{e[-2000:]}"
+    assert out.read_bytes() == want_out.read_bytes()
+    assert not list(tmp_path.glob("got.out.part*"))
