@@ -6,6 +6,7 @@ checkpointed streaming, multi-file orchestration replacing Swift/K).
 """
 
 from .checkpoint import StreamCheckpoint, checkpoint_path
+from .faults import InjectedFault
 from .metrics import RunMetrics, StageTimer
 from .workflow import (
     WorkflowResult,
@@ -15,6 +16,7 @@ from .workflow import (
 )
 
 __all__ = [
+    "InjectedFault",
     "RunMetrics",
     "StageTimer",
     "StreamCheckpoint",
