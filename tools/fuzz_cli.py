@@ -147,6 +147,16 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     if mode == "sparse":
         argv += ["--spectrum-format", "tsv"]
     argv += ["--devices", str(mesh_n) if mesh_n else "1"]
+    # Sequence-parallel draw: shard the POSITION axis (ring halo
+    # exchange) instead of rows — small k keeps every per-device slice
+    # wider than the k-1 halo for the short reads drawn here.
+    seqpar = (
+        mesh_n in (2, 4) and mode != "sparse" and k <= 6
+        and bool(rng.integers(0, 3) == 0)
+    )
+    cfg["seqpar"] = seqpar
+    if seqpar:
+        argv.append("--seqpar")
 
     # Crash/resume draw: inject a crash right after a random checkpoint
     # save (runtime/faults.py), resume through the REAL --resume path,
