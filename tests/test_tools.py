@@ -257,6 +257,22 @@ def test_query_spectrum_sparse_tsv_gz(tmp_path):
         assert "length 4" in e.stderr
 
 
+def test_query_spectrum_hist(tmp_path):
+    import numpy as np
+
+    dense = np.zeros(256, dtype=np.int64)  # k=4
+    dense[[0, 1, 2]] = 1     # three singletons
+    dense[[10, 11]] = 4      # two k-mers seen 4x
+    dense[20] = 250          # clipped into the MAX+ bucket
+    p = tmp_path / "spect.npy"
+    np.save(open(p, "wb"), dense)
+    r = _run([str(TOOLS / "query_spectrum.py"), str(p), "--hist", "100"])
+    assert r.stdout.splitlines() == ["1\t3", "4\t2", "100+\t1"]
+    # default MAX via bare --hist (const=100): same table
+    r = _run([str(TOOLS / "query_spectrum.py"), str(p), "--hist"])
+    assert r.stdout.splitlines() == ["1\t3", "4\t2", "100+\t1"]
+
+
 def test_query_spectrum_index_tsv_and_cfrk(tmp_path):
     import numpy as np
 

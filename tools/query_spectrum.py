@@ -97,6 +97,12 @@ def main() -> int:
                     help="print distinct/total/max-count summary")
     ap.add_argument("--top", type=int, default=0, metavar="N",
                     help="print the N most frequent k-mers")
+    ap.add_argument("--hist", type=int, nargs="?", const=100, default=0,
+                    metavar="MAX",
+                    help="multiplicity histogram (jellyfish-histo style): "
+                         "rows `c<TAB>#distinct k-mers seen c times` for "
+                         "c = 1..MAX (default 100), last row aggregates "
+                         ">= MAX")
     ap.add_argument("--k", type=int, default=None,
                     help="k (to decode indices of dense artifacts; "
                          "inferred for .kmers.tsv)")
@@ -104,8 +110,8 @@ def main() -> int:
 
     keys, counts, k = load_table(args.table)
     k = args.k if args.k is not None else k
-    if not (args.stats or args.top or args.kmers):
-        ap.error("nothing to do: pass --stats, --top N, and/or k-mers")
+    if not (args.stats or args.top or args.hist or args.kmers):
+        ap.error("nothing to do: pass --stats, --top N, --hist, and/or k-mers")
 
     from cfrk_tpu.ops.sparse import decode_key
 
@@ -120,6 +126,19 @@ def main() -> int:
             am = int(np.argmax(counts))
             print(f"max\t{int(counts[am])}\t{label(keys[am])}")
             print(f"unique\t{int((counts == 1).sum())}")
+
+    if args.hist:
+        # Multiplicity histogram (the GenomeScope/jellyfish-histo input):
+        # how many DISTINCT k-mers occur exactly c times, c clipped at MAX.
+        mx = max(1, args.hist)
+        h = np.bincount(
+            np.minimum(counts, mx).astype(np.int64), minlength=mx + 1
+        )
+        for c in range(1, mx):
+            if h[c]:
+                print(f"{c}\t{int(h[c])}")
+        if h[mx]:
+            print(f"{mx}+\t{int(h[mx])}")
 
     if args.top and len(keys):
         # partial-select then sort: top-N of a config-4-size table
