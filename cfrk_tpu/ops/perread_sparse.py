@@ -119,6 +119,22 @@ def count_perread_sparse_large(codes: jax.Array, k: int, canonical: bool = False
     )
 
 
+def narrow_for_fetch(device_out, k: int):
+    """Apply the device→host dtype narrowing policy to a sparse per-read
+    result: :func:`compact_pairs` for a (idx, counts) pair, int16 count
+    narrowing for a (hi, lo, counts) triple (per-row counts are bounded
+    by windows/read = ``counts.shape[-1]``).  EVERY driver drain — the
+    streaming and in-memory paths, mesh or single device — must route
+    through this one function so the narrowing policy cannot drift
+    between them; :func:`pairs_to_host` widens back on host."""
+    if len(device_out) == 2:
+        return compact_pairs(*device_out, k)
+    hi, lo, cnt = device_out
+    if cnt.shape[-1] < 2**15:  # halve the counts D2H
+        cnt = cnt.astype(jnp.int16)
+    return hi, lo, cnt
+
+
 def pairs_to_host(device_out, n_reads: int):
     """Normalise a sparse per-read device result to host (idx, counts).
 
@@ -143,4 +159,5 @@ def pairs_to_host(device_out, n_reads: int):
     hi = np.asarray(hi)[:n_reads].astype(np.uint64)
     lo = np.asarray(lo)[:n_reads].astype(np.uint64)
     combined = (hi << np.uint64(2 * LO_BASES)) | lo
-    return combined, np.asarray(counts)[:n_reads]
+    # Widen narrow_for_fetch's int16 back on host (as for the pair case).
+    return combined, np.asarray(counts)[:n_reads].astype(np.int32, copy=False)

@@ -159,6 +159,22 @@ def _sparse_sharded_fn(mesh: Mesh, k: int, canonical: bool, slack: float):
     )
 
 
+@lru_cache(maxsize=None)
+def _flat_mesh(mesh: Mesh) -> Mesh:
+    """Bucket routing uses exactly ONE mesh axis.  A multi-axis mesh
+    (e.g. the CLI's (dp, tp) spectrum mesh rerouted here for mid k)
+    would shard rows over axis 0 only and REPLICATE the whole exchange
+    over the other axes — correct results, half the chips doing
+    duplicate work.  Flatten every device onto one axis instead."""
+    if len(mesh.axis_names) == 1:
+        return mesh
+    import numpy as np
+
+    return Mesh(
+        np.asarray(mesh.devices).reshape(-1), (mesh.axis_names[0],)
+    )
+
+
 def sparse_spectrum_sharded(
     codes: jax.Array,
     k: int,
@@ -167,15 +183,17 @@ def sparse_spectrum_sharded(
     canonical: bool = False,
     slack: float = 2.0,
 ):
-    """Global sparse spectrum on a 1-axis mesh via all_to_all routing.
+    """Global sparse spectrum via all_to_all bucket routing.
 
-    codes: [B, L] int8, B divisible by the mesh size.  Returns
+    codes: [B, L] int8, B divisible by the mesh size.  A multi-axis
+    mesh is flattened so ALL devices route buckets.  Returns
     (hi, lo, counts, overflowed): the first three sharded over the mesh
     axis (concatenated = globally sorted unique k-mers with counts),
     ``overflowed`` a per-device bool (True = bucket box overflow, counts
     incomplete — retry with higher slack, or use
     :func:`sparse_spectrum_sharded_retry` which does it for you).
     """
+    mesh = _flat_mesh(mesh)
     return _sparse_sharded_fn(mesh, k, canonical, slack)(codes)
 
 
@@ -199,6 +217,7 @@ def sparse_spectrum_sharded_retry(
     """
     import numpy as np
 
+    mesh = _flat_mesh(mesh)
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     s = slack

@@ -61,6 +61,23 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
             num_processes=int(nproc),
             process_id=int(pid),
         )
+    elif addr and (nproc is not None or pid is not None):
+        # A partial triplet means a manual launch with a typo'd/missing
+        # variable; silently falling through to auto-detect would fail
+        # with an unrelated error (or probe cluster envs forever).
+        missing = [
+            name
+            for name, val in (
+                ("JAX_NUM_PROCESSES", nproc),
+                ("JAX_PROCESS_ID", pid),
+            )
+            if val is None
+        ]
+        raise ValueError(
+            f"{_COORD_VARS[0]} is set but {' and '.join(missing)} "
+            "is missing — a manual multi-process launch needs all of "
+            "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID"
+        )
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:

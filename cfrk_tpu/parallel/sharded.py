@@ -20,17 +20,17 @@ collectives, overlapping them with compute where possible.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.perread import count_perread
 from ..ops.pallas.perread import DEFAULT_READ_BLOCK
 from ..ops.spectrum import spectrum
-from .mesh import DP_AXIS, TP_AXIS, batch_sharding, table_sharding
+from .mesh import DP_AXIS, TP_AXIS, batch_sharding
 
 __all__ = [
     "count_perread_sharded",

@@ -459,7 +459,7 @@ def count_file_sparse_rows(
             from ..parallel.sharded import count_perread_sparse_sharded
 
             bs = -(-bs // mesh.size) * mesh.size
-        from ..ops.perread_sparse import compact_pairs
+        from ..ops.perread_sparse import narrow_for_fetch
 
         for batch in iter_batches(reads, bs, ml):
             if mesh is not None:
@@ -475,10 +475,10 @@ def count_file_sparse_rows(
                 out = count_perread_sparse_large(
                     jax.numpy.asarray(batch.codes), k, canonical
                 )
-            if len(out) == 2:
-                # halve the D2H: uint16 idx (k <= 8), int16 counts
-                out = compact_pairs(*out, k)
-            idx, counts = pairs_to_host(out, batch.n_reads)
+            # one shared D2H narrowing policy (uint16 idx, int16 counts)
+            idx, counts = pairs_to_host(
+                narrow_for_fetch(out, k), batch.n_reads
+            )
             w.write_pairs(idx, counts)
             n_written += batch.n_reads
     return n_written

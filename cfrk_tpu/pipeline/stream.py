@@ -503,7 +503,7 @@ def stream_count_file(
                 "sparse per-read rows do not compose with seqpar "
                 "(per-row sort needs the whole row on one device)"
             )
-        from ..ops.perread_sparse import compact_pairs
+        from ..ops.perread_sparse import narrow_for_fetch
 
         if mesh is not None:
             # Rows shard over the mesh with zero collectives, exactly
@@ -512,24 +512,24 @@ def stream_count_file(
             from ..parallel.sharded import count_perread_sparse_sharded
 
             def dispatch(arr):
-                out = count_perread_sparse_sharded(
-                    arr, k, mesh, canonical=canonical
+                return narrow_for_fetch(
+                    count_perread_sparse_sharded(
+                        arr, k, mesh, canonical=canonical
+                    ),
+                    k,
                 )
-                return compact_pairs(*out, k) if len(out) == 2 else out
         elif k <= 15:
             from ..ops.perread_sparse import count_perread_sparse
 
-            dispatch = lambda arr: compact_pairs(  # noqa: E731
-                *count_perread_sparse(arr, k, canonical), k
+            dispatch = lambda arr: narrow_for_fetch(  # noqa: E731
+                count_perread_sparse(arr, k, canonical), k
             )
         else:
             from ..ops.perread_sparse import count_perread_sparse_large
 
-            def dispatch(arr):
-                hi, lo, cnt = count_perread_sparse_large(arr, k, canonical)
-                if cnt.shape[-1] < 2**15:  # halve the counts D2H
-                    cnt = cnt.astype(jax.numpy.int16)
-                return hi, lo, cnt
+            dispatch = lambda arr: narrow_for_fetch(  # noqa: E731
+                count_perread_sparse_large(arr, k, canonical), k
+            )
     else:
         dispatch = _make_dispatch(
             k, canonical, impl, mesh, "perread", packed, seqpar

@@ -70,6 +70,19 @@ _WORKER = textwrap.dedent(
 )
 
 
+def test_partial_coordinator_triplet_is_a_clear_error(monkeypatch):
+    """A manual launch that sets the coordinator address but forgets
+    JAX_PROCESS_ID must fail naming the missing variable, not fall
+    through to jax's cluster auto-detection."""
+    from cfrk_tpu.parallel.distributed import maybe_initialize_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="JAX_PROCESS_ID"):
+        maybe_initialize_distributed()
+
+
 def _free_port() -> int:
     s = socket.socket()
     try:

@@ -143,6 +143,30 @@ def test_sparse_sharded_matches_oracle(rng, mesh, k, canonical):
     assert got == want
 
 
+def test_sparse_sharded_flattens_multi_axis_mesh(rng):
+    """A (dp, tp) mesh must flatten so ALL devices route buckets (a tp
+    axis would otherwise replicate the exchange); results exact."""
+    from cfrk_tpu.parallel.bucket import _flat_mesh
+    from cfrk_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    mesh2 = make_mesh(devs[:4], tp=2)
+    flat = _flat_mesh(mesh2)
+    assert len(flat.axis_names) == 1 and flat.size == 4
+
+    codes = _batch(rng, 8, 96)
+    hi, lo, counts, overflowed = sparse_spectrum_sharded(
+        jnp.asarray(codes), 19, mesh2
+    )
+    assert not np.asarray(overflowed).any()
+    got = merge_sorted_spectra(
+        [(np.asarray(hi), np.asarray(lo), np.asarray(counts))]
+    )
+    assert got == _oracle(codes, 19, False)
+
+
 def test_sparse_sharded_globally_sorted(rng, mesh):
     """Concatenated per-device outputs must be one sorted key stream."""
     codes = _batch(rng, 2 * N_DEV, 96)
