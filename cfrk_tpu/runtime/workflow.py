@@ -216,12 +216,20 @@ def count_one_factory(
             # stream_count_file: nonzero output ships pairs, not the
             # dense matrix, whenever the kernel choice is ours.
             if nonzero and (k > 8 or (impl == "auto" and not seqpar)):
+                if seqpar:
+                    # Same refusal as cli._run_inputs — silently dropping
+                    # seqpar would break "multi-file runs behave
+                    # identically per file".
+                    raise ValueError(
+                        "seqpar does not compose with per-read k > 8 "
+                        "(per-row sort needs the whole row on one device)"
+                    )
                 from ..pipeline.count import count_file_sparse_rows
 
                 return count_file_sparse_rows(
                     inp, out, k, canonical=canonical,
                     batch_size=batch_size, max_len=max_len,
-                    mesh=None if seqpar else mesh,
+                    mesh=mesh,
                 )
             from ..format import CfrkWriter
             from ..pipeline.count import count_file

@@ -114,3 +114,12 @@ def test_cli_multi_input_workflow(tmp_path):
         got = parse_cfrk((out_dir / (p.stem + ".cfrk")).read_bytes())
         np.testing.assert_array_equal(got, count_reads(reads, 2))
     assert len(query_provenance(str(prov))) == 3
+
+
+def test_factory_refuses_sparse_rows_with_seqpar(tmp_path):
+    """k > 8 nonzero rows + seqpar must fail like the single-file CLI
+    does, not silently drop seqpar (per-file behavior parity)."""
+    shards = _make_shards(tmp_path, n_files=1)
+    fn = count_one_factory(12, nonzero=True, seqpar=True)
+    with pytest.raises(ValueError, match="seqpar"):
+        fn(str(shards[0][0]), str(tmp_path / "out.cfrk"))
