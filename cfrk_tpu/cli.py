@@ -111,6 +111,17 @@ def build_parser() -> argparse.ArgumentParser:
             "filtering of sequencing-error singletons)"
         ),
     )
+    p.add_argument(
+        "--min-qual",
+        type=int,
+        default=0,
+        metavar="Q",
+        help=(
+            "FASTQ quality filtering: treat bases with Phred+33 quality "
+            "< Q as N (every window covering one is invalid).  0 = off; "
+            "no effect on FASTA inputs (no qualities)"
+        ),
+    )
     p.add_argument("--stats", action="store_true", help="print a JSON stats line to stderr")
     p.add_argument(
         "--profile",
@@ -553,7 +564,7 @@ def _run_byte_ranged(args, t0) -> int:
             checkpoint_every=args.checkpoint_every or 1,
             nonzero=args.nonzero, packed=args.packed,
             mesh=args.mesh, seqpar=args.seqpar,
-            byte_range=(start, limit),
+            byte_range=(start, limit), min_qual=args.min_qual,
         )
         # Row-count sidecar: part BYTES cannot distinguish "zero reads"
         # from "one read whose --nonzero row is empty" (both are 0
@@ -578,6 +589,7 @@ def _run_byte_ranged(args, t0) -> int:
             checkpoint_every=args.checkpoint_every or 16,
             mesh=args.mesh, seqpar=args.seqpar,
             byte_range=(start, limit), cleanup=False,
+            min_qual=args.min_qual,
         )
         with open(part, "wb") as f:
             np.save(f, table)
@@ -594,6 +606,7 @@ def _run_byte_ranged(args, t0) -> int:
             checkpoint_every=args.checkpoint_every or 64,
             mesh=args.mesh, slack=args.slack,
             byte_range=(start, limit), cleanup=False,
+            min_qual=args.min_qual,
         )
         with open(part, "wb") as f:
             np.savez(f, keys=keys, counts=cnts)
@@ -743,6 +756,7 @@ def _run_workflow(args) -> int:
             min_count=args.min_count,
             mesh=args.mesh,
             seqpar=args.seqpar,
+            min_qual=args.min_qual,
             slack=args.slack,
         ),
         max_parallel_tasks=args.max_parallel_tasks,
@@ -799,6 +813,7 @@ def _run_inputs(args, t0) -> int:
                 out_path=out, resume=args.resume,
                 checkpoint_every=args.checkpoint_every or 64,
                 cleanup=False, mesh=args.mesh, slack=args.slack,
+                min_qual=args.min_qual,
             )
             _write_sparse(
                 out, keys, cnts, args.k,
@@ -822,6 +837,7 @@ def _run_inputs(args, t0) -> int:
                     checkpoint_every=args.checkpoint_every or 1,
                     nonzero=args.nonzero, packed=args.packed,
                     mesh=args.mesh, seqpar=args.seqpar,
+                    min_qual=args.min_qual,
                 )
             else:
                 from .runtime.checkpoint import cleanup_checkpoint
@@ -833,6 +849,7 @@ def _run_inputs(args, t0) -> int:
                     resume=args.resume,
                     checkpoint_every=args.checkpoint_every or 16,
                     cleanup=False, mesh=args.mesh, seqpar=args.seqpar,
+                    min_qual=args.min_qual,
                 )
                 _write_spectrum(out, table, args.spectrum_format, args.min_count)
                 cleanup_checkpoint(out)
@@ -867,6 +884,7 @@ def _run_inputs(args, t0) -> int:
                     batch_size=args.batch_size,
                     max_len=args.max_len,
                     mesh=args.mesh,
+                    min_qual=args.min_qual,
                 )
                 continue
             counts = count_file(
@@ -878,6 +896,7 @@ def _run_inputs(args, t0) -> int:
                 max_len=args.max_len,
                 mesh=args.mesh,
                 seqpar=args.seqpar,
+                min_qual=args.min_qual,
             )
             total_reads += counts.shape[0]
             with CfrkWriter(out, nonzero=args.nonzero) as w:
@@ -891,6 +910,7 @@ def _run_inputs(args, t0) -> int:
                 max_len=args.max_len,
                 mesh=args.mesh,
                 slack=args.slack,
+                min_qual=args.min_qual,
             )
             skeys = sorted(table)
             _write_sparse(
@@ -907,6 +927,7 @@ def _run_inputs(args, t0) -> int:
                 max_len=args.max_len,
                 mesh=args.mesh,
                 seqpar=args.seqpar,
+                min_qual=args.min_qual,
             )
             _write_spectrum(out, table, args.spectrum_format, args.min_count)
     if args.stats:

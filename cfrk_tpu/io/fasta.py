@@ -57,6 +57,17 @@ def encode_seq(seq: bytes | np.ndarray) -> np.ndarray:
     return ENCODE_LUT[buf]
 
 
+def _mask_low_qual(seq: bytes, qual: bytes, min_qual: int) -> bytes:
+    """Replace bases whose Phred+33 quality is below ``min_qual`` with
+    ``N`` (encodes to -1, so every window covering them is invalid —
+    the standard quality-filtering semantics of k-mer counters).  The
+    native parsers apply the identical rule (fastaio.cpp, qthr)."""
+    s = np.frombuffer(seq, dtype=np.uint8).copy()
+    q = np.frombuffer(qual, dtype=np.uint8)
+    s[q < 33 + min_qual] = ord("N")
+    return s.tobytes()
+
+
 def decode_codes(codes: np.ndarray, invalid: bytes = b"N") -> bytes:
     """Decode int8 codes back to bases (invalid/-1 → ``invalid`` byte)."""
     codes = np.asarray(codes)
@@ -115,12 +126,17 @@ def read_fasta(path) -> tuple[list[bytes], list[bytes]]:
     return headers, seqs
 
 
-def iter_fastq(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[bytes, bytes]]:
+def iter_fastq(
+    path_or_file: str | os.PathLike | IO[bytes], min_qual: int = 0
+) -> Iterator[tuple[bytes, bytes]]:
     """Yield ``(header, sequence)`` from a (4-line-record) FASTQ file.
 
-    Quality lines are skipped.  FASTQ is a capability the reference never
-    had (FASTA only, ``src/fastaIO.h:24-71``); metagenomic read sets are
-    usually FASTQ, so ingest sniffs the format (see :func:`iter_reads`).
+    FASTQ is a capability the reference never had (FASTA only,
+    ``src/fastaIO.h:24-71``); metagenomic read sets are usually FASTQ,
+    so ingest sniffs the format (see :func:`iter_reads`).
+
+    ``min_qual`` > 0 masks bases whose Phred+33 quality is below it to
+    ``N`` (quality filtering); 0 skips the quality line entirely.
     """
     if isinstance(path_or_file, (str, os.PathLike)):
         f: IO[bytes] = _open_maybe_gzip(path_or_file)
@@ -141,18 +157,24 @@ def iter_fastq(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[by
             plus = f.readline()
             if not plus.startswith(b"+"):
                 raise ValueError("malformed FASTQ record: missing '+' line")
-            qual = f.readline()
-            if len(qual.rstrip(b"\r\n")) != len(seq):
+            qual = f.readline().rstrip(b"\r\n")
+            if len(qual) != len(seq):
                 raise ValueError("malformed FASTQ record: quality length mismatch")
+            if min_qual:
+                seq = _mask_low_qual(seq, qual, min_qual)
             yield hdr[1:], seq
     finally:
         if owns:
             f.close()
 
 
-def iter_reads(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[bytes, bytes]]:
+def iter_reads(
+    path_or_file: str | os.PathLike | IO[bytes], min_qual: int = 0
+) -> Iterator[tuple[bytes, bytes]]:
     """Yield ``(header, sequence)`` from FASTA or FASTQ, sniffed by the
-    first byte (``>`` vs ``@``); gzip handled transparently for paths."""
+    first byte (``>`` vs ``@``); gzip handled transparently for paths.
+    ``min_qual`` masks low-quality FASTQ bases (no-op for FASTA, which
+    carries no qualities)."""
     if isinstance(path_or_file, (str, os.PathLike)):
         f: IO[bytes] = _open_maybe_gzip(path_or_file)
         owns = True
@@ -170,7 +192,7 @@ def iter_reads(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[by
             f.seek(pos)
         first = head.lstrip(b"\r\n")[:1]
         if first == b"@":
-            yield from iter_fastq(f)
+            yield from iter_fastq(f, min_qual)
         else:
             yield from iter_fasta(f)
     finally:
@@ -178,16 +200,16 @@ def iter_reads(path_or_file: str | os.PathLike | IO[bytes]) -> Iterator[tuple[by
             f.close()
 
 
-def iter_fasta_encoded(path) -> Iterator[np.ndarray]:
+def iter_fasta_encoded(path, min_qual: int = 0) -> Iterator[np.ndarray]:
     """Stream encoded records one at a time (constant memory).
 
     Accepts FASTA or FASTQ (sniffed), plain or gzipped."""
-    for _, s in iter_reads(path):
+    for _, s in iter_reads(path, min_qual):
         yield encode_seq(s)
 
 
 def iter_encoded_with_offsets(
-    path, start_offset: int | None = None
+    path, start_offset: int | None = None, min_qual: int = 0
 ) -> Iterator[tuple[np.ndarray, int | None]]:
     """Stream ``(codes, end_offset)`` with input byte offsets.
 
@@ -208,7 +230,7 @@ def iter_encoded_with_offsets(
             # plain gzip: no random access, offsets meaningless
             if start_offset:
                 raise ValueError("start_offset unsupported for gzip input")
-            for codes in iter_fasta_encoded(path):
+            for codes in iter_fasta_encoded(path, min_qual):
                 yield codes, None
             return
         # bgzf: decompressed offsets are valid resume points
@@ -219,7 +241,7 @@ def iter_encoded_with_offsets(
             if start_offset:
                 bf.raw.seek_decompressed(start_offset)
             yield from _offset_records(
-                _CountingReader(bf, start_offset or 0)
+                _CountingReader(bf, start_offset or 0), min_qual
             )
         finally:
             bf.close()
@@ -227,7 +249,7 @@ def iter_encoded_with_offsets(
     try:
         if start_offset:
             f.seek(start_offset)
-        yield from _offset_records(f)
+        yield from _offset_records(f, min_qual)
     finally:
         f.close()
 
@@ -252,7 +274,7 @@ class _CountingReader:
         return self._f.peek(n)
 
 
-def _offset_records(f) -> Iterator[tuple[np.ndarray, int]]:
+def _offset_records(f, min_qual: int = 0) -> Iterator[tuple[np.ndarray, int]]:
     """The (codes, end_offset) record loop over an open byte stream
     positioned at a record boundary (shared by the plain-file and
     bgzf branches of :func:`iter_encoded_with_offsets`)."""
@@ -271,11 +293,13 @@ def _offset_records(f) -> Iterator[tuple[np.ndarray, int]]:
             plus = f.readline()
             if not plus.startswith(b"+"):
                 raise ValueError("malformed FASTQ record: missing '+' line")
-            qual = f.readline()
-            if len(qual.rstrip(b"\r\n")) != len(seq):
+            qual = f.readline().rstrip(b"\r\n")
+            if len(qual) != len(seq):
                 raise ValueError(
                     "malformed FASTQ record: quality length mismatch"
                 )
+            if min_qual:
+                seq = _mask_low_qual(seq, qual, min_qual)
             yield encode_seq(seq), f.tell()
     else:
         parts: list[bytes] = []
@@ -297,13 +321,14 @@ def _offset_records(f) -> Iterator[tuple[np.ndarray, int]]:
                 parts.append(stripped)
 
 
-def read_fasta_encoded(path) -> list[np.ndarray]:
+def read_fasta_encoded(path, min_qual: int = 0) -> list[np.ndarray]:
     """Read and encode all records into a ragged list of int8 code arrays.
 
     Dispatches to the native C++ parser when built (byte-identical,
-    pinned by tests/test_native.py)."""
+    pinned by tests/test_native.py).  ``min_qual`` masks low-quality
+    FASTQ bases to the invalid code."""
     from .native import HAVE_NATIVE, read_fasta_encoded_native
 
     if HAVE_NATIVE:
-        return read_fasta_encoded_native(path)
-    return list(iter_fasta_encoded(path))
+        return read_fasta_encoded_native(path, min_qual)
+    return list(iter_fasta_encoded(path, min_qual))

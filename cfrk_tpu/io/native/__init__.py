@@ -19,6 +19,7 @@ __all__ = [
     "HAVE_NATIVE",
     "HAVE_STREAM_NATIVE",
     "HAVE_PACK_NATIVE",
+    "HAVE_QUAL_NATIVE",
     "parse_encode_bytes",
     "read_fasta_encoded_native",
     "iter_record_blocks_native",
@@ -41,10 +42,31 @@ HAVE_STREAM_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "parse_encode_stream")
 HAVE_PACK_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "pack_records")
 
 
-def parse_encode_bytes(data: bytes) -> list[np.ndarray]:
-    """Parse a raw (already-decompressed) FASTA buffer into encoded reads."""
-    if _fastaio is not None:
-        codes_b, lens_b = _fastaio.parse_encode(data)
+def _probe_qual_support() -> bool:
+    """True when the built extension accepts the min_qual_byte argument
+    (older .so builds predate it: parse_encode was METH_O)."""
+    if not HAVE_NATIVE:
+        return False
+    try:
+        _fastaio.parse_encode(b"", 0)
+        return True
+    except TypeError:
+        return False
+
+
+HAVE_QUAL_NATIVE = _probe_qual_support()
+
+
+def parse_encode_bytes(data: bytes, min_qual: int = 0) -> list[np.ndarray]:
+    """Parse a raw (already-decompressed) FASTA buffer into encoded reads.
+
+    ``min_qual`` masks FASTQ bases below that Phred+33 quality to the
+    invalid code (no-op for FASTA)."""
+    native_ok = _fastaio is not None and (not min_qual or HAVE_QUAL_NATIVE)
+    if native_ok:
+        codes_b, lens_b = _fastaio.parse_encode(
+            data, 33 + min_qual if min_qual else 0
+        )
         codes = np.frombuffer(codes_b, dtype=np.int8)
         lengths = np.frombuffer(lens_b, dtype=np.int64)
         offsets = np.concatenate(([0], np.cumsum(lengths)))
@@ -58,7 +80,7 @@ def parse_encode_bytes(data: bytes) -> list[np.ndarray]:
     # iter_reads sniffs FASTA vs FASTQ from the first record byte, the
     # same dispatch the C++ parse_encode does — the fallback must accept
     # the same inputs as the extension.
-    return [encode_seq(s) for _, s in iter_reads(_io.BytesIO(data))]
+    return [encode_seq(s) for _, s in iter_reads(_io.BytesIO(data), min_qual)]
 
 
 def iter_record_blocks_native(
@@ -67,6 +89,7 @@ def iter_record_blocks_native(
     block_size: int = 64 << 20,
     limit_offset: int | None = None,
     decompress: bool = False,
+    min_qual: int = 0,
 ):
     """Stream (flat_codes int8, lengths int64, end_offsets int64) blocks
     through the chunked C++ parser (plain uncompressed files only).
@@ -94,12 +117,15 @@ def iter_record_blocks_native(
     / ``limit_offset`` are rejected, matching the no-random-access
     contract of a gzip stream.
     """
-    if not HAVE_STREAM_NATIVE:
+    if not HAVE_STREAM_NATIVE or (min_qual and not HAVE_QUAL_NATIVE):
         # Also covers a stale prebuilt .so that predates
-        # parse_encode_stream — fail with the contract error, not an
-        # AttributeError from inside the lookahead thread.
+        # parse_encode_stream (or its min_qual_byte argument) — fail
+        # with the contract error, not a TypeError/AttributeError from
+        # inside the lookahead thread.
         raise RuntimeError("native extension not built (or stale build)")
     from concurrent.futures import ThreadPoolExecutor
+
+    qthr = 33 + min_qual if min_qual else 0
 
     if decompress:
         from ..bgzf import open_maybe_bgzf
@@ -142,7 +168,10 @@ def iter_record_blocks_native(
             if not buf:
                 return None
             fq = buf.lstrip(b"\r\n")[:1] == b"@" if fastq is None else fastq
-            return buf, fq, final, _fastaio.parse_encode_stream(buf, fq, final)
+            return (
+                buf, fq, final,
+                _fastaio.parse_encode_stream(buf, fq, final, qthr),
+            )
 
         rec_start = base  # start position of the next record to yield
         fut = pool.submit(read_parse, carry, bs, fastq)
@@ -177,12 +206,12 @@ def iter_record_blocks_native(
             base += consumed
 
 
-def read_fasta_encoded_native(path) -> list[np.ndarray]:
+def read_fasta_encoded_native(path, min_qual: int = 0) -> list[np.ndarray]:
     """Read + encode a FASTA file (gzip ok) through the native parser."""
     from ..fasta import _open_maybe_gzip
 
     with _open_maybe_gzip(path) as f:
-        return parse_encode_bytes(f.read())
+        return parse_encode_bytes(f.read(), min_qual)
 
 
 def format_pairs_bytes(

@@ -50,7 +50,7 @@ struct EncodeLut {
 };
 const EncodeLut kLut;
 
-/* parse_encode(data: bytes) -> (codes: bytes, lengths: bytes)
+/* parse_encode(data: bytes, min_qual_byte=0) -> (codes: bytes, lengths: bytes)
  *
  * codes   = all records' int8 codes concatenated (no separators);
  * lengths = int64 little-endian per-record lengths, len(records) * 8 bytes.
@@ -59,6 +59,11 @@ const EncodeLut kLut;
  * (per-read output is positional); multi-line FASTA records are
  * concatenated without interior newlines; blank lines are skipped;
  * \r\n line endings are handled.
+ *
+ * min_qual_byte > 0 enables FASTQ quality masking: a base whose
+ * Phred+33 quality byte is < min_qual_byte encodes as -1 (exactly an
+ * 'N' — every window covering it is invalid).  FASTA has no qualities;
+ * the flag is a no-op there.  Matches io.fasta._mask_low_qual.
  */
 /* FASTQ validation errors, matching iter_fastq (cfrk_tpu/io/fasta.py):
  * raised as ValueError after re-acquiring the GIL. */
@@ -66,9 +71,11 @@ const char* kErrHeader = "malformed FASTQ header";
 const char* kErrPlus = "malformed FASTQ record: missing '+' line";
 const char* kErrQual = "malformed FASTQ record: quality length mismatch";
 
-PyObject* parse_encode(PyObject*, PyObject* arg) {
+PyObject* parse_encode(PyObject*, PyObject* args) {
   Py_buffer view;
-  if (PyObject_GetBuffer(arg, &view, PyBUF_SIMPLE) != 0) return nullptr;
+  int min_qual_byte = 0;
+  if (!PyArg_ParseTuple(args, "y*|i", &view, &min_qual_byte)) return nullptr;
+  const unsigned char qthr = (unsigned char)(min_qual_byte > 0 ? min_qual_byte : 0);
   const unsigned char* p = (const unsigned char*)view.buf;
   const Py_ssize_t n = view.len;
 
@@ -116,9 +123,18 @@ PyObject* parse_encode(PyObject*, PyObject* arg) {
         errmsg = kErrPlus;
         break;
       }
-      if (fq_line == 3 && end - i != seq_len) {
-        errmsg = kErrQual;
-        break;
+      if (fq_line == 3) {
+        if (end - i != seq_len) {
+          errmsg = kErrQual;
+          break;
+        }
+        if (qthr) {
+          /* quality masking: the record's codes are the last seq_len
+           * entries (nothing appends between the seq and qual lines) */
+          int8_t* rec = codes.data() + (codes.size() - (size_t)seq_len);
+          for (Py_ssize_t j = 0; j < seq_len; j++)
+            if (p[i + j] < qthr) rec[j] = -1;
+        }
       }
       fq_line = (fq_line + 1) & 3;
     } else if (end > i) {
@@ -253,8 +269,11 @@ void parse_fasta_segment(const unsigned char* p, Py_ssize_t lo,
 PyObject* parse_encode_stream(PyObject*, PyObject* args) {
   Py_buffer view;
   int is_fastq, final_chunk;
-  if (!PyArg_ParseTuple(args, "y*pp", &view, &is_fastq, &final_chunk))
+  int min_qual_byte = 0;
+  if (!PyArg_ParseTuple(args, "y*pp|i", &view, &is_fastq, &final_chunk,
+                        &min_qual_byte))
     return nullptr;
+  const unsigned char qthr = (unsigned char)(min_qual_byte > 0 ? min_qual_byte : 0);
   const unsigned char* p = (const unsigned char*)view.buf;
   const Py_ssize_t n = view.len;
 
@@ -328,7 +347,14 @@ PyObject* parse_encode_stream(PyObject*, PyObject* args) {
         size_t base = codes.size();
         codes.resize(base + (size_t)seq_len);
         int8_t* dst = codes.data() + base;
-        for (Py_ssize_t j = ls[1]; j < le[1]; j++) *dst++ = kLut.t[p[j]];
+        if (qthr) {
+          /* quality masking: qual byte < threshold -> -1 (an 'N') */
+          const unsigned char* q = p + ls[3];
+          for (Py_ssize_t j = 0; j < seq_len; j++)
+            dst[j] = q[j] < qthr ? (int8_t)-1 : kLut.t[p[ls[1] + j]];
+        } else {
+          for (Py_ssize_t j = ls[1]; j < le[1]; j++) *dst++ = kLut.t[p[j]];
+        }
       }
       lengths.push_back(seq_len);
       offsets.push_back(pos);
@@ -695,10 +721,11 @@ PyObject* format_pairs64(PyObject*, PyObject* args) {
 }
 
 PyMethodDef kMethods[] = {
-    {"parse_encode", parse_encode, METH_O,
-     "parse_encode(fasta_bytes) -> (codes_int8_bytes, lengths_int64le_bytes)"},
+    {"parse_encode", parse_encode, METH_VARARGS,
+     "parse_encode(fasta_bytes, min_qual_byte=0) -> "
+     "(codes_int8_bytes, lengths_int64le_bytes)"},
     {"parse_encode_stream", parse_encode_stream, METH_VARARGS,
-     "parse_encode_stream(chunk, is_fastq, final) -> "
+     "parse_encode_stream(chunk, is_fastq, final, min_qual_byte=0) -> "
      "(codes, lengths_i64, end_offsets_i64, consumed)"},
     {"pack_records", pack_records, METH_VARARGS,
      "pack_records(flat_int8, lengths_i64, batch_rows, row_len) -> "

@@ -262,9 +262,11 @@ def count_reads(
     return out
 
 
-def count_file(path, k: int, **kw) -> np.ndarray:
-    """Count a FASTA file: returns [n_reads, 4**k] int32."""
-    return count_reads(read_fasta_encoded(path), k, **kw)
+def count_file(path, k: int, min_qual: int = 0, **kw) -> np.ndarray:
+    """Count a FASTA file: returns [n_reads, 4**k] int32.
+
+    ``min_qual`` masks FASTQ bases below that Phred quality (io.fasta)."""
+    return count_reads(read_fasta_encoded(path, min_qual), k, **kw)
 
 
 def spectrum_file(
@@ -277,6 +279,7 @@ def spectrum_file(
     max_len: int | None = None,
     mesh=None,
     seqpar: bool = False,
+    min_qual: int = 0,
 ) -> np.ndarray:
     """Global spectrum of a FASTA file: returns [4**k] int64.
 
@@ -284,7 +287,7 @@ def spectrum_file(
     psum_scatter bins over tp — parallel/sharded.py) and accumulated in
     that layout; the final host gather assembles the full table.
     """
-    reads = read_fasta_encoded(path)
+    reads = read_fasta_encoded(path, min_qual)
     total = np.zeros(4**k, dtype=np.int64)
     if not reads:
         return total
@@ -390,6 +393,7 @@ def sparse_spectrum_file(
     max_len: int | None = None,
     mesh=None,
     slack: float = 2.0,
+    min_qual: int = 0,
 ) -> dict:
     """Sparse spectrum of a FASTA file for large k (16..31).
 
@@ -404,7 +408,7 @@ def sparse_spectrum_file(
         fetch_triples,
     )
 
-    reads = read_fasta_encoded(path)
+    reads = read_fasta_encoded(path, min_qual)
     if not reads:
         return {}
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
@@ -434,6 +438,7 @@ def count_file_sparse_rows(
     batch_size: int | None = 8192,
     max_len: int | None = None,
     mesh=None,
+    min_qual: int = 0,
 ) -> int:
     """Per-read SPARSE rows for 8 < k <= 31, streamed straight to disk.
 
@@ -449,7 +454,7 @@ def count_file_sparse_rows(
         pairs_to_host,
     )
 
-    reads = read_fasta_encoded(path)
+    reads = read_fasta_encoded(path, min_qual)
     n_written = 0
     with CfrkWriter(out_path) as w:
         if not reads:

@@ -66,6 +66,7 @@ def stream_batches(
     start_offset: int | None = None,
     limit_offset: int | None = None,
     len_base: int = 128,
+    min_qual: int = 0,
 ) -> Iterator[ReadBatch]:
     """Stream fixed-shape batches from a FASTA file, preserving read order.
 
@@ -105,7 +106,7 @@ def stream_batches(
         # and checkpoints fall back to record counts).
         yield from _stream_batches_flat(
             path, k, batch_size, start_offset, len_base, limit_offset,
-            skip_reads=skip_reads, decompress=gz,
+            skip_reads=skip_reads, decompress=gz, min_qual=min_qual,
         )
         return
 
@@ -119,7 +120,9 @@ def stream_batches(
         return dataclasses.replace(b, end_offset=last_off)
 
     for i, (codes, off) in enumerate(
-        iter_encoded_with_offsets(path, start_offset=start_offset)
+        iter_encoded_with_offsets(
+            path, start_offset=start_offset, min_qual=min_qual
+        )
     ):
         if limit_offset is not None and prev_end >= limit_offset:
             break
@@ -152,6 +155,7 @@ def _stream_batches_flat(
     limit_offset: int | None = None,
     skip_reads: int = 0,
     decompress: bool = False,
+    min_qual: int = 0,
 ) -> Iterator[ReadBatch]:
     """Native-ingest batch assembly: flat blocks in, fixed-shape padded
     batches out.  Shape semantics identical to the per-read path
@@ -192,7 +196,7 @@ def _stream_batches_flat(
 
     for bflat, blens, boffs in iter_record_blocks_native(
         path, start_offset=start_offset, limit_offset=limit_offset,
-        decompress=decompress,
+        decompress=decompress, min_qual=min_qual,
     ):
         if skip_reads:
             n = min(skip_reads, len(blens))
@@ -213,7 +217,9 @@ def _stream_batches_flat(
 
 
 
-def _resume_fingerprint(path, k, mode_tag, canonical, out_path, byte_range):
+def _resume_fingerprint(
+    path, k, mode_tag, canonical, out_path, byte_range, min_qual=0
+):
     """Shared resume plumbing for the three stream drivers: reject gzip
     byte ranges, tag ranged runs as a distinct unit of work (resume must
     never mix a ranged checkpoint with a whole-file one), and build the
@@ -229,6 +235,12 @@ def _resume_fingerprint(path, k, mode_tag, canonical, out_path, byte_range):
                 )
         mode_tag += f"-range{byte_range[0]}-{byte_range[1]}"
     fp = StreamCheckpoint.fingerprint_of(path, k, mode_tag, canonical)
+    if min_qual:
+        # Part of the unit-of-work identity: resuming a min_qual run
+        # without the flag (or vice versa) would splice differently
+        # masked counts.  Only set when active, so checkpoints written
+        # before the flag existed still match unmasked runs.
+        fp["min_qual"] = int(min_qual)
     cpath = checkpoint_path(out_path) if out_path else None
     return fp, cpath
 
@@ -292,7 +304,7 @@ def _prefetched(
 
 
 def _resume_batches(
-    path, k: int, batch_size: int, ckpt, byte_range=None
+    path, k: int, batch_size: int, ckpt, byte_range=None, min_qual=0
 ) -> Iterator[ReadBatch]:
     """Batch stream honouring a checkpoint: O(1) seek for plain files,
     re-parse + skip for gzip (with a loud warning — decompress first for
@@ -305,7 +317,7 @@ def _resume_batches(
     if ckpt.reads_done and ckpt.input_offset is not None:
         return stream_batches(
             path, k, batch_size, start_offset=ckpt.input_offset,
-            limit_offset=limit,
+            limit_offset=limit, min_qual=min_qual,
         )
     if ckpt.reads_done and _is_gzip(path):
         import sys
@@ -318,7 +330,7 @@ def _resume_batches(
         )
     return stream_batches(
         path, k, batch_size, skip_reads=ckpt.reads_done,
-        start_offset=start, limit_offset=limit,
+        start_offset=start, limit_offset=limit, min_qual=min_qual,
     )
 
 
@@ -434,6 +446,7 @@ def stream_count_file(
     packed: bool = False,
     byte_range=None,
     metrics: RunMetrics | None = None,
+    min_qual: int = 0,
 ) -> RunMetrics:
     """Stream a FASTA file into a `.cfrk` file with bounded memory.
 
@@ -539,7 +552,7 @@ def stream_count_file(
     m = metrics or RunMetrics(k=k, mode="perread")
     fp, cpath = _resume_fingerprint(
         path, k, "perread-nonzero" if nonzero else "perread",
-        canonical, out_path, byte_range,
+        canonical, out_path, byte_range, min_qual,
     )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -564,7 +577,7 @@ def stream_count_file(
         w = CfrkWriter(f, continuing=ckpt.reads_done > 0, nonzero=nonzero)
 
         # O(1) seek resume for plain files; gzip warns and re-parses.
-        gen = _resume_batches(path, k, batch_size, ckpt, byte_range)
+        gen = _resume_batches(path, k, batch_size, ckpt, byte_range, min_qual)
         pending: list = []
         since_ckpt = 0
 
@@ -648,6 +661,7 @@ def stream_spectrum_file(
     cleanup: bool = True,
     byte_range=None,
     metrics: RunMetrics | None = None,
+    min_qual: int = 0,
 ) -> tuple[np.ndarray, RunMetrics]:
     """Stream a FASTA file into one global dense spectrum [4**k] int64.
 
@@ -671,6 +685,7 @@ def stream_spectrum_file(
             out_path=out_path, resume=resume,
             checkpoint_every=checkpoint_every, mesh=mesh,
             cleanup=cleanup, byte_range=byte_range, metrics=metrics,
+            min_qual=min_qual,
         )
         total = np.zeros(4**k, dtype=np.int64)
         total[keys] = counts
@@ -683,7 +698,7 @@ def stream_spectrum_file(
     )
     m = metrics or RunMetrics(k=k, mode="spectrum")
     fp, cpath = _resume_fingerprint(
-        path, k, "spectrum", canonical, out_path, byte_range
+        path, k, "spectrum", canonical, out_path, byte_range, min_qual
     )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -712,7 +727,7 @@ def stream_spectrum_file(
         ),
     )
 
-    gen = _resume_batches(path, k, batch_size, ckpt, byte_range)
+    gen = _resume_batches(path, k, batch_size, ckpt, byte_range, min_qual)
     since_ckpt = 0
     for batch in _prefetched(gen, metrics=m):
         batch_windows = batch.codes.shape[0] * (batch.codes.shape[1] - k + 1)
@@ -760,6 +775,7 @@ def stream_sparse_spectrum_file(
     slack: float = 2.0,
     byte_range=None,
     metrics: RunMetrics | None = None,
+    min_qual: int = 0,
 ):
     """Stream a FASTA file into a sparse spectrum for large k (16..31).
 
@@ -787,7 +803,7 @@ def stream_sparse_spectrum_file(
 
     m = metrics or RunMetrics(k=k, mode="sparse")
     fp, cpath = _resume_fingerprint(
-        path, k, "sparse", canonical, out_path, byte_range
+        path, k, "sparse", canonical, out_path, byte_range, min_qual
     )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -801,7 +817,7 @@ def stream_sparse_spectrum_file(
             except (OSError, ValueError, KeyError):
                 pass  # torn sidecar: restart from scratch
 
-    gen = _resume_batches(path, k, batch_size, ckpt, byte_range)
+    gen = _resume_batches(path, k, batch_size, ckpt, byte_range, min_qual)
     since_ckpt = 0
     for batch in _prefetched(gen, metrics=m):
         if mesh is not None:

@@ -186,6 +186,7 @@ def count_one_factory(
     mesh=None,
     seqpar: bool = False,
     slack: float = 2.0,
+    min_qual: int = 0,
 ):
     """Build a ``count_one(input, output)`` callable for :func:`run_workflow`
     from CLI-level options (shared by the CLI and programmatic users).
@@ -205,7 +206,7 @@ def count_one_factory(
                     inp, out, k, canonical=canonical, impl=impl,
                     batch_size=batch_size, nonzero=nonzero, packed=packed,
                     resume=res, checkpoint_every=checkpoint_every or 1,
-                    mesh=mesh, seqpar=seqpar,
+                    mesh=mesh, seqpar=seqpar, min_qual=min_qual,
                 )
                 return m.reads
             if k > 8 and not nonzero:
@@ -229,7 +230,7 @@ def count_one_factory(
                 return count_file_sparse_rows(
                     inp, out, k, canonical=canonical,
                     batch_size=batch_size, max_len=max_len,
-                    mesh=mesh,
+                    mesh=mesh, min_qual=min_qual,
                 )
             from ..format import CfrkWriter
             from ..pipeline.count import count_file
@@ -237,7 +238,7 @@ def count_one_factory(
             counts = count_file(
                 inp, k, canonical=canonical, impl=impl,
                 batch_size=batch_size, max_len=max_len,
-                mesh=mesh, seqpar=seqpar,
+                mesh=mesh, seqpar=seqpar, min_qual=min_qual,
             )
             with CfrkWriter(out, nonzero=nonzero) as w:
                 w.write_batch(counts)
@@ -256,6 +257,7 @@ def count_one_factory(
                     out_path=out, resume=res,
                     checkpoint_every=checkpoint_every or 64,
                     cleanup=False, mesh=mesh, slack=slack,
+                    min_qual=min_qual,
                 )
                 n = m.reads
             else:
@@ -264,6 +266,7 @@ def count_one_factory(
                 table = sparse_spectrum_file(
                     inp, k, canonical=canonical, batch_size=batch_size,
                     max_len=max_len, mesh=mesh, slack=slack,
+                    min_qual=min_qual,
                 )
                 n = 0
                 keys = sorted(table)
@@ -287,6 +290,7 @@ def count_one_factory(
                 batch_size=batch_size, out_path=out, resume=res,
                 checkpoint_every=checkpoint_every or 16,
                 cleanup=False, mesh=mesh, seqpar=seqpar,
+                min_qual=min_qual,
             )
             n = m.reads
         else:
@@ -295,7 +299,7 @@ def count_one_factory(
             table = spectrum_file(
                 inp, k, canonical=canonical, impl=impl,
                 batch_size=batch_size, max_len=max_len,
-                mesh=mesh, seqpar=seqpar,
+                mesh=mesh, seqpar=seqpar, min_qual=min_qual,
             )
             n = 0
         from ..cli import _write_spectrum

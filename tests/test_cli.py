@@ -563,3 +563,48 @@ def test_cli_empty_input_all_modes(tmp_path):
     assert main([str(empty), "-k", "19", "--mode", "sparse",
                  "-o", str(p4)]) == 0
     assert p4.read_bytes() == b""
+
+
+def test_min_qual_end_to_end(tmp_path):
+    """--min-qual masks low-quality FASTQ bases before counting, in both
+    the in-memory and streaming drivers (byte-identical outputs)."""
+    rng = np.random.default_rng(11)
+    buf = bytearray()
+    for i in range(23):
+        n = int(rng.integers(4, 60))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n))
+        qual = bytes((33 + rng.integers(0, 42, size=n)).astype(np.uint8))
+        buf += b"@r%d\n" % i + seq + b"\n+\n" + qual + b"\n"
+    p = tmp_path / "q.fastq"
+    p.write_bytes(bytes(buf))
+
+    out = str(tmp_path / "q.cfrk")
+    assert main([str(p), "-k", "2", "-o", out, "--min-qual", "20"]) == 0
+    got = parse_cfrk(open(out, "rb").read())
+    want = count_perread_np(read_fasta_encoded(p, 20), 2)
+    np.testing.assert_array_equal(got, want)
+
+    out2 = str(tmp_path / "q2.cfrk")
+    assert main([str(p), "-k", "2", "-o", out2, "--min-qual", "20",
+                 "--stream"]) == 0
+    assert open(out2, "rb").read() == open(out, "rb").read()
+
+    # and it actually filters: Q=0 output differs (some qual < 20 exists)
+    out3 = str(tmp_path / "q3.cfrk")
+    assert main([str(p), "-k", "2", "-o", out3]) == 0
+    assert open(out3, "rb").read() != open(out, "rb").read()
+
+
+def test_min_qual_resume_fingerprint(tmp_path):
+    """A checkpoint written at one --min-qual must not resume a run with
+    a different value (differently masked counts would splice)."""
+    from cfrk_tpu.pipeline.stream import _resume_fingerprint
+
+    p = tmp_path / "f.fastq"
+    p.write_bytes(b"@r0\nACGT\n+\nIIII\n")
+    fp20, _ = _resume_fingerprint(str(p), 2, "perread", False, "o", None, 20)
+    fp0, _ = _resume_fingerprint(str(p), 2, "perread", False, "o", None, 0)
+    fp25, _ = _resume_fingerprint(str(p), 2, "perread", False, "o", None, 25)
+    assert fp20 != fp0 and fp20 != fp25
+    # unmasked fingerprints keep the pre-flag shape (old checkpoints match)
+    assert "min_qual" not in fp0

@@ -176,3 +176,46 @@ def test_crlf_line_endings_all_parsers(tmp_path):
     assert got_crlf == got_lf
     assert got_crlf[0] == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3]
     assert all(-1 not in r for r in got_crlf)
+
+
+def test_min_qual_masks_low_quality_bases(tmp_path):
+    """Phred+33 quality filtering: bases with quality < Q become N
+    (invalid code) in every parser entry point."""
+    import io as _io
+
+    from cfrk_tpu.io.fasta import (
+        iter_encoded_with_offsets,
+        iter_reads,
+        read_fasta_encoded,
+    )
+
+    recs = b"@r0\nACGTACGT\n+\nIIII!!II\n@r1\nTTTT\n+\n!!!!\n"
+    p = tmp_path / "q.fastq"
+    p.write_bytes(recs)
+
+    # 'I' = phred 40, '!' = phred 0; Q=20 masks the '!' positions.
+    seqs = [s for _, s in iter_reads(_io.BytesIO(recs), 20)]
+    assert seqs == [b"ACGTNNGT", b"NNNN"]
+
+    codes = read_fasta_encoded(p, 20)
+    np.testing.assert_array_equal(codes[0], [0, 1, 2, 3, -1, -1, 2, 3])
+    np.testing.assert_array_equal(codes[1], [-1, -1, -1, -1])
+
+    offs = [c for c, _ in iter_encoded_with_offsets(p, min_qual=20)]
+    np.testing.assert_array_equal(offs[0], codes[0])
+    np.testing.assert_array_equal(offs[1], codes[1])
+
+    # Q=0 is off: identical to the unfiltered parse.
+    base = read_fasta_encoded(p)
+    for a, b in zip(read_fasta_encoded(p, 0), base):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_min_qual_is_noop_on_fasta(tmp_path):
+    """FASTA records carry no qualities — min_qual must not alter them."""
+    from cfrk_tpu.io.fasta import read_fasta_encoded
+
+    p = tmp_path / "a.fasta"
+    p.write_bytes(b">r0\nACGT\n>r1\nTTNT\n")
+    for a, b in zip(read_fasta_encoded(p, 30), read_fasta_encoded(p)):
+        np.testing.assert_array_equal(a, b)

@@ -350,3 +350,54 @@ def test_native_fastq_trailing_bare_cr_matches_python():
     )
     assert np.frombuffer(lens_b2, dtype=np.int64).tolist() == [4]
     assert consumed2 == len(data) - 1
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_min_qual_matches_python(tmp_path):
+    """Quality masking parity: the C++ parsers (slurp AND chunked) must
+    mask exactly the bases the Python parser masks, over random quality
+    strings spanning the whole Phred+33 range."""
+    from cfrk_tpu.io.fasta import iter_encoded_with_offsets
+    from cfrk_tpu.io.native import (
+        HAVE_QUAL_NATIVE,
+        iter_record_blocks_native,
+        parse_encode_bytes,
+    )
+
+    assert HAVE_QUAL_NATIVE  # fresh build must support the argument
+    rng = np.random.default_rng(3)
+    buf = bytearray()
+    for i in range(61):
+        n = int(rng.integers(0, 120))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGTNacgt", dtype=np.uint8), size=n))
+        qual = bytes((33 + rng.integers(0, 42, size=n)).astype(np.uint8))
+        buf += b"@r%d\n" % i + seq + b"\n+\n" + qual + b"\n"
+    p = tmp_path / "q.fastq"
+    p.write_bytes(bytes(buf))
+
+    for q in (0, 1, 20, 41):
+        import io as _io
+
+        from cfrk_tpu.io.fasta import encode_seq, iter_reads
+
+        want = [
+            encode_seq(s) for _, s in iter_reads(_io.BytesIO(bytes(buf)), q)
+        ]
+        got = parse_encode_bytes(bytes(buf), q)
+        assert len(got) == len(want)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(g, w)
+        # chunked parser, straddling blocks
+        got2 = []
+        for flat, lens, _ in iter_record_blocks_native(
+            p, block_size=64, min_qual=q
+        ):
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            got2.extend(flat[starts[i]: starts[i + 1]] for i in range(len(lens)))
+        assert len(got2) == len(want)
+        for w, g in zip(want, got2):
+            np.testing.assert_array_equal(g, w)
+        # pure-Python offsets path agrees too
+        got3 = [c for c, _ in iter_encoded_with_offsets(p, min_qual=q)]
+        for w, g in zip(want, got3):
+            np.testing.assert_array_equal(g, w)

@@ -46,18 +46,25 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     crlf = bool(rng.integers(0, 4) == 0)
     compress = rng.choice(["plain", "gzip", "bgzf"], p=[0.6, 0.2, 0.2])
     nl = b"\r\n" if crlf else b"\n"
+    # FASTQ-only quality filtering (Phred+33): the oracle reads get the
+    # same masking the parsers apply.
+    min_qual = int(rng.choice([0, 0, 0, 10, 30])) if fastq else 0
     reads, blob = [], []
     for i in range(n_reads):
         codes = rng.integers(0, 4, size=int(rng.integers(1, 90))).astype(np.int8)
         codes[rng.random(len(codes)) < 0.05] = -1  # N bases
-        reads.append(codes)
         seq = decode_codes(codes)
         if fastq:
+            qual = (33 + rng.integers(0, 42, size=len(codes))).astype(np.uint8)
+            if min_qual:
+                codes = codes.copy()
+                codes[qual < 33 + min_qual] = -1
             blob.append(
-                b"@r%d" % i + nl + seq + nl + b"+" + nl + b"I" * len(seq) + nl
+                b"@r%d" % i + nl + seq + nl + b"+" + nl + qual.tobytes() + nl
             )
         else:
             blob.append(b">r%d" % i + nl + seq + nl)
+        reads.append(codes)
     data = b"".join(blob)
     ext = ".fastq" if fastq else ".fasta"
     inp = os.path.join(tmp, f"in{ext}")
@@ -94,7 +101,7 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     cfg = dict(
         mode=mode, k=k, canonical=canonical, stream=stream, nonzero=nonzero,
         batch=batch, fastq=fastq, crlf=crlf, compress=str(compress),
-        n_reads=n_reads, mesh=mesh_n,
+        n_reads=n_reads, mesh=mesh_n, min_qual=min_qual,
     )
 
     # Sometimes run as a MULTI-FILE workflow (--out-dir, the Swift/K
@@ -119,6 +126,8 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
         if nonzero:
             argv.append("--nonzero")
         argv += ["--devices", str(mesh_n) if mesh_n else "1"]
+        if min_qual:
+            argv += ["--min-qual", str(min_qual)]
         rc = cli_main(argv)
         assert rc == 0, f"workflow CLI rc={rc} for {cfg}"
         want = count_perread_np(reads, k, canonical)
@@ -147,6 +156,8 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     if mode == "sparse":
         argv += ["--spectrum-format", "tsv"]
     argv += ["--devices", str(mesh_n) if mesh_n else "1"]
+    if min_qual:
+        argv += ["--min-qual", str(min_qual)]
     # Sequence-parallel draw: shard the POSITION axis (ring halo
     # exchange) instead of rows — small k keeps every per-device slice
     # wider than the k-1 halo for the short reads drawn here.
