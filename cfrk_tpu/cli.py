@@ -411,8 +411,23 @@ def main(argv=None) -> int:
         args, load_config(args.config), parser,
         explicit=explicit_dests(argv if argv is not None else sys.argv[1:], parser),
     )
+    if "-" in args.inputs:
+        # Pipe ingest: `zcat x.gz | cfrk-tpu - -k 8 -o out.cfrk`.
+        # One-shot stream — nothing to resume, shard, or derive a name
+        # from.
+        if len(args.inputs) > 1:
+            raise SystemExit("'-' (stdin) cannot mix with file inputs")
+        if not args.output:
+            raise SystemExit("stdin input needs an explicit -o/--output")
+        if args.resume:
+            raise SystemExit("cannot --resume from a pipe; use a file")
+        if args.distributed:
+            raise SystemExit(
+                "--distributed needs file inputs (a pipe cannot be "
+                "byte-range sharded)"
+            )
     for inp in args.inputs:
-        if not os.path.exists(inp):
+        if inp != "-" and not os.path.exists(inp):
             # Clean error, not a FileNotFoundError traceback from deep
             # inside the parser (matches the reference's argv check).
             raise SystemExit(f"input not found: {inp}")
@@ -788,7 +803,7 @@ def _run_inputs(args, t0) -> int:
     from .pipeline.count import count_file, sparse_spectrum_file, spectrum_file
 
     if not args.stream:
-        big = sum(os.path.getsize(p) for p in args.inputs)
+        big = sum(os.path.getsize(p) for p in args.inputs if p != "-")
         if big > 4 << 30:
             print(
                 f"cfrk-tpu: note: {big / (1 << 30):.1f} GiB of input will "

@@ -31,6 +31,8 @@ import numpy as np
 __all__ = [
     "ENCODE_LUT",
     "DECODE_LUT",
+    "is_stdin",
+    "open_stdin_reads",
     "encode_seq",
     "decode_codes",
     "iter_fasta",
@@ -73,6 +75,28 @@ def decode_codes(codes: np.ndarray, invalid: bytes = b"N") -> bytes:
     codes = np.asarray(codes)
     out = np.where(codes >= 0, DECODE_LUT[np.clip(codes, 0, 3)], ord(invalid))
     return out.astype(np.uint8).tobytes()
+
+
+def is_stdin(path) -> bool:
+    """True for the conventional ``-`` stdin path (pipe ingest)."""
+    return isinstance(path, (str, os.PathLike)) and str(path) == "-"
+
+
+def open_stdin_reads() -> IO[bytes]:
+    """Binary stdin as a buffered reader, gzip-decompressed when the
+    pipe carries gzip bytes (``zcat x.gz | cfrk-tpu -`` works either
+    way).  A pipe has no random access, so offsets/resume never apply —
+    callers treat it exactly like the plain-gzip path."""
+    import sys
+
+    f: IO[bytes] = sys.stdin.buffer
+    if not hasattr(f, "peek"):
+        f = io.BufferedReader(f)  # type: ignore[arg-type]
+    if f.peek(2)[:2] == b"\x1f\x8b":
+        # GzipFile reads multi-member streams, so bgzf pipes inflate
+        # too (sequentially — block-parallel needs a seekable file).
+        return io.BufferedReader(gzip.GzipFile(fileobj=f))  # type: ignore[arg-type]
+    return f
 
 
 def _open_maybe_gzip(path: str | os.PathLike) -> IO[bytes]:
@@ -326,9 +350,12 @@ def read_fasta_encoded(path, min_qual: int = 0) -> list[np.ndarray]:
 
     Dispatches to the native C++ parser when built (byte-identical,
     pinned by tests/test_native.py).  ``min_qual`` masks low-quality
-    FASTQ bases to the invalid code."""
-    from .native import HAVE_NATIVE, read_fasta_encoded_native
+    FASTQ bases to the invalid code.  ``-`` reads stdin (gzip pipes
+    decompress transparently)."""
+    from .native import HAVE_NATIVE, parse_encode_bytes, read_fasta_encoded_native
 
+    if is_stdin(path):
+        return parse_encode_bytes(open_stdin_reads().read(), min_qual)
     if HAVE_NATIVE:
         return read_fasta_encoded_native(path, min_qual)
     return list(iter_fasta_encoded(path, min_qual))

@@ -116,6 +116,11 @@ def iter_record_blocks_native(
     by record count instead (pipeline/stream.py does).  ``start_offset``
     / ``limit_offset`` are rejected, matching the no-random-access
     contract of a gzip stream.
+
+    ``path`` may also be an open binary stream (e.g. stdin for pipe
+    ingest): it is read sequentially and closed at EOF; offsets are
+    stream positions (not seekable resume points for a pipe), and
+    ``start_offset``/``decompress`` must be unset.
     """
     if not HAVE_STREAM_NATIVE or (min_qual and not HAVE_QUAL_NATIVE):
         # Also covers a stale prebuilt .so that predates
@@ -127,7 +132,11 @@ def iter_record_blocks_native(
 
     qthr = 33 + min_qual if min_qual else 0
 
-    if decompress:
+    if hasattr(path, "read"):  # already-open stream (stdin pipe ingest)
+        if start_offset or decompress:
+            raise ValueError("a stream input has no random access")
+        opened = path
+    elif decompress:
         from ..bgzf import open_maybe_bgzf
 
         # bgzf inputs (bgzip'd FASTQ — the common config-5 framing)

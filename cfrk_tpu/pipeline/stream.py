@@ -78,8 +78,43 @@ def stream_batches(
     ``limit_offset`` stops before the first record STARTING at or past
     it (byte-range host sharding; see parallel/distributed).
     """
-    from ..io.fasta import iter_encoded_with_offsets
+    from ..io.fasta import is_stdin, iter_encoded_with_offsets
     from ..io.native import HAVE_STREAM_NATIVE
+
+    if is_stdin(path):
+        # Pipe ingest ('-'): sequential only.  Offsets never exist
+        # (end_offset=None like plain gzip); skip_reads still works for
+        # completeness, though resume is refused upstream (a re-run
+        # reads a DIFFERENT stream).
+        if start_offset or limit_offset is not None:
+            raise ValueError(
+                "byte offsets cannot address a pipe; '-' reads stdin "
+                "sequentially"
+            )
+        from ..io.fasta import open_stdin_reads
+
+        stream = open_stdin_reads()
+        if HAVE_STREAM_NATIVE and (min_qual == 0 or _qual_native_ok()):
+            yield from _stream_batches_flat(
+                stream, k, batch_size, None, len_base, None,
+                skip_reads=skip_reads, decompress=False, min_qual=min_qual,
+            )
+            return
+        from ..io.fasta import encode_seq, iter_reads
+
+        buf: list[np.ndarray] = []
+        for i, (_, s) in enumerate(iter_reads(stream, min_qual)):
+            if i < skip_reads:
+                continue
+            buf.append(encode_seq(s))
+            if len(buf) == batch_size:
+                longest = max(max(len(r) for r in buf), k)
+                yield pad_reads(buf, batch_size, _len_bucket(longest, len_base))
+                buf = []
+        if buf:
+            longest = max(max(len(r) for r in buf), k)
+            yield pad_reads(buf, batch_size, _len_bucket(longest, len_base))
+        return
 
     gz = _is_gzip(path)
     if gz and (start_offset or limit_offset is not None):
@@ -96,7 +131,7 @@ def stream_batches(
                 "byte offsets cannot address a gzip stream; "
                 "decompress the input first (or recompress with bgzip)"
             )
-    if HAVE_STREAM_NATIVE:
+    if HAVE_STREAM_NATIVE and (min_qual == 0 or _qual_native_ok()):
         # Chunked native ingest: the C++ parser encodes 64 MB blocks in
         # one pass and the flat packer assembles batches without any
         # per-read Python loop — the reference's single-pass C ingest
@@ -141,6 +176,15 @@ def stream_batches(
         yield flush()
 
 
+def _qual_native_ok() -> bool:
+    """True when the built extension supports the min_qual argument (a
+    stale .so degrades min_qual runs to the pure-Python parser instead
+    of crashing in the lookahead thread)."""
+    from ..io.native import HAVE_QUAL_NATIVE
+
+    return HAVE_QUAL_NATIVE
+
+
 def _is_gzip(path) -> bool:
     with open(path, "rb") as f:
         return f.read(2) == b"\x1f\x8b"
@@ -171,8 +215,11 @@ def _stream_batches_flat(
     offs = np.empty(0, np.int64)
 
     # bgzf offsets are decompressed positions and remain valid resume
-    # points (BgzfReader.seek_decompressed); plain-gzip offsets are not.
-    if decompress:
+    # points (BgzfReader.seek_decompressed); plain-gzip offsets are not,
+    # and a pipe's stream positions never are.
+    if hasattr(path, "read"):
+        offsets_ok = False
+    elif decompress:
         from ..io.bgzf import is_bgzf
 
         offsets_ok = is_bgzf(path)
@@ -218,12 +265,32 @@ def _stream_batches_flat(
 
 
 def _resume_fingerprint(
-    path, k, mode_tag, canonical, out_path, byte_range, min_qual=0
+    path, k, mode_tag, canonical, out_path, byte_range, min_qual=0,
+    resume=False,
 ):
     """Shared resume plumbing for the three stream drivers: reject gzip
     byte ranges, tag ranged runs as a distinct unit of work (resume must
     never mix a ranged checkpoint with a whole-file one), and build the
     (fingerprint, checkpoint-path) pair."""
+    from ..io.fasta import is_stdin
+
+    if is_stdin(path):
+        # A pipe is a one-shot stream: a resumed re-run would read a
+        # DIFFERENT stream, and ranges have nothing to address.
+        if byte_range is not None:
+            raise ValueError("byte_range cannot address a pipe ('-')")
+        if resume:
+            raise ValueError(
+                "cannot resume from a pipe ('-'); stream from a file "
+                "for checkpoint/resume"
+            )
+        fp = {
+            "input": "<stdin>", "k": k, "mode": mode_tag,
+            "canonical": bool(canonical),
+        }
+        if min_qual:
+            fp["min_qual"] = int(min_qual)
+        return fp, checkpoint_path(out_path) if out_path else None
     if byte_range is not None:
         if _is_gzip(path):
             from ..io.bgzf import is_bgzf
@@ -552,7 +619,7 @@ def stream_count_file(
     m = metrics or RunMetrics(k=k, mode="perread")
     fp, cpath = _resume_fingerprint(
         path, k, "perread-nonzero" if nonzero else "perread",
-        canonical, out_path, byte_range, min_qual,
+        canonical, out_path, byte_range, min_qual, resume,
     )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -698,7 +765,8 @@ def stream_spectrum_file(
     )
     m = metrics or RunMetrics(k=k, mode="spectrum")
     fp, cpath = _resume_fingerprint(
-        path, k, "spectrum", canonical, out_path, byte_range, min_qual
+        path, k, "spectrum", canonical, out_path, byte_range, min_qual,
+        resume,
     )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
@@ -803,7 +871,8 @@ def stream_sparse_spectrum_file(
 
     m = metrics or RunMetrics(k=k, mode="sparse")
     fp, cpath = _resume_fingerprint(
-        path, k, "sparse", canonical, out_path, byte_range, min_qual
+        path, k, "sparse", canonical, out_path, byte_range, min_qual,
+        resume,
     )
 
     ckpt = StreamCheckpoint(fingerprint=fp)

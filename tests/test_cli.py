@@ -608,3 +608,39 @@ def test_min_qual_resume_fingerprint(tmp_path):
     assert fp20 != fp0 and fp20 != fp25
     # unmasked fingerprints keep the pre-flag shape (old checkpoints match)
     assert "min_qual" not in fp0
+
+
+class _FakeStdin:
+    def __init__(self, data: bytes):
+        import io as _io
+
+        self.buffer = _io.BufferedReader(_io.BytesIO(data))
+
+
+def test_stdin_input_matches_file(tmp_path, monkeypatch, fasta):
+    """'-' reads stdin; output must equal the same file run, in both the
+    in-memory and streaming drivers, plain and gzip-piped."""
+    import gzip as _gzip
+    import sys
+
+    data = open(fasta, "rb").read()
+    fout = str(tmp_path / "file.cfrk")
+    assert main([fasta, "-k", "2", "-o", fout]) == 0
+    want = open(fout, "rb").read()
+
+    for blob, flags in [
+        (data, []),
+        (data, ["--stream"]),
+        (_gzip.compress(data), ["--stream"]),  # zcat-less gzip pipe
+    ]:
+        out = str(tmp_path / "stdin.cfrk")
+        monkeypatch.setattr(sys, "stdin", _FakeStdin(blob))
+        assert main(["-", "-k", "2", "-o", out] + flags) == 0
+        assert open(out, "rb").read() == want, flags
+
+
+def test_stdin_refuses_resume_and_needs_output(monkeypatch, tmp_path):
+    with pytest.raises(SystemExit, match="resume"):
+        main(["-", "-k", "2", "-o", str(tmp_path / "o"), "--resume"])
+    with pytest.raises(SystemExit, match="output"):
+        main(["-", "-k", "2"])
