@@ -169,10 +169,32 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     if seqpar:
         argv.append("--seqpar")
 
+    # Stdin draw: feed the same bytes through '-' (pipe ingest).  Needs
+    # the sequential-only paths, so it excludes the crash/resume draw
+    # below and the seqpar mesh draw is irrelevant to it.
+    stdin = (not seqpar) and bool(rng.integers(0, 6) == 0)
+    cfg["stdin"] = stdin
+    if stdin:
+        import io as _io
+        import sys
+
+        raw = open(inp, "rb").read()
+
+        class _FakeStdin:
+            buffer = _io.BufferedReader(_io.BytesIO(raw))
+
+        old_stdin = sys.stdin
+        sys.stdin = _FakeStdin()
+        try:
+            rc = cli_main([a if a != inp else "-" for a in argv])
+        finally:
+            sys.stdin = old_stdin
+        assert rc == 0, f"stdin CLI rc={rc} for {cfg}"
+        # fall through to the shared oracle check on `out`
     # Crash/resume draw: inject a crash right after a random checkpoint
     # save (runtime/faults.py), resume through the REAL --resume path,
     # and demand the final bytes equal an uninterrupted run's.
-    crash = stream and bool(rng.integers(0, 2))
+    crash = (not stdin) and stream and bool(rng.integers(0, 2))
     cfg["crash"] = crash
     if crash:
         from cfrk_tpu.runtime import faults
@@ -208,7 +230,7 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
             assert resumed_bytes == full_bytes, (
                 f"crash-resume bytes differ from uninterrupted run: {cfg}"
             )
-    else:
+    elif not stdin:  # stdin already produced `out` above
         rc = cli_main(argv)
         assert rc == 0, f"CLI rc={rc} for {cfg}"
 
