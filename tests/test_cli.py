@@ -632,6 +632,7 @@ def test_stdin_input_matches_file(tmp_path, monkeypatch, fasta):
         (data, []),
         (data, ["--stream"]),
         (_gzip.compress(data), ["--stream"]),  # zcat-less gzip pipe
+        (data, ["--stream", "--devices", "2"]),  # pipe onto a dp mesh
     ]:
         out = str(tmp_path / "stdin.cfrk")
         monkeypatch.setattr(sys, "stdin", _FakeStdin(blob))
