@@ -218,6 +218,23 @@ class CfrkWriter:
         self._f.write(format_pairs_bytes(idx, counts, first=self._first))
         self._first = False
 
+    def write_pairs_dense(
+        self, idx: np.ndarray, counts: np.ndarray, fk: int
+    ) -> None:
+        """Write DENSE rows (all ``fk`` bins) from sparse (idx, counts)
+        pair matrices — the densification happens inside the formatter's
+        bin walk, so the dense matrix is never materialised on host.
+        Byte-identical to :meth:`write_batch` on the densified block."""
+        idx = np.asarray(idx)
+        if idx.shape[0] == 0:
+            return
+        from .io.native import format_dense_pairs_bytes
+
+        self._f.write(
+            format_dense_pairs_bytes(idx, counts, fk, first=self._first)
+        )
+        self._first = False
+
     def close(self) -> None:
         if self._owns:
             self._f.close()

@@ -25,6 +25,7 @@ __all__ = [
     "iter_record_blocks_native",
     "format_rows_bytes",
     "format_pairs_bytes",
+    "format_dense_pairs_bytes",
 ]
 
 try:
@@ -249,6 +250,36 @@ def format_pairs_bytes(
         return b""  # match the C path: no rows, no bytes
     body = b"\n".join(format_rows_pairs(idx, counts))
     return body if first else b"\n" + body
+
+
+def format_dense_pairs_bytes(
+    idx: np.ndarray, counts: np.ndarray, fk: int, *, first: bool = True
+) -> bytes:
+    """DENSE `.cfrk` rows (all ``fk`` bins per row) from sparse per-read
+    (idx, counts) pair matrices — byte-identical to ``format_rows_bytes``
+    on the densified matrix, without the caller materialising it.  Rows
+    must be ascending in idx with count<=0 cells as padding (the
+    sort-based sparse ops' contract)."""
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    if idx.shape != counts.shape or idx.ndim != 2:
+        raise ValueError("idx/counts must be equal-shape 2-D")
+    if _fastaio is not None and hasattr(_fastaio, "format_dense_pairs"):
+        n_rows, n_cols = idx.shape
+        return _fastaio.format_dense_pairs(
+            idx.tobytes(), counts.tobytes(), n_rows, n_cols, int(fk), first
+        )
+    # Fallback (and stale-.so) path: densify in NumPy, reuse the dense
+    # formatter.  Same bytes, more host memory — CI/debug only.
+    if idx.shape[0] == 0:
+        return b""
+    dense = np.zeros((idx.shape[0], int(fk)), dtype=np.int32)
+    rows = np.repeat(np.arange(idx.shape[0]), idx.shape[1])
+    flat_i = idx.ravel()
+    flat_c = counts.ravel()
+    keep = flat_c > 0
+    dense[rows[keep], flat_i[keep]] = flat_c[keep]
+    return format_rows_bytes(dense, first=first)
 
 
 def format_rows_bytes(counts: np.ndarray, *, first: bool = True) -> bytes:

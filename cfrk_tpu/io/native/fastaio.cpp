@@ -671,6 +671,80 @@ PyObject* format_pairs(PyObject*, PyObject* args) {
   return segments_to_bytes(segs);
 }
 
+/* format_dense_pairs(idx: bytes/int32-LE, counts: bytes/int32-LE,
+ *                    n_rows, n_cols, fk, first) -> bytes
+ *
+ * DENSE rows ("idx:count " for ALL idx in [0, fk), reference
+ * src/main.cu:26-62) materialised from sparse per-read (idx, counts)
+ * pair matrices: each row's valid cells are ascending in idx, cells
+ * with count <= 0 are sentinel padding.  Byte-identical to format_rows
+ * on the densified matrix, without the caller ever building it — the
+ * streaming driver ships 2*W pairs per read off-device instead of the
+ * 4^k dense row (~57x less D2H at k=8/150 bp) and densifies here,
+ * inside the walk the dense text format forces anyway.
+ */
+PyObject* format_dense_pairs(PyObject*, PyObject* args) {
+  Py_buffer idx_view, cnt_view;
+  Py_ssize_t n_rows, n_cols, fk;
+  int first;
+  if (!PyArg_ParseTuple(args, "y*y*nnnp", &idx_view, &cnt_view, &n_rows,
+                        &n_cols, &fk, &first))
+    return nullptr;
+  const Py_ssize_t need = n_rows * n_cols * (Py_ssize_t)sizeof(int32_t);
+  if (idx_view.len != need || cnt_view.len != need || fk <= 0) {
+    PyBuffer_Release(&idx_view);
+    PyBuffer_Release(&cnt_view);
+    PyErr_SetString(PyExc_ValueError, "pair buffer size mismatch");
+    return nullptr;
+  }
+  const int32_t* idx = (const int32_t*)idx_view.buf;
+  const int32_t* cnt = (const int32_t*)cnt_view.buf;
+
+  std::vector<std::vector<char>> segs;
+  Py_BEGIN_ALLOW_THREADS
+  /* Shared read-only "idx:" prefixes, as in format_rows. */
+  std::vector<char> prefixes;
+  std::vector<size_t> pref_off(fk + 1, 0);
+  {
+    char buf[24];
+    for (Py_ssize_t j = 0; j < fk; j++) {
+      char* e = emit_u64(buf, (uint64_t)j);
+      *e++ = ':';
+      pref_off[j + 1] = pref_off[j] + (size_t)(e - buf);
+      prefixes.insert(prefixes.end(), buf, e);
+    }
+  }
+  segs = format_row_segments(
+      n_rows, (size_t)n_rows * (size_t)fk * 8 + 64,
+      [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
+        char num[24];
+        for (Py_ssize_t r = r0; r < r1; r++) {
+          if (r > 0 || !first) out.push_back('\n');
+          const int32_t* ri = idx + r * n_cols;
+          const int32_t* rc = cnt + r * n_cols;
+          Py_ssize_t p = 0;
+          for (Py_ssize_t j = 0; j < fk; j++) {
+            out.insert(out.end(), prefixes.begin() + pref_off[j],
+                       prefixes.begin() + pref_off[j + 1]);
+            while (p < n_cols && rc[p] <= 0) p++;  // sentinel padding
+            uint32_t v = 0;
+            if (p < n_cols && ri[p] == (int32_t)j) {
+              v = (uint32_t)rc[p];
+              p++;
+            }
+            char* e = emit_u64(num, v);
+            *e++ = ' ';
+            out.insert(out.end(), num, e);
+          }
+        }
+      });
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&idx_view);
+  PyBuffer_Release(&cnt_view);
+  return segments_to_bytes(segs);
+}
+
 /* format_pairs64(idx: bytes/uint64-LE, counts: bytes/int32-LE, n_rows,
  *                n_cols, first) -> bytes
  *
@@ -734,6 +808,9 @@ PyMethodDef kMethods[] = {
      "format_rows(counts_int32le, n_rows, n_cols, first) -> cfrk bytes"},
     {"format_pairs", format_pairs, METH_VARARGS,
      "format_pairs(idx_int32le, counts_int32le, n_rows, n_cols, first) -> bytes"},
+    {"format_dense_pairs", format_dense_pairs, METH_VARARGS,
+     "format_dense_pairs(idx_int32le, counts_int32le, n_rows, n_cols, fk, "
+     "first) -> dense cfrk bytes"},
     {"format_pairs64", format_pairs64, METH_VARARGS,
      "format_pairs64(idx_uint64le, counts_int32le, n_rows, n_cols, first) -> bytes"},
     {nullptr, nullptr, 0, nullptr},

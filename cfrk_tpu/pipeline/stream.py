@@ -566,16 +566,18 @@ def stream_count_file(
             f"per-read k={k} > 8 requires nonzero=True (dense 4**k "
             "rows would be gigabytes per read)"
         )
-    # nonzero output goes through the row-sorted sparse op whenever the
-    # kernel choice is ours: each read has <= W nonzero cells of 4**k,
-    # so the drain ships (idx, count) pairs instead of the dense matrix
-    # — ~57x less D2H at k=8/150 bp and no dense host materialisation
-    # or per-cell nonzero scan.  Bytes are identical (pinned by tests).
-    # An explicit impl/packed request keeps the dense kernel the user
-    # asked for; seqpar at k <= 8 keeps the dense position-sharded path
+    # Whenever the kernel choice is ours, rows go through the row-sorted
+    # sparse op: each read has <= W nonzero cells of 4**k, so the drain
+    # ships (idx, count) pairs instead of the dense matrix — ~57x less
+    # D2H at k=8/150 bp and no dense host materialisation.  This holds
+    # for DENSE output too (not just --nonzero): the native formatter
+    # densifies inside the bin walk the dense text format forces anyway
+    # (format_dense_pairs), so bytes are identical either way (pinned by
+    # tests).  An explicit impl/packed request keeps the dense kernel
+    # the user asked for; seqpar keeps the dense position-sharded path
     # (a per-row sort needs the whole row on one device).
-    sparse_rows = nonzero and (
-        k > 8 or (impl == "auto" and not packed and not seqpar)
+    sparse_rows = (nonzero and k > 8) or (
+        impl == "auto" and not packed and not seqpar
     )
     if sparse_rows:
         if seqpar:
@@ -670,8 +672,10 @@ def stream_count_file(
                 else:  # mesh-sharded path returns a bare array
                     counts = np.asarray(dev_counts)[:n]
             with m.stage("write"):
-                if sparse_rows:
+                if sparse_rows and nonzero:
                     w.write_pairs(*pairs)
+                elif sparse_rows:
+                    w.write_pairs_dense(*pairs, 4**k)
                 else:
                     w.write_batch(counts)
             # Fault site: dies with this batch's rows written but NOT

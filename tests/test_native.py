@@ -164,6 +164,41 @@ def test_format_pairs_bytes_matches_python():
     assert format_pairs_bytes(idx, counts, first=False) == b"\n" + want
 
 
+def test_format_dense_pairs_matches_dense_formatter():
+    """Dense-from-pairs == dense formatter on the densified matrix,
+    with sentinel (count-0) cells interleaved anywhere in the row, and
+    the pure-Python fallback byte-identical to the C path."""
+    import numpy as np
+
+    import cfrk_tpu.io.native as N
+    from cfrk_tpu.io.native import format_dense_pairs_bytes, format_rows_bytes
+
+    rng = np.random.default_rng(7)
+    n, w, fk = 11, 9, 64
+    dense = np.zeros((n, fk), np.int32)
+    idx = np.full((n, w), fk, np.int32)
+    cnt = np.zeros((n, w), np.int32)
+    for r in range(n):
+        m = int(rng.integers(0, w + 1))
+        cols = np.sort(rng.choice(fk, size=m, replace=False))
+        vals = rng.integers(1, 100, size=m).astype(np.int32)
+        dense[r, cols] = vals
+        pos = np.sort(rng.choice(w, size=m, replace=False))
+        idx[r, pos] = cols
+        cnt[r, pos] = vals
+    for first in (True, False):
+        got = format_dense_pairs_bytes(idx, cnt, fk, first=first)
+        assert got == format_rows_bytes(dense, first=first)
+    # Pure-Python fallback (extension absent / stale .so).
+    real = N._fastaio
+    N._fastaio = None
+    try:
+        fb = N.format_dense_pairs_bytes(idx, cnt, fk, first=False)
+    finally:
+        N._fastaio = real
+    assert fb == format_dense_pairs_bytes(idx, cnt, fk, first=False)
+
+
 def test_native_fastq_empty_read_stays_in_sync():
     """Zero-length reads (quality-trimmed FASTQ) must not desync the
     4-line cycle (code-review finding; the '+' line was being encoded)."""

@@ -411,6 +411,70 @@ def test_stream_nonzero_k8_sparse_route_byte_parity(tmp_path):
     assert s2.read_bytes() == d2.read_bytes()
 
 
+def test_stream_dense_pairs_route_byte_parity(tmp_path):
+    """DENSE output (no --nonzero) at k <= 8 also auto-routes through the
+    row-sorted sparse op, densified inside the native formatter's bin
+    walk; bytes must equal the dense-kernel route (forced via an
+    explicit impl)."""
+    rng = np.random.default_rng(23)
+    reads = _random_reads(30, rng, lo=20, hi=90)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    for k, canonical in ((2, False), (8, False), (5, True)):
+        auto_out = tmp_path / f"auto{k}{canonical}.cfrk"
+        dense_out = tmp_path / f"dense{k}{canonical}.cfrk"
+        m = stream_count_file(
+            fasta, auto_out, k, batch_size=8, canonical=canonical
+        )
+        assert m.reads == 30
+        stream_count_file(
+            fasta, dense_out, k, batch_size=8, canonical=canonical,
+            impl="scatter",
+        )
+        assert auto_out.read_bytes() == dense_out.read_bytes()
+
+
+def test_stream_dense_pairs_route_resume(tmp_path):
+    """Resume splices byte-identically on the dense pairs route."""
+    rng = np.random.default_rng(24)
+    reads = _random_reads(40, rng, lo=20, hi=90)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    full = tmp_path / "full.cfrk"
+    stream_count_file(fasta, full, 4, batch_size=8)
+
+    out = tmp_path / "r.cfrk"
+    from cfrk_tpu.runtime import faults
+
+    faults.arm("batch-written", 2)
+    try:
+        with pytest.raises(faults.InjectedFault):
+            stream_count_file(fasta, out, 4, batch_size=8, resume=True)
+    finally:
+        faults.disarm()
+    m = stream_count_file(fasta, out, 4, batch_size=8, resume=True)
+    assert m.reads < 40  # really resumed, not restarted
+    assert out.read_bytes() == full.read_bytes()
+
+
+def test_stream_dense_pairs_route_mesh(tmp_path):
+    """Dense pairs route under a dp mesh == single-device bytes."""
+    import jax
+
+    from cfrk_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(25)
+    reads = _random_reads(40, rng, lo=20, hi=90)
+    fasta = tmp_path / "r.fasta"
+    _write_fasta(fasta, reads)
+    mesh = make_mesh(jax.devices()[:8])
+    out_m = tmp_path / "m.cfrk"
+    out_s = tmp_path / "s.cfrk"
+    stream_count_file(fasta, out_m, 4, batch_size=16, mesh=mesh)
+    stream_count_file(fasta, out_s, 4, batch_size=16)
+    assert out_m.read_bytes() == out_s.read_bytes()
+
+
 def test_stream_sparse_perread_requires_nonzero(tmp_path):
     import pytest as _pytest
 
