@@ -880,11 +880,13 @@ def _run_inputs(args, t0) -> int:
                     f"per-read k={args.k} > 8 requires --nonzero "
                     "(dense 4**k rows would be gigabytes per read)"
                 )
-            # --nonzero routes through the row-sorted sparse op whenever
-            # the kernel choice is ours (same rule as the streaming
-            # driver): pairs ship to host instead of the dense matrix.
-            if args.nonzero and (
-                args.k > 8 or (args.impl == "auto" and not args.seqpar)
+            # Rows route through the row-sorted sparse op whenever the
+            # kernel choice is ours (same rule as the streaming driver):
+            # pairs ship to host instead of the dense matrix, and for
+            # dense output the native formatter densifies in its bin
+            # walk (byte-identical either way, pinned by tests).
+            if (args.nonzero and args.k > 8) or (
+                args.impl == "auto" and not args.seqpar
             ):
                 if args.seqpar:
                     raise SystemExit(
@@ -900,6 +902,7 @@ def _run_inputs(args, t0) -> int:
                     max_len=args.max_len,
                     mesh=args.mesh,
                     min_qual=args.min_qual,
+                    nonzero=args.nonzero,
                 )
                 continue
             counts = count_file(

@@ -439,6 +439,7 @@ def count_file_sparse_rows(
     max_len: int | None = None,
     mesh=None,
     min_qual: int = 0,
+    nonzero: bool = True,
 ) -> int:
     """Per-read SPARSE rows for 8 < k <= 31, streamed straight to disk.
 
@@ -447,7 +448,14 @@ def count_file_sparse_rows(
     nonzero ``idx:count`` format — for k > 15 the idx is the combined
     64-bit code ``hi * 4**15 + lo``.  With ``mesh``, rows shard over the
     devices (zero collectives).  Returns the number of reads written.
+
+    ``nonzero=False`` (k <= 8 only) writes DENSE rows instead: the
+    device op and D2H still ship pairs; the native formatter densifies
+    inside the bin walk (format.CfrkWriter.write_pairs_dense) — same
+    bytes as the dense-kernel route, never the dense matrix in memory.
     """
+    if not nonzero and k > 8:
+        raise ValueError("dense rows require k <= 8")
     from ..ops.perread_sparse import (
         count_perread_sparse,
         count_perread_sparse_large,
@@ -484,7 +492,10 @@ def count_file_sparse_rows(
             idx, counts = pairs_to_host(
                 narrow_for_fetch(out, k), batch.n_reads
             )
-            w.write_pairs(idx, counts)
+            if nonzero:
+                w.write_pairs(idx, counts)
+            else:
+                w.write_pairs_dense(idx, counts, 4**k)
             n_written += batch.n_reads
     return n_written
 

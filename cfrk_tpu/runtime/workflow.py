@@ -214,9 +214,10 @@ def count_one_factory(
                     f"per-read k={k} > 8 requires nonzero=True"
                 )
             # Same sparse-rows routing rule as cli._run_inputs and
-            # stream_count_file: nonzero output ships pairs, not the
-            # dense matrix, whenever the kernel choice is ours.
-            if nonzero and (k > 8 or (impl == "auto" and not seqpar)):
+            # stream_count_file: rows ship as pairs, not the dense
+            # matrix, whenever the kernel choice is ours (dense output
+            # densifies inside the native formatter's bin walk).
+            if (nonzero and k > 8) or (impl == "auto" and not seqpar):
                 if seqpar:
                     # Same refusal as cli._run_inputs — silently dropping
                     # seqpar would break "multi-file runs behave
@@ -230,7 +231,7 @@ def count_one_factory(
                 return count_file_sparse_rows(
                     inp, out, k, canonical=canonical,
                     batch_size=batch_size, max_len=max_len,
-                    mesh=mesh, min_qual=min_qual,
+                    mesh=mesh, min_qual=min_qual, nonzero=nonzero,
                 )
             from ..format import CfrkWriter
             from ..pipeline.count import count_file

@@ -449,17 +449,31 @@ def test_config_abbreviated_flag_counts_as_explicit(tmp_path, monkeypatch):
     seen = {}
     import cfrk_tpu.pipeline.count as pc
 
-    real = pc.count_file
+    # The default perread route is count_file_sparse_rows (dense output
+    # from pairs); spy there.
+    real = pc.count_file_sparse_rows
 
-    def spy(path, k, **kw):
+    def spy(path, out_path, k, **kw):
         seen["batch_size"] = kw.get("batch_size")
-        return real(path, k, **kw)
+        return real(path, out_path, k, **kw)
 
-    monkeypatch.setattr("cfrk_tpu.cli.count_file", spy, raising=False)
-    monkeypatch.setattr(pc, "count_file", spy)
+    monkeypatch.setattr(pc, "count_file_sparse_rows", spy)
     assert main([fasta, "-k", "3", "-o", out, "--devices", "1",
                  "--batch=16", "--config", str(cfg)]) == 0
     assert seen["batch_size"] == 16  # argv (abbreviated) beat the config
+
+
+def test_cli_inmemory_dense_pairs_route_parity(tmp_path):
+    """The in-memory dense perread default (pairs + formatter-densify)
+    writes the same bytes as an explicit dense impl."""
+    fasta = _rand_fasta(tmp_path, n=12)
+    a = str(tmp_path / "a.cfrk")
+    b = str(tmp_path / "b.cfrk")
+    assert main([fasta, "-k", "5", "-o", a, "--devices", "1",
+                 "--canonical"]) == 0
+    assert main([fasta, "-k", "5", "-o", b, "--devices", "1",
+                 "--canonical", "--impl", "scatter"]) == 0
+    assert open(a, "rb").read() == open(b, "rb").read()
 
 
 def test_cli_impl_sort_validation_and_spectrum_small_k(tmp_path):
