@@ -581,9 +581,66 @@ PyObject* format_rows(PyObject*, PyObject* args) {
 
   std::vector<std::vector<char>> segs;
   Py_BEGIN_ALLOW_THREADS
-  /* Precompute "idx:" prefixes once per call — shared (read-only) by
-   * every worker.  Offsets are size_t: a dense k=15 row (4^15 columns)
-   * accumulates ~10.7 GB of prefix bytes, which overflows 32-bit
+  if ((size_t)n_cols <= ((size_t)1 << 22)) {
+    /* Template path: rows are overwhelmingly "j:0 " cells, so emit each
+     * row as memcpy spans of a precomputed all-zero template broken
+     * only at nonzero cells (same structure as format_dense_pairs).
+     * tmpl <= ~34 MB at the 4M-column bound; 512 KB at k=8. */
+    std::vector<char> tmpl;
+    std::vector<size_t> cell_off(n_cols + 1, 0);
+    {
+      char buf[24];
+      for (Py_ssize_t j = 0; j < n_cols; j++) {
+        char* e = emit_u64(buf, (uint64_t)j);
+        *e++ = ':';
+        *e++ = '0';
+        *e++ = ' ';
+        tmpl.insert(tmpl.end(), buf, e);
+        cell_off[j + 1] = tmpl.size();
+      }
+    }
+    segs = format_row_segments(
+        n_rows, (size_t)n_rows * (tmpl.size() + 64) + 64,
+        [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
+          const char* t = tmpl.data();
+          /* Upper bound: every cell's "0" may become <= 10 digits.
+           * Sized per CHUNK of rows (not the whole segment) to keep
+           * the transient allocation bounded for dense blocks. */
+          const size_t row_cap = tmpl.size() + (size_t)n_cols * 9 + 1;
+          const Py_ssize_t chunk =
+              (Py_ssize_t)((((size_t)64 << 20) / row_cap) + 1);
+          for (Py_ssize_t c0 = r0; c0 < r1; c0 += chunk) {
+            const Py_ssize_t c1 = c0 + chunk < r1 ? c0 + chunk : r1;
+            const size_t base = out.size();
+            out.resize(base + (size_t)(c1 - c0) * row_cap);
+            char* dst = out.data() + base;
+            for (Py_ssize_t r = c0; r < c1; r++) {
+              if (r > 0 || !first) *dst++ = '\n';
+              const int32_t* row = c + r * n_cols;
+              size_t pos = 0;
+              for (Py_ssize_t j = 0; j < n_cols; j++) {
+                if (row[j] == 0) continue;
+                const size_t cs = cell_off[j];
+                std::memcpy(dst, t + pos, cs - pos);
+                dst += cs - pos;
+                const size_t plen = cell_off[j + 1] - 2 - cs;
+                std::memcpy(dst, t + cs, plen);
+                dst += plen;
+                dst = emit_u64(dst, (uint64_t)(uint32_t)row[j]);
+                *dst++ = ' ';
+                pos = cell_off[j + 1];
+              }
+              std::memcpy(dst, t + pos, tmpl.size() - pos);
+              dst += tmpl.size() - pos;
+            }
+            out.resize((size_t)(dst - out.data()));
+          }
+        });
+  } else {
+  /* Huge-row path (e.g. a dense k=15 row has 4^15 columns — a template
+   * would be ~14 GB).  Precompute "idx:" prefixes once per call —
+   * shared (read-only) by every worker.  Offsets are size_t: the
+   * prefix bytes alone are ~10.7 GB at k=15, overflowing 32-bit
    * offsets. */
   std::vector<char> prefixes;
   std::vector<size_t> pref_off(n_cols + 1, 0);
@@ -613,6 +670,7 @@ PyObject* format_rows(PyObject*, PyObject* args) {
           }
         }
       });
+  }
   Py_END_ALLOW_THREADS
 
   PyBuffer_Release(&view);
@@ -702,40 +760,67 @@ PyObject* format_dense_pairs(PyObject*, PyObject* args) {
 
   std::vector<std::vector<char>> segs;
   Py_BEGIN_ALLOW_THREADS
-  /* Shared read-only "idx:" prefixes, as in format_rows. */
-  std::vector<char> prefixes;
-  std::vector<size_t> pref_off(fk + 1, 0);
+  /* Template row "0:0 1:0 ... fk-1:0 " + per-cell start offsets.  A
+   * row is overwhelmingly zero cells (a 150 bp read touches <= 143 of
+   * 4^8 bins), so each row becomes ~nnz memcpy spans of the template
+   * plus one custom "j:count " emit per nonzero cell — instead of fk
+   * per-cell emits.  tmpl is 512 KB at k=8 (cache-resident). */
+  std::vector<char> tmpl;
+  std::vector<size_t> cell_off(fk + 1, 0);
   {
     char buf[24];
     for (Py_ssize_t j = 0; j < fk; j++) {
       char* e = emit_u64(buf, (uint64_t)j);
       *e++ = ':';
-      pref_off[j + 1] = pref_off[j] + (size_t)(e - buf);
-      prefixes.insert(prefixes.end(), buf, e);
+      *e++ = '0';
+      *e++ = ' ';
+      tmpl.insert(tmpl.end(), buf, e);
+      cell_off[j + 1] = tmpl.size();
     }
   }
   segs = format_row_segments(
-      n_rows, (size_t)n_rows * (size_t)fk * 8 + 64,
+      n_rows,
+      (size_t)n_rows * (tmpl.size() + (size_t)n_cols * 12 + 1) + 64,
       [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
-        char num[24];
-        for (Py_ssize_t r = r0; r < r1; r++) {
-          if (r > 0 || !first) out.push_back('\n');
-          const int32_t* ri = idx + r * n_cols;
-          const int32_t* rc = cnt + r * n_cols;
-          Py_ssize_t p = 0;
-          for (Py_ssize_t j = 0; j < fk; j++) {
-            out.insert(out.end(), prefixes.begin() + pref_off[j],
-                       prefixes.begin() + pref_off[j + 1]);
-            while (p < n_cols && rc[p] <= 0) p++;  // sentinel padding
-            uint32_t v = 0;
-            if (p < n_cols && ri[p] == (int32_t)j) {
-              v = (uint32_t)rc[p];
-              p++;
+        /* Raw-pointer writes into an upper-bound-sized buffer: each
+         * nonzero cell replaces the template's "0" with <= 10 digits,
+         * so a row is at most tmpl.size() + 9*n_cols + 1 bytes.  Rows
+         * are chunked so the transient over-allocation stays bounded
+         * (~64 MB) — the segment shrinks to its real size as it goes. */
+        const char* t = tmpl.data();
+        const size_t row_cap = tmpl.size() + (size_t)n_cols * 9 + 1;
+        const Py_ssize_t chunk =
+            (Py_ssize_t)((((size_t)64 << 20) / row_cap) + 1);
+        for (Py_ssize_t c0 = r0; c0 < r1; c0 += chunk) {
+          const Py_ssize_t c1 = c0 + chunk < r1 ? c0 + chunk : r1;
+          const size_t base = out.size();
+          out.resize(base + (size_t)(c1 - c0) * row_cap);
+          char* dst = out.data() + base;
+          for (Py_ssize_t r = c0; r < c1; r++) {
+            if (r > 0 || !first) *dst++ = '\n';
+            const int32_t* ri = idx + r * n_cols;
+            const int32_t* rc = cnt + r * n_cols;
+            size_t pos = 0;  // template bytes already emitted
+            for (Py_ssize_t p = 0; p < n_cols; p++) {
+              if (rc[p] <= 0) continue;  // sentinel padding
+              const int32_t j = ri[p];
+              if (j < 0 || j >= (int32_t)fk) continue;  // range guard
+              const size_t cs = cell_off[j];
+              if (cs < pos) continue;  // non-ascending input guard
+              std::memcpy(dst, t + pos, cs - pos);  // zero-run span
+              dst += cs - pos;
+              /* "j:" = the cell's template bytes minus the "0 " tail. */
+              const size_t plen = cell_off[j + 1] - 2 - cs;
+              std::memcpy(dst, t + cs, plen);
+              dst += plen;
+              dst = emit_u64(dst, (uint64_t)(uint32_t)rc[p]);
+              *dst++ = ' ';
+              pos = cell_off[j + 1];
             }
-            char* e = emit_u64(num, v);
-            *e++ = ' ';
-            out.insert(out.end(), num, e);
+            std::memcpy(dst, t + pos, tmpl.size() - pos);
+            dst += tmpl.size() - pos;
           }
+          out.resize((size_t)(dst - out.data()));
         }
       });
   Py_END_ALLOW_THREADS
