@@ -24,10 +24,56 @@ from .encode import window_indices
 __all__ = [
     "count_perread_sparse",
     "count_perread_sparse_large",
+    "count_perread_rows",
+    "rowsort_eligible",
     "compact_pairs",
     "pairs_to_host",
     "MAX_SPARSE_PERREAD_K",
 ]
+
+
+def rowsort_eligible(k: int, w: int, impl: str = "auto") -> bool:
+    """True when the fused Pallas row-sort kernel should serve this shape.
+
+    On TPU, any k in 1..31 routes to ops/pallas/rowsort.py as long as the
+    padded window axis stays VMEM-friendly (next_pow2(W) <= 2048, i.e.
+    reads up to ~2 kb; longer contigs stream through window tiling or the
+    XLA full-row sort).  Off-TPU the XLA ``lax.sort`` path is both the
+    oracle and the faster choice (interpret-mode Pallas is debug-only).
+    """
+    import jax
+
+    if impl not in ("auto", "pallas"):
+        return False
+    n = 128
+    while n < w:
+        n *= 2
+    return n <= 2048 and jax.default_backend() == "tpu"
+
+
+def count_perread_rows(
+    codes, k: int, canonical: bool = False, impl: str = "auto"
+):
+    """Per-read sparse histogram rows — the one dispatcher every driver
+    (in-memory, streaming, sharded local function) routes through.
+
+    Returns the sorted-RLE row layout of :func:`count_perread_sparse`
+    ((idx, counts) for k <= 15) or :func:`count_perread_sparse_large`
+    ((hi, lo, counts) for 16 <= k <= 31).  ``impl='auto'`` picks the
+    fused Pallas sort+RLE kernel on TPU (measured 1.12 ms/batch at
+    k=8/150 bp vs 2.65 ms for the XLA row sort — docs/PERF.md) and the
+    XLA path elsewhere; ``impl='sort'`` forces XLA (parity oracle).
+    """
+    w = codes.shape[-1] - k + 1
+    if rowsort_eligible(k, w, impl):
+        from .pallas.rowsort import rowsort_rle_pallas, rowsort_rle_pallas_large
+
+        if k <= 15:
+            return rowsort_rle_pallas(codes, k, canonical=canonical)
+        return rowsort_rle_pallas_large(codes, k, canonical=canonical)
+    if k <= 15:
+        return count_perread_sparse(codes, k, canonical)
+    return count_perread_sparse_large(codes, k, canonical)
 
 
 def compact_pairs(idx: jax.Array, counts: jax.Array, k: int):

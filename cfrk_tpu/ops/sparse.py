@@ -179,21 +179,19 @@ def batch_spectrum_triples(codes, k: int, canonical: bool = False):
     """
     import jax.numpy as jnp
 
-    if k <= 15:
-        from .perread_sparse import count_perread_sparse, narrow_for_fetch
+    from .perread_sparse import count_perread_rows, narrow_for_fetch
 
+    if k <= 15:
         idx, cnt = narrow_for_fetch(
-            count_perread_sparse(jnp.asarray(codes), k, canonical), k
+            count_perread_rows(jnp.asarray(codes), k, canonical), k
         )
         lo = np.asarray(idx).reshape(-1).astype(np.uint32)
         c = np.asarray(cnt).reshape(-1).astype(np.int64)
         # uint16-compacted idx wraps the sentinel to 0, but sentinel
         # cells carry count 0 and every consumer masks counts > 0.
         return np.zeros(lo.shape, dtype=np.uint32), lo, c
-    from .perread_sparse import count_perread_sparse_large, narrow_for_fetch
-
     hi, lo, counts = narrow_for_fetch(
-        count_perread_sparse_large(jnp.asarray(codes), k, canonical), k
+        count_perread_rows(jnp.asarray(codes), k, canonical), k
     )
     return (
         np.asarray(hi).reshape(-1),

@@ -152,15 +152,12 @@ def _perread_sparse_sharded_fn(mesh: Mesh, k: int, canonical: bool):
     """Sparse per-read rows (sort + RLE per row, ops/perread_sparse)
     with rows sharded over the mesh — per-row work needs no collectives,
     exactly like the dense per-read op."""
-    from ..ops.perread_sparse import (
-        count_perread_sparse,
-        count_perread_sparse_large,
-    )
-
-    op = count_perread_sparse if k <= 15 else count_perread_sparse_large
+    from ..ops.perread_sparse import count_perread_rows
 
     def local(codes_blk):
-        return op(codes_blk, k, canonical)
+        # count_perread_rows resolves to the fused Pallas rowsort kernel
+        # on TPU (per-device block, zero collectives) and lax.sort off it.
+        return count_perread_rows(codes_blk, k, canonical)
 
     spec = P((DP_AXIS, TP_AXIS), None)
     n_out = 2 if k <= 15 else 3

@@ -456,11 +456,7 @@ def count_file_sparse_rows(
     """
     if not nonzero and k > 8:
         raise ValueError("dense rows require k <= 8")
-    from ..ops.perread_sparse import (
-        count_perread_sparse,
-        count_perread_sparse_large,
-        pairs_to_host,
-    )
+    from ..ops.perread_sparse import count_perread_rows, pairs_to_host
 
     reads = read_fasta_encoded(path, min_qual)
     n_written = 0
@@ -480,12 +476,8 @@ def count_file_sparse_rows(
                     jax.numpy.asarray(batch.codes), k, mesh,
                     canonical=canonical,
                 )
-            elif k <= 15:
-                out = count_perread_sparse(
-                    jax.numpy.asarray(batch.codes), k, canonical
-                )
             else:
-                out = count_perread_sparse_large(
+                out = count_perread_rows(
                     jax.numpy.asarray(batch.codes), k, canonical
                 )
             # one shared D2H narrowing policy (uint16 idx, int16 counts)

@@ -600,17 +600,11 @@ def stream_count_file(
                     ),
                     k,
                 )
-        elif k <= 15:
-            from ..ops.perread_sparse import count_perread_sparse
-
-            dispatch = lambda arr: narrow_for_fetch(  # noqa: E731
-                count_perread_sparse(arr, k, canonical), k
-            )
         else:
-            from ..ops.perread_sparse import count_perread_sparse_large
+            from ..ops.perread_sparse import count_perread_rows
 
             dispatch = lambda arr: narrow_for_fetch(  # noqa: E731
-                count_perread_sparse_large(arr, k, canonical), k
+                count_perread_rows(arr, k, canonical), k
             )
     else:
         dispatch = _make_dispatch(

@@ -309,3 +309,105 @@ def test_spectrum_int8_mxu_parity(rng, k):
         spectrum_pallas(jnp.asarray(codes), k, mxu_dtype="bf16")
     )
     np.testing.assert_array_equal(got_bf.astype(np.int64), want)
+
+
+# ---------------------------------------------------------------------------
+# Fused row-sort + RLE kernel (ops/pallas/rowsort.py): parity against the
+# XLA lax.sort route it replaces on TPU.
+
+
+@pytest.mark.parametrize("k", [1, 2, 8, 15])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_rowsort_rle_parity(rng, k, canonical):
+    from cfrk_tpu.ops.pallas.rowsort import rowsort_rle_pallas
+    from cfrk_tpu.ops.perread_sparse import count_perread_sparse
+
+    codes = _batch(rng, 13, 171)
+    ref_i, ref_c = count_perread_sparse(jnp.asarray(codes), k, canonical)
+    for mode in ("gather", "roll"):
+        got_i, got_c = rowsort_rle_pallas(
+            jnp.asarray(codes), k, canonical=canonical, mode=mode,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+
+
+@pytest.mark.parametrize("k", [16, 24, 31])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_rowsort_rle_large_parity(rng, k, canonical):
+    from cfrk_tpu.ops.pallas.rowsort import rowsort_rle_pallas_large
+    from cfrk_tpu.ops.perread_sparse import count_perread_sparse_large
+
+    codes = _batch(rng, 13, 171, p_invalid=0.005)
+    rh, rl, rc = count_perread_sparse_large(jnp.asarray(codes), k, canonical)
+    gh, gl, gc = rowsort_rle_pallas_large(
+        jnp.asarray(codes), k, canonical=canonical, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(gh), np.asarray(rh))
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(rl))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+
+
+def test_rowsort_rle_long_reads_and_edge_rows(rng):
+    """g > 2 sub-rows per read (n = 1024), odd batch size, plus the two
+    degenerate rows: single-run (poly-A) and all-invalid (poly-N)."""
+    from cfrk_tpu.ops.pallas.rowsort import rowsort_rle_pallas
+    from cfrk_tpu.ops.perread_sparse import count_perread_sparse
+
+    codes = _batch(rng, 5, 1000)
+    codes[0] = 0  # poly-A: one run of the whole read
+    codes[1] = -1  # poly-N: no valid window at all
+    ref_i, ref_c = count_perread_sparse(jnp.asarray(codes), 8)
+    got_i, got_c = rowsort_rle_pallas(jnp.asarray(codes), 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+
+
+def test_rowsort_checksum_outputs(rng):
+    """checksum=True returns the same pairs plus an in-kernel fold."""
+    from cfrk_tpu.ops.pallas.rowsort import (
+        rowsort_rle_pallas,
+        rowsort_rle_pallas_large,
+    )
+
+    codes = _batch(rng, 16, 150)
+    i0, c0 = rowsort_rle_pallas(jnp.asarray(codes), 8, interpret=True)
+    i1, c1, chk = rowsort_rle_pallas(
+        jnp.asarray(codes), 8, checksum=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    sent = 4**8
+    want = int((np.asarray(c0) & 3).sum()) + int(
+        (np.where(np.asarray(c0) > 0, np.asarray(i0), 0) & 3).sum()
+    )
+    assert int(np.asarray(chk).sum()) == want
+    out = rowsort_rle_pallas_large(
+        jnp.asarray(codes), 31, checksum=True, interpret=True
+    )
+    assert len(out) == 4 and out[3].shape[0] >= 1
+
+
+def test_count_perread_rows_dispatcher(rng):
+    """Off-TPU the dispatcher must resolve to the XLA sort route (the
+    oracle) for both k ranges; impl='sort' forces it everywhere."""
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_rows,
+        count_perread_sparse,
+        count_perread_sparse_large,
+        rowsort_eligible,
+    )
+
+    codes = jnp.asarray(_batch(rng, 7, 150))
+    a = count_perread_rows(codes, 8)
+    b = count_perread_sparse(codes, 8, False)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    a3 = count_perread_rows(codes, 31)
+    b3 = count_perread_sparse_large(codes, 31, False)
+    for x, y in zip(a3, b3):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # eligibility is shape- and impl-gated
+    assert not rowsort_eligible(8, 143, impl="sort")
+    assert not rowsort_eligible(8, 5000, impl="auto")  # > 2048 pad

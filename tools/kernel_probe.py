@@ -35,7 +35,13 @@ def main() -> None:
     ap.add_argument("--packed", default="none", choices=["none", "fh", "b4"])
     ap.add_argument("--checksum", action="store_true")
     ap.add_argument("--mxu", default="bf16", choices=["bf16", "int8"])
-    ap.add_argument("--op", default="perread", choices=["perread", "spectrum"])
+    ap.add_argument(
+        "--op",
+        default="perread",
+        choices=["perread", "spectrum", "rowsort", "rowsort_large"],
+    )
+    ap.add_argument("--mode", default="gather", choices=["gather", "roll"])
+    ap.add_argument("--canonical", action="store_true")
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--distinct", type=int, default=4)
     args = ap.parse_args()
@@ -56,7 +62,28 @@ def main() -> None:
         )
     )
 
-    if args.op == "spectrum":
+    if args.op in ("rowsort", "rowsort_large"):
+        from cfrk_tpu.ops.pallas.rowsort import (
+            rowsort_rle_pallas,
+            rowsort_rle_pallas_large,
+        )
+
+        fn = (
+            rowsort_rle_pallas if args.op == "rowsort" else rowsort_rle_pallas_large
+        )
+
+        def one(x):
+            return fn(
+                x,
+                args.k,
+                canonical=args.canonical,
+                read_block=args.rb,
+                mode=args.mode,
+                checksum=True,
+            )
+
+        step_val = jax.jit(lambda x: jnp.sum(one(x)[-1]))
+    elif args.op == "spectrum":
         from cfrk_tpu.ops.pallas.spectrum import spectrum_pallas
 
         def one(x):
