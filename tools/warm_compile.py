@@ -40,16 +40,18 @@ def main() -> int:
         print(f"warm_compile: not on TPU (platform={platform}); nothing to do")
         return 0
 
-    xs, step_chk, fn, _pk = bench.build_pallas_programs(bench.BATCH, bench.N_BATCHES)
-
-    t0 = time.perf_counter()
-    _ = int(np.asarray(step_chk(xs[0])))
-    t_bare = time.perf_counter() - t0
-    _ = int(np.asarray(fn(xs)))
-    print(
-        f"warm_compile: bare kernel ready in {t_bare:.0f}s, "
-        f"scan wrapper in {time.perf_counter() - t0 - t_bare:.0f}s"
-    )
+    for k, read_len in ((bench.K8, bench.LEN8), (bench.K31, bench.LEN31)):
+        xs, step_chk, fn = bench.build_rowsort_programs(
+            bench.BATCH, bench.N_BATCHES, k, read_len
+        )
+        t0 = time.perf_counter()
+        _ = int(np.asarray(step_chk(xs[0])))
+        t_bare = time.perf_counter() - t0
+        _ = int(np.asarray(fn(xs)))
+        print(
+            f"warm_compile: k={k} bare kernel ready in {t_bare:.0f}s, "
+            f"scan wrapper in {time.perf_counter() - t0 - t_bare:.0f}s"
+        )
     return 0
 
 
