@@ -70,43 +70,13 @@ BATCH = 8192
 N_BATCHES = 64
 DISTINCT = 4  # distinct input batches cycled through the loop
 
-# v5e single chip (docs/PERF.md "Rooflines"):
-INT8_MXU_OPS = 394e12  # int8 MAC peak
-HBM_BW = 819e9  # bytes/s
-VPU_ELEM_OPS = 1.0e12  # int32 element-ops/s (8x128 x 8/cycle x 0.94 GHz)
-
-
-def _pad_pow2(w: int) -> int:
-    n = 128
-    while n < w:
-        n *= 2
-    return n
-
-
-def dense_write_sol_bases_per_s(batch: int, read_len: int, k: int) -> float:
-    """Write-bound roofline of the dense-emit op this route replaces:
-    max(int8 MXU time of the one-hot contractions, one HBM write of the
-    b4-packed [batch, 4**k] count matrix)."""
-    w = read_len - k + 1
-    four_k = 4**k
-    flops = 2.0 * batch * w * four_k
-    io_bytes = batch * four_k * 1.0  # b4 packing: 1 byte/bin
-    t = max(flops / INT8_MXU_OPS, io_bytes / HBM_BW)
-    return batch * read_len / t
-
-
-def sort_sol_bases_per_s(
-    batch: int, read_len: int, k: int, *, keys: int
-) -> float:
-    """The row-sort kernel's own roofline: the bitonic network's
-    compare-exchange passes at the VPU's int32 element throughput."""
-    w = read_len - k + 1
-    n = _pad_pow2(w)
-    log_n = n.bit_length() - 1
-    stages = log_n * (log_n + 1) // 2
-    ops_per_elem = 3 * keys  # partner fetch + compare + select, per key
-    t = batch * n * stages * ops_per_elem / VPU_ELEM_OPS
-    return batch * read_len / t
+# Roofline models shared with tools/bench_suite.py — one source of
+# truth in cfrk_tpu/ops/roofline.py (chip constants documented there).
+from cfrk_tpu.ops.roofline import (  # noqa: E402
+    HBM_BW,
+    dense_emit_sol as dense_write_sol_bases_per_s,
+    sort_sol as sort_sol_bases_per_s,
+)
 
 
 def setup_compile_cache() -> None:

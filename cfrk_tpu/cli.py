@@ -448,8 +448,8 @@ def main(argv=None) -> int:
             "--impl sort is the sorted-spectrum accumulation route; "
             "it only applies to --mode spectrum"
         )
-    if args.impl == "sort" and args.seqpar:
-        raise SystemExit("--impl sort and --seqpar are mutually exclusive")
+    # --impl sort composes with --seqpar since round 3: each device
+    # sorts its own position slice (parallel/seqpar.spectrum_seqpar_triples).
     if len(args.inputs) > 1 and not args.out_dir:
         raise SystemExit("multiple inputs require --out-dir")
     if args.out_dir:

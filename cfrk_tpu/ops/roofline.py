@@ -1,0 +1,115 @@
+"""Speed-of-light models for every measured device route (one source of
+truth — bench.py and tools/bench_suite.py import these, so the recorded
+``vs_sol`` fractions can never drift between the two artifacts).
+
+The reference publishes no numbers (BASELINE.md), so every benchmark in
+this repo reports an achieved fraction of an explicit per-implementation
+roofline instead.  Chip constants are TPU v5e (one chip):
+
+* int8 MXU peak 394 Top/s, bf16 197 Tflop/s;
+* HBM ~819 GB/s;
+* VPU ~1e12 int32 element-ops/s (8x128 lanes x 8 ops/cycle x ~0.94 GHz
+  — the constant is anchored empirically: round 2's step-time
+  decomposition measured ~1.3 G one-hot int8 elements built in ~1.4 ms,
+  docs/PERF.md "Rejected kernel designs").
+
+Roofline families:
+
+* :func:`dense_emit_sol` — the write-bound bar of a DENSE per-read
+  emitter: max(MXU time of the one-hot contractions, one HBM write of
+  the b4-packed count matrix).  This is the "market price" of the dense
+  per-read op — what an ideal dense-matrix producer could reach — and
+  the bar bench.py scores the pairs route against.
+* :func:`onehot_family_sol` — the same op, charged honestly for the
+  compare-built one-hot IMPLEMENTATION family: adds the VPU build of
+  2*W*(4**kh + 4**kl) one-hot elements per read, which round 2 measured
+  as the ~2 ms/batch design floor of this family on this chip.  A
+  one-hot kernel's vs_sol approaches 1.0 under this model; the gap
+  between this and :func:`dense_emit_sol` is the floor proof.
+* :func:`sort_sol` — the row-sort kernel's own bound: the bitonic
+  network's log2(n)*(log2(n)+1)/2 compare-exchange passes at 3 VPU
+  element-ops per element per stage per key (partner fetch, compare,
+  select).  RLE and pair emit ride under it (the model charges only the
+  sort network — generous to the roofline, honest to the fraction).
+* :func:`scatter_sol` — XLA's serialised scatter accumulate, charged at
+  one update per VPU cycle (~0.94e9/s).  Generous to XLA (real scatters
+  also re-walk the table), but it makes the sort route's win quotable.
+"""
+
+from __future__ import annotations
+
+from .encode import split_k
+
+__all__ = [
+    "INT8_MXU_OPS",
+    "BF16_MXU_FLOPS",
+    "HBM_BW",
+    "VPU_ELEM_OPS",
+    "SCALAR_UPDATES_PER_S",
+    "pad_pow2",
+    "dense_emit_sol",
+    "onehot_family_sol",
+    "sort_sol",
+    "scatter_sol",
+]
+
+INT8_MXU_OPS = 394e12
+BF16_MXU_FLOPS = 197e12
+HBM_BW = 819e9
+VPU_ELEM_OPS = 1.0e12
+SCALAR_UPDATES_PER_S = 0.94e9
+
+
+def pad_pow2(w: int, floor: int = 128) -> int:
+    n = floor
+    while n < w:
+        n *= 2
+    return n
+
+
+def dense_emit_sol(batch: int, read_len: int, k: int,
+                   *, bytes_per_bin: float = 1.0) -> float:
+    """bases/s bar of an ideal dense per-read emitter (no build charge)."""
+    w = read_len - k + 1
+    four_k = 4**k
+    flops = 2.0 * batch * w * four_k
+    io = batch * four_k * bytes_per_bin
+    t = max(flops / INT8_MXU_OPS, io / HBM_BW)
+    return batch * read_len / t
+
+
+def onehot_family_sol(batch: int, read_len: int, k: int,
+                      *, per_read: bool = True,
+                      bytes_per_bin: float = 1.0) -> float:
+    """bases/s bound of any compare-built one-hot kernel on this chip.
+
+    ``per_read=False`` models the global-spectrum kernel: the table is
+    written once (negligible) instead of per read, but the one-hot VPU
+    build — the binding term at k <= 10 — is identical.
+    """
+    w = read_len - k + 1
+    kh, kl = split_k(k)
+    fh, fl = 4**kh, 4**kl
+    four_k = 4**k
+    flops = 2.0 * batch * w * four_k
+    build_elems = 2.0 * batch * w * (fh + fl)
+    io = batch * four_k * bytes_per_bin if per_read else four_k * 4.0
+    t = max(flops / INT8_MXU_OPS, io / HBM_BW, build_elems / VPU_ELEM_OPS)
+    return batch * read_len / t
+
+
+def sort_sol(batch: int, read_len: int, k: int, *, keys: int = 1) -> float:
+    """bases/s bound of the per-read bitonic row-sort kernel."""
+    w = read_len - k + 1
+    n = pad_pow2(w)
+    log_n = n.bit_length() - 1
+    stages = log_n * (log_n + 1) // 2
+    t = batch * n * stages * 3 * keys / VPU_ELEM_OPS
+    return batch * read_len / t
+
+
+def scatter_sol(batch: int, read_len: int, k: int) -> float:
+    """bases/s bound of an XLA scatter-accumulate dense table update."""
+    w = read_len - k + 1
+    t = batch * w / SCALAR_UPDATES_PER_S
+    return batch * read_len / t

@@ -35,6 +35,7 @@ __all__ = [
     "kmer_keys",
     "sparse_spectrum",
     "batch_spectrum_triples",
+    "rows_to_triples",
     "fetch_triples",
     "merge_sorted_key_counts",
     "merge_sorted_spectra",
@@ -179,20 +180,28 @@ def batch_spectrum_triples(codes, k: int, canonical: bool = False):
     """
     import jax.numpy as jnp
 
-    from .perread_sparse import count_perread_rows, narrow_for_fetch
+    from .perread_sparse import count_perread_rows
 
-    if k <= 15:
-        idx, cnt = narrow_for_fetch(
-            count_perread_rows(jnp.asarray(codes), k, canonical), k
-        )
+    return rows_to_triples(
+        count_perread_rows(jnp.asarray(codes), k, canonical), k
+    )
+
+
+def rows_to_triples(rows, k: int):
+    """Per-read sorted-RLE rows (device) → host (hi, lo, counts) triple
+    for the SparseAccumulator.  Shared by the per-batch single-device
+    route and the seqpar per-slice route (parallel/seqpar.py)."""
+    from .perread_sparse import narrow_for_fetch
+
+    rows = narrow_for_fetch(rows, k)
+    if len(rows) == 2:
+        idx, cnt = rows
         lo = np.asarray(idx).reshape(-1).astype(np.uint32)
         c = np.asarray(cnt).reshape(-1).astype(np.int64)
         # uint16-compacted idx wraps the sentinel to 0, but sentinel
         # cells carry count 0 and every consumer masks counts > 0.
         return np.zeros(lo.shape, dtype=np.uint32), lo, c
-    hi, lo, counts = narrow_for_fetch(
-        count_perread_rows(jnp.asarray(codes), k, canonical), k
-    )
+    hi, lo, counts = rows
     return (
         np.asarray(hi).reshape(-1),
         np.asarray(lo).reshape(-1),

@@ -30,7 +30,13 @@ from jax import shard_map
 from ..ops.perread import count_perread
 from ..ops.spectrum import spectrum
 
-__all__ = ["make_seq_mesh", "SP_AXIS", "count_perread_seqpar", "spectrum_seqpar"]
+__all__ = [
+    "make_seq_mesh",
+    "SP_AXIS",
+    "count_perread_seqpar",
+    "spectrum_seqpar",
+    "spectrum_seqpar_triples",
+]
 
 SP_AXIS = "sp"
 
@@ -120,3 +126,51 @@ def spectrum_seqpar(
     """Global spectrum with the position axis sharded over ``sp``."""
     _check_slice_width(codes, k, mesh)
     return _seqpar_fn(mesh, k, canonical, impl, "spectrum")(codes)
+
+
+@lru_cache(maxsize=None)
+def _seqpar_triples_fn(mesh: Mesh, k: int, canonical: bool):
+    from ..ops.perread_sparse import count_perread_rows
+
+    def local(codes_blk):
+        # Same halo discipline as the dense path: windows starting in
+        # this slice may extend k-1 columns into the right neighbour.
+        ext = _halo_extend(codes_blk, k) if k > 1 else codes_blk
+        # Each device sorts + RLEs ITS OWN slice's windows (the fused
+        # Pallas rowsort when the padded slice fits, lax.sort beyond);
+        # no collective merge — the host accumulator sums duplicate
+        # keys across slices exactly like across batches.
+        return count_perread_rows(ext, k, canonical)
+
+    n_out = 2 if k <= 15 else 3
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(None, SP_AXIS),
+            out_specs=(P(None, SP_AXIS),) * n_out,
+            check_vma=False,  # pallas_call inside shard_map needs this
+        )
+    )
+
+
+def spectrum_seqpar_triples(
+    codes: jax.Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    canonical: bool = False,
+):
+    """Sorted-route spectrum with the position axis sharded over ``sp``.
+
+    The k >= 11 dense-spectrum scatter fallback under seqpar measured
+    ~54 Mbases/s (round-2 verdict weak #3); this routes position-sharded
+    long contigs through per-slice sort+RLE instead.  Returns the
+    per-read-rows layout of ops/perread_sparse ((idx, counts) for
+    k <= 15, (hi, lo, counts) above), shape [B, n_slices * W_slice],
+    windows concatenated slice-major — feed
+    ``ops.sparse.rows_to_triples`` / the SparseAccumulator, which merge
+    duplicate keys across slices exactly like across batches.
+    """
+    _check_slice_width(codes, k, mesh)
+    return _seqpar_triples_fn(mesh, k, canonical)(codes)

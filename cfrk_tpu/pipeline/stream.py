@@ -750,7 +750,7 @@ def stream_spectrum_file(
             out_path=out_path, resume=resume,
             checkpoint_every=checkpoint_every, mesh=mesh,
             cleanup=cleanup, byte_range=byte_range, metrics=metrics,
-            min_qual=min_qual,
+            min_qual=min_qual, seqpar=seqpar,
         )
         total = np.zeros(4**k, dtype=np.int64)
         total[keys] = counts
@@ -842,6 +842,7 @@ def stream_sparse_spectrum_file(
     byte_range=None,
     metrics: RunMetrics | None = None,
     min_qual: int = 0,
+    seqpar: bool = False,
 ):
     """Stream a FASTA file into a sparse spectrum for large k (16..31).
 
@@ -854,15 +855,21 @@ def stream_sparse_spectrum_file(
     through the all_to_all bucket exchange (parallel/bucket.py, the
     BASELINE config-4 path) so the sort + RLE runs sharded on-chip;
     bucket-box overflow retries with doubled ``slack`` automatically and
-    later batches start at the discovered capacity.
+    later batches start at the discovered capacity.  With ``seqpar``
+    the mesh is a 1-D ``sp`` mesh instead: each device sorts its own
+    POSITION slice's windows (parallel/seqpar.spectrum_seqpar_triples)
+    — the long-contig shape where row sharding has nothing to shard.
     """
     from ..ops.sparse import (
         SparseAccumulator,
         batch_spectrum_triples,
         fetch_triples,
+        rows_to_triples,
     )
 
-    if mesh is not None:
+    if mesh is not None and seqpar:
+        from ..parallel.seqpar import spectrum_seqpar_triples
+    elif mesh is not None:
         from ..parallel.bucket import sparse_spectrum_sharded_retry
 
         _check_mesh_batch(mesh, batch_size)
@@ -887,7 +894,15 @@ def stream_sparse_spectrum_file(
     gen = _resume_batches(path, k, batch_size, ckpt, byte_range, min_qual)
     since_ckpt = 0
     for batch in _prefetched(gen, metrics=m):
-        if mesh is not None:
+        if mesh is not None and seqpar:
+            with m.stage("dispatch"):
+                rows = spectrum_seqpar_triples(
+                    jax.numpy.asarray(batch.codes), k, mesh,
+                    canonical=canonical,
+                )
+            with m.stage("materialize"):
+                acc.add(*rows_to_triples(rows, k))
+        elif mesh is not None:
             with m.stage("dispatch"):
                 hi, lo, counts, slack = sparse_spectrum_sharded_retry(
                     jax.numpy.asarray(batch.codes), k, mesh,

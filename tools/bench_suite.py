@@ -37,6 +37,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+RECORDS: list[dict] = []
+
+
 def _emit(name: str, seconds: float, work: float, unit: str, extra=None) -> None:
     rec = {
         "bench": name,
@@ -46,8 +49,36 @@ def _emit(name: str, seconds: float, work: float, unit: str, extra=None) -> None
     }
     if extra:
         rec.update(extra)
+    RECORDS.append(rec)
     print(json.dumps(rec))
     sys.stdout.flush()
+
+
+def _scan_case(step_val, xs, steps: int):
+    """Steady-state step time of a jitted per-batch scalar-producing fn:
+    jitted lax.scan cycling the DISTINCT batches of xs (loop-invariant
+    inputs get the kernel hoisted — docs/PERF.md "Measurement
+    methodology"), timed ending on a one-scalar fetch.  Returns
+    (seconds_total, checksum)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    distinct = xs.shape[0]
+
+    def run(xs):
+        def body(c, i):
+            return c + step_val(xs[i % distinct]), ()
+
+        c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(steps))
+        return c
+
+    fn = jax.jit(run)
+    _ = int(np.asarray(step_val(xs[0])))  # compile the bare step first
+    _ = int(np.asarray(fn(xs)))  # compile scan + warm
+    t0 = time.perf_counter()
+    chk = int(np.asarray(fn(xs)))
+    return time.perf_counter() - t0, chk
 
 
 def main() -> None:
@@ -66,10 +97,19 @@ def main() -> None:
     ap.add_argument(
         "--only", default=None,
         help=(
-            "comma-separated subset: golden,perread_k8,spectrum_k15,"
-            "spectrum_k8_pallas,spectrum_k15_sort,sparse_k31,ingest,"
-            "stream,stream_spectrum"
+            "comma-separated subset: golden,perread_k8,perread_k8_rowsort,"
+            "spectrum_k15,spectrum_k8_pallas,spectrum_k8_sort,"
+            "spectrum_k15_sort,sparse_k31,ingest,stream,stream_spectrum"
         ),
+    )
+    ap.add_argument(
+        "--steps", type=int, default=32,
+        help="scan steps per device case (steady-state step time)",
+    )
+    ap.add_argument(
+        "--json-out", default=None,
+        help="also write all records to FILE as one JSON document "
+             "(the per-round BENCHSUITE_r*.json artifact)",
     )
     args = ap.parse_args()
 
@@ -113,78 +153,166 @@ def main() -> None:
         _emit("golden_k2_exact", dt, n_bases, "bases/s", {"byte_exact": ok})
         assert ok, "golden mismatch!"
 
-    # 2. dense per-read k=8.
+    # ---- device cases: steady-state scan step times with an explicit
+    # per-implementation speed-of-light fraction each (the roofline
+    # models live in cfrk_tpu/ops/roofline.py, shared with bench.py).
+    from cfrk_tpu.ops.roofline import (
+        onehot_family_sol,
+        scatter_sol,
+        sort_sol,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    steps = args.steps if on_tpu else 2
+    n_xs = 4
+    xs = jnp.asarray(
+        np.stack([codes] + [
+            rng.integers(0, 4, size=codes.shape).astype(np.int8)
+            for _ in range(n_xs - 1)
+        ])
+    )
+    step_bases = args.reads * args.read_len
+
+    def emit_device(name, dt, chk, sol_bps, extra=None):
+        rec = {
+            "checksum": chk,
+            "step_ms": round(dt / steps * 1e3, 3),
+            "vs_sol": round(step_bases * steps / dt / sol_bps, 4),
+        }
+        if extra:
+            rec.update(extra)
+        _emit(name, dt, step_bases * steps, "bases/s", rec)
+
+    # 2. dense per-read k=8 (the compare-built one-hot kernel family;
+    #    its vs_sol charges the one-hot VPU build — the round-2 floor
+    #    proof; the pairs route below is the one that escapes it).
     if want("perread_k8"):
-        from cfrk_tpu.ops.perread import count_perread
+        if on_tpu:
+            # The packed one-hot Pallas kernel with in-kernel checksum —
+            # the dense-matrix emitter the drivers used through round 2
+            # (kept as the dense-emit route; the rowsort pairs route
+            # below is what dense-row output consumes now).
+            from cfrk_tpu.ops.pallas.perread import count_perread_pallas
 
-        fn = jax.jit(lambda a: jnp.sum(count_perread(a, 8) & 3))
-        _ = int(fn(x))
-        t0 = time.perf_counter()
-        chk = int(fn(x))
-        dt = time.perf_counter() - t0
-        _emit("perread_k8_dense", dt, bases, "bases/s", {"checksum": chk})
+            def _step_dense(a):
+                _c, chk = count_perread_pallas(
+                    a, 8, packed=True, checksum=True
+                )
+                return jnp.sum(chk)
 
-    # 3. dense spectrum at large k (scatter impl: 4**15 = 1 GiB int32
-    #    table fits on TPU; matmul cannot).  CPU smoke runs shrink to
-    #    k=11 — the 4**15 scatter is impractically slow off-TPU.
+            step = jax.jit(_step_dense)
+        else:
+            from cfrk_tpu.ops.perread import count_perread
+
+            step = jax.jit(
+                lambda a: jnp.sum(count_perread(a, 8) & 3, dtype=jnp.int32)
+            )
+        dt, chk = _scan_case(step, xs, steps)
+        emit_device(
+            "perread_k8_dense", dt, chk,
+            onehot_family_sol(args.reads, args.read_len, 8),
+            {"sol_model": "onehot_family"},
+        )
+
+    # 2a. per-read k=8 pairs via the fused row-sort kernel — the route
+    #     dense-row AND --nonzero `.cfrk` output actually takes.
+    if want("perread_k8_rowsort"):
+        from cfrk_tpu.ops.perread_sparse import count_perread_rows
+
+        def _step_rs(a):
+            i, c = count_perread_rows(a, 8)
+            return jnp.sum(c & 3, dtype=jnp.int32)
+
+        step = jax.jit(_step_rs)
+        dt, chk = _scan_case(step, xs, steps)
+        emit_device(
+            "perread_k8_rowsort", dt, chk,
+            sort_sol(args.reads, args.read_len, 8),
+            {"sol_model": "sort"},
+        )
+
+    # 3. dense spectrum at large k via XLA scatter (kept as the
+    #    baseline the sort route beats; auto never picks it on TPU).
     if want("spectrum_k15"):
         from cfrk_tpu.ops.spectrum import spectrum
 
-        ks = 15 if jax.default_backend() == "tpu" else 11
-        fn = jax.jit(lambda a: jnp.sum(spectrum(a, ks, impl="scatter") & 3))
-        _ = int(fn(x))
-        t0 = time.perf_counter()
-        chk = int(fn(x))
-        dt = time.perf_counter() - t0
-        _emit(f"spectrum_k{ks}_dense", dt, bases, "bases/s", {"checksum": chk})
+        ks = 15 if on_tpu else 11
+        step = jax.jit(
+            lambda a: jnp.sum(spectrum(a, ks, impl="scatter") & 3)
+        )
+        dt, chk = _scan_case(step, xs, steps)
+        emit_device(
+            f"spectrum_k{ks}_dense", dt, chk,
+            scatter_sol(args.reads, args.read_len, ks),
+            {"sol_model": "scatter"},
+        )
 
-    # 3a. dense spectrum k=8 via the Pallas int8 kernel (the TPU auto
-    #     path for k <= 10).
+    # 3a. dense spectrum k=8 via the Pallas int8 one-hot kernel (the
+    #     TPU auto path for k <= 10: zero per-batch D2H).
     if want("spectrum_k8_pallas"):
         from cfrk_tpu.ops.spectrum import spectrum as _sp
 
-        impl_sp = "pallas" if jax.default_backend() == "tpu" else "scatter"
-        fn = jax.jit(lambda a: jnp.sum(_sp(a, 8, impl=impl_sp) & 3))
-        _ = int(fn(x))
-        t0 = time.perf_counter()
-        chk = int(fn(x))
-        dt = time.perf_counter() - t0
-        _emit("spectrum_k8_pallas", dt, bases, "bases/s", {"checksum": chk})
+        impl_sp = "pallas" if on_tpu else "scatter"
+        step = jax.jit(lambda a: jnp.sum(_sp(a, 8, impl=impl_sp) & 3))
+        dt, chk = _scan_case(step, xs, steps)
+        emit_device(
+            "spectrum_k8_pallas", dt, chk,
+            onehot_family_sol(args.reads, args.read_len, 8, per_read=False),
+            {"sol_model": "onehot_family"},
+        )
 
-    # 3b. k=15 spectrum via the sort+RLE route (the TPU auto path for
+    # 3b. spectrum k=8 via the row-sort route (device side of
+    #     impl='sort': per-read sort+RLE pairs, host fold absorbs them).
+    if want("spectrum_k8_sort"):
+        from cfrk_tpu.ops.perread_sparse import count_perread_rows
+
+        def _step_s8(a):
+            i, c = count_perread_rows(a, 8)
+            return jnp.sum(c & 3, dtype=jnp.int32)
+
+        step = jax.jit(_step_s8)
+        dt, chk = _scan_case(step, xs, steps)
+        emit_device(
+            "spectrum_k8_sort_device", dt, chk,
+            sort_sol(args.reads, args.read_len, 8),
+            {"sol_model": "sort"},
+        )
+
+    # 3c. k=15 spectrum via the sort+RLE route (the TPU auto path for
     #     k >= 11; the scatter number above is the baseline it beats).
     if want("spectrum_k15_sort"):
-        from cfrk_tpu.ops.sparse import sparse_spectrum
+        from cfrk_tpu.ops.perread_sparse import count_perread_rows
 
-        ks = 15 if jax.default_backend() == "tpu" else 11
+        ks = 15 if on_tpu else 11
 
-        def run_sort(a):
-            hi, lo, counts = sparse_spectrum(a, ks, False)
-            return jnp.sum(counts & 3)
+        def _step_s15(a):
+            i, c = count_perread_rows(a, ks)
+            return jnp.sum(c & 3, dtype=jnp.int32)
 
-        fn = jax.jit(run_sort)
-        _ = int(fn(x))
-        t0 = time.perf_counter()
-        chk = int(fn(x))
-        dt = time.perf_counter() - t0
-        _emit(f"spectrum_k{ks}_sort", dt, bases, "bases/s", {"checksum": chk})
+        step = jax.jit(_step_s15)
+        dt, chk = _scan_case(step, xs, steps)
+        emit_device(
+            f"spectrum_k{ks}_sort", dt, chk,
+            sort_sol(args.reads, args.read_len, ks),
+            {"sol_model": "sort"},
+        )
 
-    # 4. canonical k=31 sparse (sort + RLE).
+    # 4. canonical k=31 sparse: the fused 2-key row-sort kernel on TPU
+    #    (lexicographic (hi, lo) network), lax.sort off it.
     if want("sparse_k31"):
-        # The drivers' single-device route: per-read row 2-key sorts
-        # (6.6x the full-batch sort it replaced; docs/PERF.md).
-        from cfrk_tpu.ops.perread_sparse import count_perread_sparse_large
+        from cfrk_tpu.ops.perread_sparse import count_perread_rows
 
-        def run31(a):
-            hi, lo, counts = count_perread_sparse_large(a, 31, True)
-            return jnp.sum(counts & 3)
+        def _step31(a):
+            hi, lo, counts = count_perread_rows(a, 31, True)
+            return jnp.sum(counts & 3, dtype=jnp.int32)
 
-        fn = jax.jit(run31)
-        _ = int(fn(x))
-        t0 = time.perf_counter()
-        chk = int(fn(x))
-        dt = time.perf_counter() - t0
-        _emit("sparse_k31_canonical", dt, bases, "bases/s", {"checksum": chk})
+        step = jax.jit(_step31)
+        dt, chk = _scan_case(step, xs, steps)
+        emit_device(
+            "sparse_k31_canonical", dt, chk,
+            sort_sol(args.reads, args.read_len, 31, keys=2),
+            {"sol_model": "sort2"},
+        )
 
     # 5 + 6: on-disk streaming benches share one synthetic FASTA.
     import tempfile
@@ -304,14 +432,15 @@ def main() -> None:
                 if nz:
                     # nonzero routes through the row-sorted sparse op
                     # (stream_count_file's sparse_rows rule) — warm THAT
-                    # executable, not the dense kernel.
+                    # executable (count_perread_rows resolves to the
+                    # fused Pallas rowsort on TPU), not the dense kernel.
                     from cfrk_tpu.ops.perread_sparse import (
-                        compact_pairs,
-                        count_perread_sparse,
+                        count_perread_rows,
+                        narrow_for_fetch,
                     )
 
-                    wi, wc = compact_pairs(
-                        *count_perread_sparse(dummy, ks, False), ks
+                    wi, wc = narrow_for_fetch(
+                        count_perread_rows(dummy, ks, False), ks
                     )
                     np.asarray(wi)
                     np.asarray(wc)
@@ -357,6 +486,23 @@ def main() -> None:
                     },
                 )
                 os.remove(out)
+
+    if args.json_out:
+        import datetime
+
+        doc = {
+            "platform": jax.default_backend(),
+            "device_kind": jax.devices()[0].device_kind,
+            "timestamp": datetime.datetime.now(datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "reads": args.reads,
+            "read_len": args.read_len,
+            "steps": args.steps,
+            "cases": RECORDS,
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"# wrote {args.json_out} ({len(RECORDS)} cases)")
 
 
 if __name__ == "__main__":

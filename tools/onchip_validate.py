@@ -169,6 +169,89 @@ def main() -> None:
 
     check("sorted_spectrum_parity", sorted_spectrum_parity)
 
+    def rowsort_parity():
+        """Compiled fused row-sort+RLE kernel (ops/pallas/rowsort.py) vs
+        the XLA lax.sort oracle: k=8, k=15, k=31 canonical, long reads
+        (g=4 sub-rows), and the checksum output."""
+        from cfrk_tpu.ops.pallas.rowsort import (
+            rowsort_rle_pallas,
+            rowsort_rle_pallas_large,
+        )
+        from cfrk_tpu.ops.perread_sparse import (
+            count_perread_sparse,
+            count_perread_sparse_large,
+        )
+
+        rng = np.random.default_rng(4)
+        codes = jnp.asarray(rng.integers(-1, 4, size=(64, 150)).astype(np.int8))
+        out = {}
+        for k in (8, 15):
+            ri, rc = count_perread_sparse(codes, k, False)
+            gi, gc, chk = rowsort_rle_pallas(codes, k, checksum=True)
+            np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+            np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+            out[f"k{k}_checksum"] = int(np.asarray(chk).sum())
+        rh, rl, rc = count_perread_sparse_large(codes, 31, True)
+        gh, gl, gc = rowsort_rle_pallas_large(codes, 31, canonical=True)
+        np.testing.assert_array_equal(np.asarray(gh), np.asarray(rh))
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(rl))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+        long = jnp.asarray(rng.integers(-1, 4, size=(16, 500)).astype(np.int8))
+        ri, rc = count_perread_sparse(long, 8, False)
+        gi, gc = rowsort_rle_pallas(long, 8)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+        out["long_read_g"] = 4
+        return out
+
+    check("rowsort_compiled_parity", rowsort_parity)
+
+    def mesh_compiled_probes():
+        """shard_map x Pallas on a 1-device mesh of THIS backend: the
+        packed dense kernel, the rowsort sparse kernel, and the seqpar
+        sorted-spectrum route (check_vma=False paths the CPU virtual
+        mesh can never reach — verify skill gotcha)."""
+        from cfrk_tpu.parallel import count_perread_sparse_sharded
+        from cfrk_tpu.parallel.mesh import make_mesh
+        from cfrk_tpu.parallel.seqpar import (
+            make_seq_mesh,
+            spectrum_seqpar_triples,
+        )
+        from cfrk_tpu.parallel.sharded import count_perread_sharded_packed
+        from cfrk_tpu.ops.pallas.perread import unpack_counts
+        from cfrk_tpu.ops.perread import count_perread
+        from cfrk_tpu.ops.perread_sparse import count_perread_sparse
+        from cfrk_tpu.ops.sparse import SparseAccumulator, rows_to_triples
+        from cfrk_tpu.ops.reference import spectrum_np
+
+        rng = np.random.default_rng(5)
+        codes = rng.integers(-1, 4, size=(64, 150)).astype(np.int8)
+        x = jnp.asarray(codes)
+        mesh = make_mesh(jax.devices()[:1])
+
+        want = np.asarray(count_perread(codes, 8, impl="host"))
+        packed = count_perread_sharded_packed(x, 8, mesh, packed="b4")
+        got = unpack_counts(np.asarray(packed), 64, mode="b4")
+        np.testing.assert_array_equal(got, want)
+
+        ri, rc = count_perread_sparse(x, 8, False)
+        si, sc = count_perread_sparse_sharded(x, 8, mesh)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(rc))
+
+        smesh = make_seq_mesh(jax.devices()[:1])
+        rows = spectrum_seqpar_triples(jnp.asarray(codes[:, :128]), 12, smesh)
+        acc = SparseAccumulator()
+        acc.add(*rows_to_triples(rows, 12))
+        keys, counts = acc.result_arrays()
+        wsp = spectrum_np(list(codes[:, :128]), 12)
+        gsp = np.zeros(4**12, dtype=np.int64)
+        gsp[keys.astype(np.int64)] = counts
+        np.testing.assert_array_equal(gsp, wsp)
+        return {"probes": ["packed_mesh", "rowsort_mesh", "seqpar_sorted"]}
+
+    check("mesh_compiled_probes", mesh_compiled_probes)
+
     ok = all(c["ok"] for c in record["checks"].values())
     record["ok"] = ok
     out_path = args.out or os.path.join(
