@@ -500,16 +500,43 @@ PyObject* pack_records(PyObject*, PyObject* args) {
   return out;
 }
 
+/* Two-digit lookup: "00010203...9899".  Emitting digit PAIRS halves the
+ * divide chain of the classic digit-at-a-time itoa — measured 1.5-1.9x
+ * single-core on the pair formatters (docs/PERF.md "Native .cfrk
+ * formatters"); the divides by 100 compile to multiply-shift. */
+static const char kDigits2[201] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
 /* Emit a non-negative integer as ascii into out; returns new end. */
 inline char* emit_u64(char* out, uint64_t v) {
+  if (v < 10) {  /* the overwhelmingly common count=1..9 cell */
+    *out++ = (char)('0' + (unsigned)v);
+    return out;
+  }
+  if (v < 100) {
+    std::memcpy(out, kDigits2 + 2 * (unsigned)v, 2);
+    return out + 2;
+  }
   char tmp[20];
-  int len = 0;
-  do {
-    tmp[len++] = (char)('0' + v % 10);
-    v /= 10;
-  } while (v);
-  for (int j = len - 1; j >= 0; j--) *out++ = tmp[j];
-  return out;
+  char* p = tmp + sizeof(tmp);
+  while (v >= 100) {
+    const unsigned r = (unsigned)(v % 100);
+    v /= 100;
+    p -= 2;
+    std::memcpy(p, kDigits2 + 2 * r, 2);
+  }
+  if (v >= 10) {
+    p -= 2;
+    std::memcpy(p, kDigits2 + 2 * (unsigned)v, 2);
+  } else {
+    *--p = (char)('0' + (unsigned)v);
+  }
+  const size_t len = (size_t)(tmp + sizeof(tmp) - p);
+  std::memcpy(out, p, len);
+  return out + len;
 }
 
 /* Run fn(r0, r1, seg) over [0, n_rows) split into row-contiguous
@@ -524,6 +551,12 @@ static std::vector<std::vector<char>> format_row_segments(
     Py_ssize_t n_rows, size_t est_total, Fn fn) {
   unsigned hc = std::thread::hardware_concurrency();
   unsigned T = hc ? (hc < 8 ? hc : 8) : 1;
+  /* CFRK_FORMAT_THREADS caps the worker count (0/unset = auto).  Used
+   * by tools/bench_format.py to pin single-core emitter numbers. */
+  if (const char* env = getenv("CFRK_FORMAT_THREADS")) {
+    const long cap = atol(env);
+    if (cap > 0 && (unsigned)cap < T) T = (unsigned)cap;
+  }
   if ((Py_ssize_t)T > n_rows) T = (unsigned)(n_rows > 0 ? n_rows : 1);
   if (est_total < (4u << 20)) T = 1;
   std::vector<std::vector<char>> segs(T);
@@ -706,20 +739,30 @@ PyObject* format_pairs(PyObject*, PyObject* args) {
   segs = format_row_segments(
       n_rows, (size_t)(n_rows * n_cols) * 4 + 64,
       [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
-        char num[24];
-        for (Py_ssize_t r = r0; r < r1; r++) {
-          if (r > 0 || !first) out.push_back('\n');
-          const int32_t* ri = idx + r * n_cols;
-          const int32_t* rc = cnt + r * n_cols;
-          for (Py_ssize_t j = 0; j < n_cols; j++) {
-            if (rc[j] <= 0) continue;
-            char* e = emit_u64(num, (uint64_t)(uint32_t)ri[j]);
-            *e++ = ':';
-            out.insert(out.end(), num, e);
-            e = emit_u64(num, (uint64_t)(uint32_t)rc[j]);
-            *e++ = ' ';
-            out.insert(out.end(), num, e);
+        /* Chunked resize + raw-pointer emit: per-cell vector::insert
+         * was the dominant cost (capacity check + memmove machinery
+         * per 4-12 byte cell) — measured 1.9x single-core. */
+        const size_t row_cap = (size_t)n_cols * 23 + 1;
+        const Py_ssize_t chunk =
+            (Py_ssize_t)((((size_t)64 << 20) / row_cap) + 1);
+        for (Py_ssize_t c0 = r0; c0 < r1; c0 += chunk) {
+          const Py_ssize_t c1 = c0 + chunk < r1 ? c0 + chunk : r1;
+          const size_t base = out.size();
+          out.resize(base + (size_t)(c1 - c0) * row_cap);
+          char* dst = out.data() + base;
+          for (Py_ssize_t r = c0; r < c1; r++) {
+            if (r > 0 || !first) *dst++ = '\n';
+            const int32_t* ri = idx + r * n_cols;
+            const int32_t* rc = cnt + r * n_cols;
+            for (Py_ssize_t j = 0; j < n_cols; j++) {
+              if (rc[j] <= 0) continue;
+              dst = emit_u64(dst, (uint64_t)(uint32_t)ri[j]);
+              *dst++ = ':';
+              dst = emit_u64(dst, (uint64_t)(uint32_t)rc[j]);
+              *dst++ = ' ';
+            }
           }
+          out.resize((size_t)(dst - out.data()));
         }
       });
   Py_END_ALLOW_THREADS
@@ -856,20 +899,29 @@ PyObject* format_pairs64(PyObject*, PyObject* args) {
   segs = format_row_segments(
       n_rows, (size_t)(n_rows * n_cols) * 8 + 64,
       [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
-        char num[24];
-        for (Py_ssize_t r = r0; r < r1; r++) {
-          if (r > 0 || !first) out.push_back('\n');
-          const uint64_t* ri = idx + r * n_cols;
-          const int32_t* rc = cnt + r * n_cols;
-          for (Py_ssize_t j = 0; j < n_cols; j++) {
-            if (rc[j] <= 0) continue;
-            char* e = emit_u64(num, ri[j]);
-            *e++ = ':';
-            out.insert(out.end(), num, e);
-            e = emit_u64(num, (uint64_t)(uint32_t)rc[j]);
-            *e++ = ' ';
-            out.insert(out.end(), num, e);
+        /* Chunked resize + raw emit, as in format_pairs; 64-bit idx
+         * emits up to 20 digits. */
+        const size_t row_cap = (size_t)n_cols * 33 + 1;
+        const Py_ssize_t chunk =
+            (Py_ssize_t)((((size_t)64 << 20) / row_cap) + 1);
+        for (Py_ssize_t c0 = r0; c0 < r1; c0 += chunk) {
+          const Py_ssize_t c1 = c0 + chunk < r1 ? c0 + chunk : r1;
+          const size_t base = out.size();
+          out.resize(base + (size_t)(c1 - c0) * row_cap);
+          char* dst = out.data() + base;
+          for (Py_ssize_t r = c0; r < c1; r++) {
+            if (r > 0 || !first) *dst++ = '\n';
+            const uint64_t* ri = idx + r * n_cols;
+            const int32_t* rc = cnt + r * n_cols;
+            for (Py_ssize_t j = 0; j < n_cols; j++) {
+              if (rc[j] <= 0) continue;
+              dst = emit_u64(dst, ri[j]);
+              *dst++ = ':';
+              dst = emit_u64(dst, (uint64_t)(uint32_t)rc[j]);
+              *dst++ = ' ';
+            }
           }
+          out.resize((size_t)(dst - out.data()));
         }
       });
   Py_END_ALLOW_THREADS
