@@ -41,9 +41,29 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
         window_indices_np,
     )
 
-    n_reads = int(rng.integers(1, 60))
-    fastq = bool(rng.integers(0, 2))
-    crlf = bool(rng.integers(0, 4) == 0)
+    # Adversarial shape drawers (round-3 verdict task 9):
+    #   lowcomplex   — poly-A / 2-letter reads: every window is the same
+    #                  few keys (single-run RLE rows; forces the mesh
+    #                  bucket-overflow retry when drawn with a mesh).
+    #   contig       — 1-3 multi-kilobase reads (long-read buckets,
+    #                  window tiling, seqpar interplay).
+    #   pathological — zero-length records, blank lines, multiline FASTA
+    #                  records, forced CRLF (parser edge shapes at block
+    #                  boundaries).
+    shape = str(rng.choice(
+        ["uniform", "lowcomplex", "contig", "pathological"],
+        p=[0.55, 0.2, 0.1, 0.15],
+    ))
+    if shape == "contig":
+        n_reads = int(rng.integers(1, 4))
+    elif shape == "lowcomplex":
+        n_reads = int(rng.integers(1, 30))
+    else:
+        n_reads = int(rng.integers(1, 60))
+    fastq = bool(rng.integers(0, 2)) and shape != "contig"
+    crlf = bool(rng.integers(0, 4) == 0) or (
+        shape == "pathological" and bool(rng.integers(0, 2))
+    )
     compress = rng.choice(["plain", "gzip", "bgzf"], p=[0.6, 0.2, 0.2])
     nl = b"\r\n" if crlf else b"\n"
     # FASTQ-only quality filtering (Phred+33): the oracle reads get the
@@ -51,8 +71,20 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     min_qual = int(rng.choice([0, 0, 0, 10, 30])) if fastq else 0
     reads, blob = [], []
     for i in range(n_reads):
-        codes = rng.integers(0, 4, size=int(rng.integers(1, 90))).astype(np.int8)
-        codes[rng.random(len(codes)) < 0.05] = -1  # N bases
+        if shape == "contig":
+            length = int(rng.integers(2000, 30000))
+        elif shape == "pathological" and rng.integers(0, 4) == 0:
+            length = 0  # zero-length record
+        else:
+            length = int(rng.integers(1, 90))
+        if shape == "lowcomplex":
+            # poly-A or 2-letter alphabet, long enough to repeat keys
+            length = int(rng.integers(100, 1500))
+            alphabet = int(rng.integers(1, 3))
+            codes = rng.integers(0, alphabet, size=length).astype(np.int8)
+        else:
+            codes = rng.integers(0, 4, size=length).astype(np.int8)
+            codes[rng.random(length) < 0.05] = -1  # N bases
         seq = decode_codes(codes)
         if fastq:
             qual = (33 + rng.integers(0, 42, size=len(codes))).astype(np.uint8)
@@ -63,7 +95,20 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
                 b"@r%d" % i + nl + seq + nl + b"+" + nl + qual.tobytes() + nl
             )
         else:
-            blob.append(b">r%d" % i + nl + seq + nl)
+            if shape == "pathological":
+                # multiline record + stray blank lines (the reference's
+                # getline loop concatenated multiline sequences)
+                parts = []
+                pos = 0
+                while pos < len(seq) or not parts:
+                    cut = pos + int(rng.integers(1, max(len(seq) - pos, 1) + 1))
+                    parts.append(seq[pos:cut])
+                    pos = cut
+                body = nl.join(parts)
+                extra = nl if rng.integers(0, 2) else b""
+                blob.append(b">r%d" % i + nl + body + nl + extra)
+            else:
+                blob.append(b">r%d" % i + nl + seq + nl)
         reads.append(codes)
     data = b"".join(blob)
     ext = ".fastq" if fastq else ".fasta"
@@ -85,14 +130,19 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
 
     mode = str(rng.choice(["perread", "spectrum", "sparse"]))
     if mode == "perread":
-        k = int(rng.integers(1, 13))
+        # contigs: a dense [rows, 4**k] oracle at k=12 over 30 kb reads
+        # is hundreds of MB — keep dense k small, nonzero covers big k.
+        k = int(rng.integers(1, 13 if shape != "contig" else 9))
     elif mode == "spectrum":
         k = int(rng.integers(1, 8))  # dense table parsed back: keep small
     else:
         k = int(rng.integers(2, 32))
     canonical = bool(rng.integers(0, 2))
     stream = bool(rng.integers(0, 2))
-    nonzero = k > 8 or (mode == "perread" and bool(rng.integers(0, 2)))
+    nonzero = k > 8 or (
+        mode == "perread"
+        and (bool(rng.integers(0, 2)) or (shape == "contig" and k > 6))
+    )
     batch = int(rng.integers(1, 24))
     mesh_n = int(rng.choice([2, 4, 8])) if use_mesh and bool(
         rng.integers(0, 2)
@@ -101,7 +151,7 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     cfg = dict(
         mode=mode, k=k, canonical=canonical, stream=stream, nonzero=nonzero,
         batch=batch, fastq=fastq, crlf=crlf, compress=str(compress),
-        n_reads=n_reads, mesh=mesh_n, min_qual=min_qual,
+        n_reads=n_reads, mesh=mesh_n, min_qual=min_qual, shape=shape,
     )
 
     # Sometimes run as a MULTI-FILE workflow (--out-dir, the Swift/K
