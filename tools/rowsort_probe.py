@@ -1,0 +1,140 @@
+"""Step-time decomposition probes for the fused row-sort kernel.
+
+Variants isolate the cost centers (sort network, RLE, partner mode,
+mask construction) by swapping pieces for free stand-ins — checksums
+differ between variants by design; only times are comparable.
+
+    python tools/rowsort_probe.py --variant full --mode roll
+    python tools/rowsort_probe.py --variant sortonly
+    python tools/rowsort_probe.py --variant rleonly
+    python tools/rowsort_probe.py --variant noop
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--len", dest="read_len", type=int, default=150)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--rb", type=int, default=256)
+    ap.add_argument("--mode", default="roll", choices=["gather", "roll"])
+    ap.add_argument(
+        "--variant", default="full",
+        choices=["full", "sortonly", "rleonly", "noop", "preponly",
+                 "kernelnoop", "kernelsort"],
+    )
+    ap.add_argument("--steps", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cfrk_tpu.ops.pallas import rowsort as rs
+
+    k, L, B, rb = args.k, args.read_len, args.batch, args.rb
+    w = L - k + 1
+    sent = 4**k
+    n = max(rs._next_pow2(w), rs.LANES)
+    g = n // rs.LANES
+
+    def kernel(idx_ref, chk_ref, *, variant, mode):
+        x = idx_ref[...]
+        if variant in ("full", "sortonly"):
+            (x,) = rs._bitonic_sort((x,), g, mode)
+        if variant in ("full", "rleonly"):
+            first, counts = rs._rle_sorted((x,), g, x != sent)
+            val = jnp.sum(counts & 3) + jnp.sum(jnp.where(first, x, 0) & 3)
+        else:
+            val = jnp.sum(x & 3)
+        chk_ref[pl.program_id(0), 0] = val
+
+    from cfrk_tpu.ops.encode import window_indices
+
+    def prep(codes):
+        idx = window_indices(codes, k, False)
+        idx = jnp.where(idx < 0, sent, idx)
+        idx, bb = rs._pad_split(idx, w, n, rb, sent)
+        return idx, bb
+
+    def call_kernel(idx, bb, variant):
+        blk = pl.BlockSpec((rb * g, rs.LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(kernel, variant=variant, mode=args.mode),
+            grid=(bb // rb,),
+            in_specs=[blk],
+            out_specs=pl.BlockSpec((bb // rb, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((bb // rb, 1), jnp.int32),
+        )(idx)
+        return jnp.sum(out)
+
+    rng = np.random.default_rng(0)
+    if args.variant in ("kernelnoop", "kernelsort"):
+        # pre-prepped split inputs: isolates the kernel from the prep
+        raw = rng.integers(0, 4, size=(4, B, L)).astype(np.int8)
+        pre = []
+        prep_j = jax.jit(prep)
+        for i in range(4):
+            idx, bb = prep_j(jnp.asarray(raw[i]))
+            pre.append(np.asarray(idx))
+        xs = jnp.asarray(np.stack(pre))
+        inner = "noop" if args.variant == "kernelnoop" else "sortonly"
+
+        @jax.jit
+        def step(idx):
+            return call_kernel(idx, idx.shape[0] // g, inner)
+    elif args.variant == "preponly":
+        xs = jnp.asarray(rng.integers(0, 4, size=(4, B, L)).astype(np.int8))
+
+        @jax.jit
+        def step(codes):
+            idx, bb = prep(codes)
+            return jnp.sum(idx[:, :1] & 3)  # consume without the kernel
+    else:
+        xs = jnp.asarray(rng.integers(0, 4, size=(4, B, L)).astype(np.int8))
+
+        @jax.jit
+        def step(codes):
+            idx, bb = prep(codes)
+            return call_kernel(idx, bb, args.variant)
+    _ = int(np.asarray(step(xs[0])))
+
+    def run(xs):
+        def body(c, i):
+            return c + step(xs[i % 4]), ()
+
+        c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(args.steps))
+        return c
+
+    fn = jax.jit(run)
+    _ = int(np.asarray(fn(xs)))
+    best = float("inf")
+    for _r in range(3):
+        t0 = time.perf_counter()
+        chk = int(np.asarray(fn(xs)))
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "variant": args.variant, "mode": args.mode, "k": k, "n": n,
+        "step_ms": round(best / args.steps * 1e3, 3),
+        "mbases_per_s": round(B * L * args.steps / best / 1e6, 1),
+        "chk": chk,
+    }))
+
+
+if __name__ == "__main__":
+    main()
