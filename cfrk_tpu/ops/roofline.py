@@ -56,7 +56,19 @@ __all__ = [
 INT8_MXU_OPS = 394e12
 BF16_MXU_FLOPS = 197e12
 HBM_BW = 819e9
-VPU_ELEM_OPS = 1.0e12
+# Raw VPU ALU throughput: the bf16 MXU peak (197e12 = 2*128*128*4 MXUs
+# * ~1.5 GHz) pins the clock; the VPU is (8, 128) lanes x 4 ALUs at the
+# same clock = ~6e12 element-ops/s.
+VPU_ALU_OPS = 6.0e12
+# Cross-lane traffic (rolls, gathers/permutes) moves ~1 vreg/cycle
+# through the permute path: 1024 lanes * 1.5 GHz = ~1.5e12 elements/s.
+CROSS_LANE_OPS = 1.5e12
+# EMPIRICAL effective rate of materialising int8 one-hot elements
+# (compare + cast + packed store): round 2's step-time decomposition
+# measured ~1.3 G elements in ~1.4 ms (docs/PERF.md) — the packing
+# relayouts keep it far below the raw ALU peak.  This constant anchors
+# the one-hot family floor the way it was actually measured.
+ONEHOT_BUILD_ELEMS_PER_S = 1.0e12
 SCALAR_UPDATES_PER_S = 0.94e9
 
 
@@ -94,17 +106,28 @@ def onehot_family_sol(batch: int, read_len: int, k: int,
     flops = 2.0 * batch * w * four_k
     build_elems = 2.0 * batch * w * (fh + fl)
     io = batch * four_k * bytes_per_bin if per_read else four_k * 4.0
-    t = max(flops / INT8_MXU_OPS, io / HBM_BW, build_elems / VPU_ELEM_OPS)
+    t = max(
+        flops / INT8_MXU_OPS,
+        io / HBM_BW,
+        build_elems / ONEHOT_BUILD_ELEMS_PER_S,
+    )
     return batch * read_len / t
 
 
 def sort_sol(batch: int, read_len: int, k: int, *, keys: int = 1) -> float:
-    """bases/s bound of the per-read bitonic row-sort kernel."""
+    """bases/s bound of the per-read bitonic row-sort kernel.
+
+    Each of the log2(n)(log2(n)+1)/2 compare-exchange stages needs, per
+    element per key: ONE cross-lane partner fetch (permute path,
+    CROSS_LANE_OPS) and two ALU ops (compare + select, VPU_ALU_OPS).
+    The stages are sequentially dependent, so the terms add.
+    """
     w = read_len - k + 1
     n = pad_pow2(w)
     log_n = n.bit_length() - 1
     stages = log_n * (log_n + 1) // 2
-    t = batch * n * stages * 3 * keys / VPU_ELEM_OPS
+    per_elem_s = 1.0 / CROSS_LANE_OPS + 2.0 / VPU_ALU_OPS
+    t = batch * n * stages * keys * per_elem_s
     return batch * read_len / t
 
 
