@@ -127,25 +127,69 @@ def _compare_swap(vals, partners, is_lower, ascending):
 
 
 def _bitonic_sort(vals: tuple, g: int, mode: str):
-    """Sort each read's g*128 elements ascending, keys lexicographic."""
+    """Sort each read's g*128 elements ascending, keys lexicographic.
+
+    The direction masks depend only on the stage distance (is_lower: 8
+    distinct) and merge-block size (ascending: 7 distinct), and the
+    gather index only on the distance — each is built ONCE here and
+    reused across the 36 stages, in case Mosaic does not CSE the
+    per-stage iota arithmetic.
+    """
     n = g * LANES
     log_n = n.bit_length() - 1
     shape = vals[0].shape
+    lane = _lane_iota(shape)
+    sub = _subrow_iota(shape) % g if g > 1 else None
+    gather_idx = {}  # d (< LANES) -> partner lane index
+    is_lower_by_s = {}
+    take_up_by_m = {}
+    ascending_by_p = {}
+    for p in range(1, log_n + 1):
+        blk = 1 << p
+        if blk < LANES or g == 1:
+            ascending_by_p[p] = (
+                (lane & blk) == 0 if blk < LANES else (lane & 0) == 0
+            )
+        elif blk // LANES < g:
+            ascending_by_p[p] = (sub & (blk // LANES)) == 0
+        else:  # final phase: whole read ascending
+            ascending_by_p[p] = (lane & 0) == 0
+        for s in range(p - 1, -1, -1):
+            d = 1 << s
+            if d < LANES:
+                if mode == "gather" and d not in gather_idx:
+                    gather_idx[d] = lane ^ d
+                is_lower_by_s[s] = is_lower_by_s.get(s, (lane & d) == 0)
+            else:
+                m = d // LANES
+                take_up_by_m[m] = take_up_by_m.get(m, (sub & m) == 0)
+                is_lower_by_s[s] = take_up_by_m[m]
+
     for p in range(1, log_n + 1):
         for s in range(p - 1, -1, -1):
             d = 1 << s
             if d < LANES:
-                partners = tuple(_partner_lane(v, d, mode) for v in vals)
+                if mode == "gather":
+                    idx = gather_idx[d]
+                    partners = tuple(
+                        jnp.take_along_axis(v, idx, axis=1) for v in vals
+                    )
+                else:
+                    low = is_lower_by_s[s]
+                    partners = tuple(
+                        jnp.where(low, _roll_lane(v, -d), _roll_lane(v, d))
+                        for v in vals
+                    )
             else:
                 m = d // LANES
-                sub = _subrow_iota(shape) % g
-                take_up = (sub & m) == 0
+                take_up = take_up_by_m[m]
                 partners = tuple(
                     jnp.where(take_up, _roll_sub(v, -m), _roll_sub(v, m))
                     for v in vals
                 )
-            is_lower, ascending = _stage_masks(shape, g, p, d)
-            vals = _compare_swap(vals, partners, is_lower, ascending)
+            vals = _compare_swap(
+                vals, partners, is_lower_by_s[s], ascending_by_p[p]
+            )
     return vals
 
 
@@ -258,7 +302,7 @@ def rowsort_rle_pallas(
     k: int,
     *,
     canonical: bool = False,
-    read_block: int = 256,
+    read_block: int = 512,
     interpret: bool | None = None,
     mode: str = "gather",
     checksum: bool = False,
@@ -338,7 +382,7 @@ def rowsort_rle_pallas_large(
     k: int,
     *,
     canonical: bool = False,
-    read_block: int = 256,
+    read_block: int = 512,
     interpret: bool | None = None,
     mode: str = "gather",
     checksum: bool = False,
