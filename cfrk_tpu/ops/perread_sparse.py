@@ -82,13 +82,18 @@ def compact_pairs(idx: jax.Array, counts: jax.Array, k: int):
     For k <= 8 every REAL index fits uint16 (< 4**8 = 65536); the
     sentinel 4**k wraps to 0, but it only appears on count-0 cells,
     which every consumer (the pair formatters) skips — so the wrap is
-    unobservable.  Counts fit int16 whenever windows/read < 2**15
-    (counts are bounded by it).  Halves the drain's D2H bytes;
+    unobservable.  Counts are bounded by windows/read: uint8 below 256
+    (short reads — the common case), int16 below 2**15.  At the rowsort
+    kernel's ~0.23 ms/batch device pace the pair drain needs ~15 GB/s
+    of D2H at 3 bytes/pair; every byte here is production PCIe headroom.
     :func:`pairs_to_host` widens back to int32 for the formatter.
     """
     if k <= 8:
         idx = idx.astype(jnp.uint16)
-    if counts.shape[-1] < 2**15:
+    w = counts.shape[-1]
+    if w < 256:
+        counts = counts.astype(jnp.uint8)
+    elif w < 2**15:
         counts = counts.astype(jnp.int16)
     return idx, counts
 
@@ -176,7 +181,10 @@ def narrow_for_fetch(device_out, k: int):
     if len(device_out) == 2:
         return compact_pairs(*device_out, k)
     hi, lo, cnt = device_out
-    if cnt.shape[-1] < 2**15:  # halve the counts D2H
+    w = cnt.shape[-1]
+    if w < 256:  # counts bounded by windows/read: uint8 for short reads
+        cnt = cnt.astype(jnp.uint8)
+    elif w < 2**15:
         cnt = cnt.astype(jnp.int16)
     return hi, lo, cnt
 

@@ -186,3 +186,45 @@ def test_sparse_large_k_canonical_oracle():
             want[key] = want.get(key, 0) + 1
         got = {int(i): int(c) for i, c in zip(idx[r], counts[r]) if c > 0}
         assert got == want
+
+
+def test_narrow_for_fetch_dtype_ladder():
+    """D2H narrowing: uint8 counts for short reads (< 256 windows),
+    int16 below 2**15, uint16 idx for k <= 8 — and pairs_to_host widens
+    everything back to int32 exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+        narrow_for_fetch,
+        pairs_to_host,
+    )
+
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, size=(6, 150)).astype(np.int8))
+    out = count_perread_sparse(codes, 8)
+    ni, nc = narrow_for_fetch(out, 8)
+    assert ni.dtype == jnp.uint16 and nc.dtype == jnp.uint8
+    wi, wc = pairs_to_host((ni, nc), 6)
+    ri, rc = pairs_to_host(out, 6)
+    np.testing.assert_array_equal(wc, rc)
+    mask = rc > 0
+    np.testing.assert_array_equal(wi[mask], ri[mask])
+
+    # long reads: counts can exceed 255 -> int16
+    long_codes = jnp.asarray(np.zeros((2, 600), np.int8))  # poly-A
+    out2 = count_perread_sparse(long_codes, 8)
+    _, nc2 = narrow_for_fetch(out2, 8)
+    assert nc2.dtype == jnp.int16
+    _, wc2 = pairs_to_host(narrow_for_fetch(out2, 8), 2)
+    assert int(wc2.max()) == 600 - 8 + 1  # single run of all windows
+
+    out31 = count_perread_sparse_large(codes, 31, True)
+    trip = narrow_for_fetch(out31, 31)
+    assert trip[2].dtype == jnp.uint8
+    k2, c2 = pairs_to_host(trip, 6)
+    rk, rcc = pairs_to_host(out31, 6)
+    np.testing.assert_array_equal(c2, rcc)
+    np.testing.assert_array_equal(k2[rcc > 0], rk[rcc > 0])
