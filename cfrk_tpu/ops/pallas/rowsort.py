@@ -337,7 +337,11 @@ def rowsort_rle_pallas(
     idx = jnp.where(idx < 0, sent, idx)
     n = max(_next_pow2(w), LANES)
     g = n // LANES
-    rb = max(8, (min(read_block, b) // 8) * 8)
+    # Cap the block at ~1024 VMEM rows (0.5 MB/buffer at 128 int32
+    # lanes): long reads multiply rows by g = n/128, so rb scales down
+    # to keep in+out blocks and their pipeline copies inside VMEM.
+    rb = min(read_block, b, max(8, 1024 // g))
+    rb = max(8, (rb // 8) * 8)
     idx, bb = _pad_split(idx, w, n, rb, sent)
 
     kernel = functools.partial(
@@ -420,7 +424,11 @@ def rowsort_rle_pallas_large(
 
     n = max(_next_pow2(w), LANES)
     g = n // LANES
-    rb = max(8, (min(read_block, b) // 8) * 8)
+    # Cap the block at ~1024 VMEM rows (0.5 MB/buffer at 128 int32
+    # lanes): long reads multiply rows by g = n/128, so rb scales down
+    # to keep in+out blocks and their pipeline copies inside VMEM.
+    rb = min(read_block, b, max(8, 1024 // g))
+    rb = max(8, (rb // 8) * 8)
     hi, bb = _pad_split(hi, w, n, rb, sent_i)
     lo, _ = _pad_split(lo, w, n, rb, sent_i)
 
