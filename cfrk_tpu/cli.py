@@ -639,7 +639,7 @@ def _run_byte_ranged(args, t0) -> int:
             checkpoint_every=args.checkpoint_every or 64,
             mesh=args.mesh, slack=args.slack,
             byte_range=(start, limit), cleanup=False,
-            min_qual=args.min_qual,
+            min_qual=args.min_qual, seqpar=args.seqpar,
         )
         with open(part, "wb") as f:
             np.savez(f, keys=keys, counts=cnts)
@@ -846,7 +846,7 @@ def _run_inputs(args, t0) -> int:
                 out_path=out, resume=args.resume,
                 checkpoint_every=args.checkpoint_every or 64,
                 cleanup=False, mesh=args.mesh, slack=args.slack,
-                min_qual=args.min_qual,
+                min_qual=args.min_qual, seqpar=args.seqpar,
             )
             _write_sparse(
                 out, keys, cnts, args.k,
@@ -947,6 +947,7 @@ def _run_inputs(args, t0) -> int:
                 mesh=args.mesh,
                 slack=args.slack,
                 min_qual=args.min_qual,
+                seqpar=args.seqpar,
             )
             skeys = sorted(table)
             _write_sparse(

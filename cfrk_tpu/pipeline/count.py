@@ -405,31 +405,42 @@ def sparse_spectrum_file(
     mesh=None,
     slack: float = 2.0,
     min_qual: int = 0,
+    seqpar: bool = False,
 ) -> dict:
     """Sparse spectrum of a FASTA file for large k (16..31).
 
     Returns {int_kmer_code: count}.  Device side sorts + run-length
     encodes per batch (ops/sparse.py); batches merge on host.  With
     ``mesh``, keys route through the all_to_all bucket exchange
-    (parallel/bucket.py) with automatic overflow retry.
+    (parallel/bucket.py) with automatic overflow retry — or, with
+    ``seqpar``, each device sorts its own POSITION slice of a 1-D
+    ``sp`` mesh (the long-contig shape; parallel/seqpar.py).
     """
     from ..ops.sparse import (
         SparseAccumulator,
         batch_spectrum_triples,
         fetch_triples,
+        rows_to_triples,
     )
 
     reads = read_fasta_encoded(path, min_qual)
     if not reads:
         return {}
     bs, ml = _plan_shapes(reads, k, batch_size, max_len)
-    if mesh is not None:
+    if mesh is not None and seqpar:
+        from ..parallel.seqpar import spectrum_seqpar_triples
+    elif mesh is not None:
         from ..parallel.bucket import sparse_spectrum_sharded_retry
 
         bs = -(-bs // mesh.size) * mesh.size
     acc = SparseAccumulator()
     for batch in iter_batches(reads, bs, ml):
-        if mesh is not None:
+        if mesh is not None and seqpar:
+            rows = spectrum_seqpar_triples(
+                jax.numpy.asarray(batch.codes), k, mesh, canonical=canonical
+            )
+            acc.add(*rows_to_triples(rows, k))
+        elif mesh is not None:
             hi, lo, counts, slack = sparse_spectrum_sharded_retry(
                 jax.numpy.asarray(batch.codes), k, mesh,
                 canonical=canonical, slack=slack,

@@ -275,3 +275,29 @@ def test_seqpar_sorted_spectrum_file(devices, rng, tmp_path):
     got = spectrum_file(str(fa), 12, impl="sort", mesh=mesh, seqpar=True,
                         max_len=128)
     np.testing.assert_array_equal(got, want)
+
+
+def test_seqpar_sparse_spectrum_file(devices, rng, tmp_path):
+    """--mode sparse (k 16..31) + seqpar: per-slice 2-key row sorts must
+    reproduce the NumPy oracle (previously a seq mesh silently fell
+    into row-sharded bucket routing)."""
+    from collections import Counter
+
+    from cfrk_tpu.ops.reference import window_indices_np
+    from cfrk_tpu.pipeline.count import sparse_spectrum_file
+
+    mesh = make_seq_mesh(devices)
+    codes = _batch(rng, 3, 256, p_invalid=0.01)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "sp31.fasta"
+    with open(fa, "wb") as f:
+        for i, row in enumerate(codes):
+            seq = bytes(lut[b] if b >= 0 else ord("N") for b in row)
+            f.write(b">r%d\n" % i + seq + b"\n")
+    got = sparse_spectrum_file(str(fa), 19, mesh=mesh, seqpar=True,
+                               max_len=256)
+    want: Counter = Counter()
+    for r in codes:
+        idx = window_indices_np(r, 19)
+        want.update(int(v) for v in idx[idx >= 0])
+    assert got == dict(want)
