@@ -258,7 +258,7 @@ def count_one_factory(
                     out_path=out, resume=res,
                     checkpoint_every=checkpoint_every or 64,
                     cleanup=False, mesh=mesh, slack=slack,
-                    min_qual=min_qual,
+                    min_qual=min_qual, seqpar=seqpar,
                 )
                 n = m.reads
             else:
@@ -267,7 +267,7 @@ def count_one_factory(
                 table = sparse_spectrum_file(
                     inp, k, canonical=canonical, batch_size=batch_size,
                     max_len=max_len, mesh=mesh, slack=slack,
-                    min_qual=min_qual,
+                    min_qual=min_qual, seqpar=seqpar,
                 )
                 n = 0
                 keys = sorted(table)
