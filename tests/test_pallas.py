@@ -410,4 +410,4 @@ def test_count_perread_rows_dispatcher(rng):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     # eligibility is shape- and impl-gated
     assert not rowsort_eligible(8, 143, impl="sort")
-    assert not rowsort_eligible(8, 5000, impl="auto")  # > 2048 pad
+    assert not rowsort_eligible(8, 40000, impl="auto")  # > 16384 pad
