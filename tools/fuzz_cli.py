@@ -218,6 +218,11 @@ def run_trial(rng: np.random.Generator, tmp: str, use_mesh: bool) -> dict:
     cfg["seqpar"] = seqpar
     if seqpar:
         argv.append("--seqpar")
+        if mode == "spectrum" and bool(rng.integers(0, 2)):
+            # the round-3 per-slice SORTED route (each device row-sorts
+            # its own position slice; host fold merges duplicates)
+            argv += ["--impl", "sort"]
+            cfg["impl"] = "sort"
 
     # Stdin draw: feed the same bytes through '-' (pipe ingest).  Needs
     # the sequential-only paths, so it excludes the crash/resume draw
