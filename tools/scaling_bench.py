@@ -34,7 +34,12 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--reads-per-device", type=int, default=2048)
     ap.add_argument("--read-len", type=int, default=150)
-    ap.add_argument("--mode", choices=["perread", "spectrum"], default="perread")
+    ap.add_argument(
+        "--mode",
+        choices=["perread", "spectrum", "rows"],
+        default="perread",
+        help="rows = sparse per-read pairs (the rowsort kernel on TPU)",
+    )
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh (8 devices)")
@@ -75,6 +80,10 @@ def main() -> None:
         def step(batch=batch, mesh=mesh):
             if args.mode == "perread":
                 out = count_perread_sharded(batch, args.k, mesh)
+            elif args.mode == "rows":
+                from cfrk_tpu.parallel import count_perread_sparse_sharded
+
+                out = count_perread_sparse_sharded(batch, args.k, mesh)[-1]
             else:
                 out = spectrum_sharded(batch, args.k, mesh)
             # Scalar fetch = honest sync (see bench.py measurement notes).
