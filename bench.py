@@ -34,12 +34,12 @@ reported per k (docs/PERF.md "Rooflines"):
   one-hots and is scored against the same bar.
 * ``vs_sort_sol``: the kernel against its own bitonic-network roofline:
   sum-over-phases stages = log2(n)(log2(n)+1)/2 compare-exchange passes
-  over the padded window axis n, charged at 3 VPU element-ops per
-  element per stage for a single int32 key (partner fetch, compare,
-  select) and 6 for the 2-key lexicographic variant, at the v5e VPU's
-  ~1e12 int32 element-ops/s (8x128 lanes x 8 ops/cycle x ~0.94 GHz).
-  RLE and pair emit ride under the same bound (the model charges only
-  the sort network — generous to the roofline, honest to the fraction).
+  over the padded window axis n, charged per element per key as one
+  cross-lane partner fetch (~1.5e12/s permute path) plus two ALU ops
+  (~6e12/s VPU) — doubled for the 2-key lexicographic variant.  RLE and
+  pair emit ride under the same bound (the model charges only the sort
+  network — generous to the roofline, honest to the fraction; constants
+  derived in cfrk_tpu/ops/roofline.py).
 
 Measurement honesty (the round-1 lesson still applies):
 
@@ -137,11 +137,14 @@ def _measure(fn, xs) -> float:
     trip whose latency variance is tens of ms — min() keeps the honest
     device number)."""
     dt = math.inf
+    chks = []
     for _rep in range(3):
         t0 = time.perf_counter()
-        chk = int(np.asarray(fn(xs)))
+        chks.append(int(np.asarray(fn(xs))))
         dt = min(dt, time.perf_counter() - t0)
-    assert chk != 0 or True  # data-dependent fetch happened
+    # The fetched scalar data-depends on every step; identical inputs
+    # must give identical checksums or the measurement ran nothing real.
+    assert len(set(chks)) == 1, f"non-deterministic checksums: {chks}"
     return dt
 
 

@@ -486,12 +486,22 @@ def main(argv=None) -> int:
                     # Refuse rather than silently run at 1/N throughput
                     # on process 0 (round-2 verdict weak #5): tell the
                     # user exactly how to make the input shardable.
+                    if inp == "-":
+                        raise SystemExit(
+                            "--distributed needs a seekable input to "
+                            "shard byte ranges; stdin ('-') is a pipe. "
+                            "Write the stream to a file (bgzip it for "
+                            "compression) or pre-shard per host"
+                        )
                     is_gz = False
                     try:
                         with open(inp, "rb") as f:
                             is_gz = f.read(2) == b"\x1f\x8b"
-                    except OSError:
-                        pass
+                    except OSError as e:
+                        raise SystemExit(
+                            f"--distributed could not read {inp!r} to "
+                            f"plan byte ranges: {e}"
+                        )
                     if is_gz:
                         why = (
                             "plain (non-BGZF) gzip permits no random "

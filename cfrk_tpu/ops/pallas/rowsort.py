@@ -75,38 +75,6 @@ def _subrow_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
 
-def _partner_lane(x, d: int, mode: str):
-    """Row-local bitonic partner (lane index XOR d), d < 128."""
-    lane = _lane_iota(x.shape)
-    if mode == "gather":
-        return jnp.take_along_axis(x, lane ^ d, axis=1)
-    up = _roll_lane(x, -d)
-    dn = _roll_lane(x, d)
-    return jnp.where((lane & d) == 0, up, dn)
-
-
-def _stage_masks(shape, g: int, p: int, d: int):
-    """(is_lower, ascending) masks for the stage (block 2**p, dist d).
-
-    The element's index within its read is i = (subrow % g)*128 + lane;
-    both masks are pure iota arithmetic the compiler constant-folds.
-    """
-    lane = _lane_iota(shape)
-    sub = _subrow_iota(shape) % g if g > 1 else None
-    if d < LANES:
-        is_lower = (lane & d) == 0
-    else:
-        is_lower = (sub & (d // LANES)) == 0
-    blk = 1 << p
-    if blk < LANES or g == 1:
-        ascending = (lane & blk) == 0 if blk < LANES else (lane & 0) == 0
-    elif blk // LANES < g:
-        ascending = (sub & (blk // LANES)) == 0
-    else:  # final phase: whole read ascending
-        ascending = (lane & 0) == 0
-    return is_lower, ascending
-
-
 def _exchange(vals, partners, keep_self):
     return tuple(
         jnp.where(keep_self, v, pv) for v, pv in zip(vals, partners)
@@ -415,8 +383,11 @@ def rowsort_rle_pallas_large(
         interpret = jax.default_backend() not in ("tpu",)
     hi, lo = kmer_keys(codes, k, canonical)  # [B, W] uint32
 
-    # Order-preserving uint32 → int32 map: flip the sign bit.  Real hi
-    # keys are < 2**31 so this only matters for the sentinel.
+    # Order-preserving uint32 → int32 map: flip the sign bit.  NOTE a
+    # 16-T hi prefix at k=31 DOES collide with the hi sentinel value —
+    # which is why validity is always judged on lo (valid lo < 4**15 <
+    # sentinel, never ambiguous), and why the RLE real-mask below must
+    # stay on lo.
     flip = jnp.uint32(0x80000000)
     hi = (hi ^ flip).astype(jnp.int32)
     lo = (lo ^ flip).astype(jnp.int32)

@@ -8,10 +8,11 @@ roofline instead.  Chip constants are TPU v5e (one chip):
 
 * int8 MXU peak 394 Top/s, bf16 197 Tflop/s;
 * HBM ~819 GB/s;
-* VPU ~1e12 int32 element-ops/s (8x128 lanes x 8 ops/cycle x ~0.94 GHz
-  — the constant is anchored empirically: round 2's step-time
-  decomposition measured ~1.3 G one-hot int8 elements built in ~1.4 ms,
-  docs/PERF.md "Rejected kernel designs").
+* VPU ALU ~6e12 element-ops/s (clock pinned by the MXU peak, (8,128)
+  lanes x 4 ALUs), cross-lane permute path ~1.5e12/s, and an EMPIRICAL
+  ~1e12/s one-hot materialisation rate (round 2's step-time
+  decomposition: ~1.3 G int8 one-hot elements in ~1.4 ms — packing
+  relayouts, not raw ALU, bind it).
 
 Roofline families:
 
@@ -27,10 +28,11 @@ Roofline families:
   one-hot kernel's vs_sol approaches 1.0 under this model; the gap
   between this and :func:`dense_emit_sol` is the floor proof.
 * :func:`sort_sol` — the row-sort kernel's own bound: the bitonic
-  network's log2(n)*(log2(n)+1)/2 compare-exchange passes at 3 VPU
-  element-ops per element per stage per key (partner fetch, compare,
-  select).  RLE and pair emit ride under it (the model charges only the
-  sort network — generous to the roofline, honest to the fraction).
+  network's log2(n)*(log2(n)+1)/2 compare-exchange passes, charged per
+  element per key as one cross-lane partner fetch (permute path) plus
+  two ALU ops (compare, select).  RLE and pair emit ride under it (the
+  model charges only the sort network — generous to the roofline,
+  honest to the fraction).
 * :func:`scatter_sol` — XLA's serialised scatter accumulate, charged at
   one update per VPU cycle (~0.94e9/s).  Generous to XLA (real scatters
   also re-walk the table), but it makes the sort route's win quotable.
@@ -44,7 +46,9 @@ __all__ = [
     "INT8_MXU_OPS",
     "BF16_MXU_FLOPS",
     "HBM_BW",
-    "VPU_ELEM_OPS",
+    "VPU_ALU_OPS",
+    "CROSS_LANE_OPS",
+    "ONEHOT_BUILD_ELEMS_PER_S",
     "SCALAR_UPDATES_PER_S",
     "pad_pow2",
     "dense_emit_sol",

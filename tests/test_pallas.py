@@ -411,3 +411,20 @@ def test_count_perread_rows_dispatcher(rng):
     # eligibility is shape- and impl-gated
     assert not rowsort_eligible(8, 143, impl="sort")
     assert not rowsort_eligible(8, 40000, impl="auto")  # > 16384 pad
+
+
+def test_rowsort_large_16T_hi_sentinel_collision():
+    """A 16-T prefix at k=31 makes the hi key half equal the sentinel
+    value — validity must be judged on lo (always < 4**15 for real
+    windows), never hi, or these k-mers vanish."""
+    from cfrk_tpu.ops.pallas.rowsort import rowsort_rle_pallas_large
+    from cfrk_tpu.ops.perread_sparse import count_perread_sparse_large
+
+    codes = np.zeros((4, 60), np.int8)
+    codes[:, :20] = 3  # TTTTTTTTTTTTTTTTTTTT... prefix
+    got = rowsort_rle_pallas_large(jnp.asarray(codes), 31, interpret=True)
+    want = count_perread_sparse_large(jnp.asarray(codes), 31, False)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the runs must actually exist (count > 0 somewhere)
+    assert int(np.asarray(got[2]).sum()) > 0

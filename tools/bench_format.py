@@ -16,6 +16,10 @@ import os
 import sys
 import time
 
+# Single-core numbers by construction (the docstring's contract): the
+# extension honours this cap in format_row_segments.
+os.environ.setdefault("CFRK_FORMAT_THREADS", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
