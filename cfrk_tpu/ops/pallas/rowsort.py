@@ -94,6 +94,63 @@ def _compare_swap(vals, partners, is_lower, ascending):
     return _exchange(vals, partners, keep_self)
 
 
+def _bitonic_sort_span(vals: tuple, span: int, mode: str):
+    """Sort SPAN-element groups within each 128-lane row independently.
+
+    The short-read layout: 128/span reads share one row (span = padded
+    windows/read, a power of two <= 64).  All partner fetches stay
+    inside their span group — ``lane ^ d`` with d < span never crosses
+    a span boundary, and neither do the roll-mode selects (adding or
+    subtracting a clear/set bit below the span bit).
+    """
+    shape = vals[0].shape
+    lane = _lane_iota(shape)
+    log_s = span.bit_length() - 1
+    true_mask = (lane & 0) == 0
+    for p in range(1, log_s + 1):
+        blk = 1 << p
+        ascending = (lane & blk) == 0 if blk < span else true_mask
+        for s in range(p - 1, -1, -1):
+            d = 1 << s
+            if mode == "gather":
+                idx = lane ^ d
+                partners = tuple(
+                    jnp.take_along_axis(v, idx, axis=1) for v in vals
+                )
+            else:
+                low = (lane & d) == 0
+                partners = tuple(
+                    jnp.where(low, _roll_lane(v, -d), _roll_lane(v, d))
+                    for v in vals
+                )
+            vals = _compare_swap(vals, partners, (lane & d) == 0, ascending)
+    return vals
+
+
+def _rle_sorted_span(keys: tuple, span: int, real):
+    """RLE for the short-read span layout (see _bitonic_sort_span)."""
+    shape = keys[0].shape
+    lane = _lane_iota(shape)
+    pos = lane & (span - 1)
+
+    def shift_left(x, d, fill):
+        return jnp.where(pos < span - d, _roll_lane(x, -d), fill)
+
+    prev = _roll_lane(keys[0], 1)  # pos == 0 is masked by `first` below
+    neq = keys[0] != prev
+    for kk in keys[1:]:
+        neq = neq | (kk != _roll_lane(kk, 1))
+    first = ((pos == 0) | neq) & real
+    boundary = jnp.where(first | ~real, pos, span)
+    nxt = shift_left(boundary, 1, span)
+    d = 1
+    while d < span:
+        nxt = jnp.minimum(nxt, shift_left(nxt, d, span))
+        d *= 2
+    counts = jnp.where(first, nxt - pos, 0)
+    return first, counts
+
+
 def _bitonic_sort(vals: tuple, g: int, mode: str):
     """Sort each read's g*128 elements ascending, keys lexicographic.
 
@@ -213,14 +270,26 @@ def _rle_sorted(keys: tuple, g: int, real):
     return first, counts
 
 
+def _sort_and_rle(keys: tuple, g: int, span: int, mode: str, real_of):
+    """Dispatch to the sub-row (long-read) or span (short-read) network."""
+    if span < LANES:
+        keys = _bitonic_sort_span(keys, span, mode)
+        first, counts = _rle_sorted_span(keys, span, real_of(keys))
+    else:
+        keys = _bitonic_sort(keys, g, mode)
+        first, counts = _rle_sorted(keys, g, real_of(keys))
+    return keys, first, counts
+
+
 def _rowsort_kernel(
     idx_ref, idx_out_ref, cnt_out_ref, *rest,
-    sentinel: int, g: int, mode: str, checksum: bool,
+    sentinel: int, g: int, span: int, mode: str, checksum: bool,
 ):
     if checksum:
         (chk_ref,) = rest
-    (x,) = _bitonic_sort((idx_ref[...],), g, mode)
-    first, counts = _rle_sorted((x,), g, x != sentinel)
+    (x,), first, counts = _sort_and_rle(
+        (idx_ref[...],), g, span, mode, lambda ks: ks[0] != sentinel
+    )
     idx_out_ref[...] = jnp.where(first, x, sentinel)
     cnt_out_ref[...] = counts
     if checksum:
@@ -232,12 +301,14 @@ def _rowsort_kernel(
 
 def _rowsort_kernel_large(
     hi_ref, lo_ref, hi_out_ref, lo_out_ref, cnt_out_ref, *rest,
-    sentinel: int, g: int, mode: str, checksum: bool,
+    sentinel: int, g: int, span: int, mode: str, checksum: bool,
 ):
     if checksum:
         (chk_ref,) = rest
-    hi, lo = _bitonic_sort((hi_ref[...], lo_ref[...]), g, mode)
-    first, counts = _rle_sorted((hi, lo), g, lo != sentinel)
+    (hi, lo), first, counts = _sort_and_rle(
+        (hi_ref[...], lo_ref[...]), g, span, mode,
+        lambda ks: ks[1] != sentinel,
+    )
     hi_out_ref[...] = jnp.where(first, hi, sentinel)
     lo_out_ref[...] = jnp.where(first, lo, sentinel)
     cnt_out_ref[...] = counts
@@ -248,8 +319,32 @@ def _rowsort_kernel_large(
         )
 
 
-def _pad_split(arr, w: int, n: int, rb: int, fill: int):
-    """[B, w] → [(B_pad // rb) blocks of] split layout [B_pad*g, 128]."""
+def _plan_layout(w: int, b: int, read_block: int):
+    """Pick the row layout for W windows/read.
+
+    Returns (n, g, span, rb):
+    * long/standard reads (padded W >= 128): n = g*128, span = 128,
+      each read spans g sub-rows; rb reads per block, capped so blocks
+      hold ~1024 VMEM rows.
+    * short reads (padded W <= 64): span = padded W (32 or 64), n =
+      span, g = 1, and 128/span reads PACK into each row — the whole
+      pipeline (sort, RLE, I/O) shrinks by the packing factor.
+    """
+    n = max(_next_pow2(w), 32)
+    if n < LANES:
+        span = n  # 32 or 64
+        rpr = LANES // span
+        unit = 8 * rpr  # rows align to the 8-sublane tile
+        rb = min(1024 * rpr, -(-b // unit) * unit)
+        return n, 1, span, rb
+    g = n // LANES
+    rb = min(read_block, b, max(8, 1024 // g))
+    rb = max(8, (rb // 8) * 8)
+    return n, g, LANES, rb
+
+
+def _pad_split(arr, w: int, n: int, span: int, rb: int, fill: int):
+    """[B, w] → padded row layout [rows, 128] (see _plan_layout)."""
     b = arr.shape[0]
     if n > w:
         arr = jnp.pad(arr, ((0, 0), (0, n - w)), constant_values=fill)
@@ -257,6 +352,8 @@ def _pad_split(arr, w: int, n: int, rb: int, fill: int):
     if pad_b:
         arr = jnp.pad(arr, ((0, pad_b), (0, 0)), constant_values=fill)
     bb = arr.shape[0]
+    if span < LANES:  # pack 128/span reads per row
+        return arr.reshape(bb // (LANES // span), LANES), bb
     return arr.reshape(bb * (n // LANES), LANES), bb
 
 
@@ -303,25 +400,22 @@ def rowsort_rle_pallas(
     sent = 4**k
     idx = window_indices(codes, k, canonical)  # [B, W], -1 invalid
     idx = jnp.where(idx < 0, sent, idx)
-    n = max(_next_pow2(w), LANES)
-    g = n // LANES
-    # Cap the block at ~1024 VMEM rows (0.5 MB/buffer at 128 int32
-    # lanes): long reads multiply rows by g = n/128, so rb scales down
-    # to keep in+out blocks and their pipeline copies inside VMEM.
-    rb = min(read_block, b, max(8, 1024 // g))
-    rb = max(8, (rb // 8) * 8)
-    idx, bb = _pad_split(idx, w, n, rb, sent)
+    n, g, span, rb = _plan_layout(w, b, read_block)
+    idx, bb = _pad_split(idx, w, n, span, rb, sent)
+    rows_blk = rb * g if span == LANES else rb // (LANES // span)
+    rows_all = bb * g if span == LANES else bb // (LANES // span)
 
     kernel = functools.partial(
-        _rowsort_kernel, sentinel=sent, g=g, mode=mode, checksum=checksum
+        _rowsort_kernel, sentinel=sent, g=g, span=span, mode=mode,
+        checksum=checksum,
     )
     blk = pl.BlockSpec(
-        (rb * g, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (rows_blk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_specs = [blk, blk]
     out_shape = [
-        jax.ShapeDtypeStruct((bb * g, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((bb * g, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows_all, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows_all, LANES), jnp.int32),
     ]
     if checksum:
         out_specs.append(
@@ -393,28 +487,24 @@ def rowsort_rle_pallas_large(
     lo = (lo ^ flip).astype(jnp.int32)
     sent_i = 0x7FFFFFFF  # sentinel 0xFFFFFFFF after the sign flip
 
-    n = max(_next_pow2(w), LANES)
-    g = n // LANES
-    # Cap the block at ~1024 VMEM rows (0.5 MB/buffer at 128 int32
-    # lanes): long reads multiply rows by g = n/128, so rb scales down
-    # to keep in+out blocks and their pipeline copies inside VMEM.
-    rb = min(read_block, b, max(8, 1024 // g))
-    rb = max(8, (rb // 8) * 8)
-    hi, bb = _pad_split(hi, w, n, rb, sent_i)
-    lo, _ = _pad_split(lo, w, n, rb, sent_i)
+    n, g, span, rb = _plan_layout(w, b, read_block)
+    hi, bb = _pad_split(hi, w, n, span, rb, sent_i)
+    lo, _ = _pad_split(lo, w, n, span, rb, sent_i)
+    rows_blk = rb * g if span == LANES else rb // (LANES // span)
+    rows_all = bb * g if span == LANES else bb // (LANES // span)
 
     kernel = functools.partial(
-        _rowsort_kernel_large, sentinel=sent_i, g=g, mode=mode,
+        _rowsort_kernel_large, sentinel=sent_i, g=g, span=span, mode=mode,
         checksum=checksum,
     )
     blk = pl.BlockSpec(
-        (rb * g, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (rows_blk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_specs = [blk, blk, blk]
     out_shape = [
-        jax.ShapeDtypeStruct((bb * g, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((bb * g, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((bb * g, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows_all, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows_all, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows_all, LANES), jnp.int32),
     ]
     if checksum:
         out_specs.append(

@@ -428,3 +428,38 @@ def test_rowsort_large_16T_hi_sentinel_collision():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # the runs must actually exist (count > 0 somewhere)
     assert int(np.asarray(got[2]).sum()) > 0
+
+
+@pytest.mark.parametrize("length,exp_span", [(36, 32), (70, 64)])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_rowsort_short_read_span_packing(rng, length, exp_span, canonical):
+    """Reads with <= 64 padded windows pack 128/span per 128-lane row
+    (measured ~9 Gbases/s on-chip); parity must hold for both k ranges,
+    odd batches, and both partner modes."""
+    from cfrk_tpu.ops.pallas.rowsort import (
+        _plan_layout,
+        rowsort_rle_pallas,
+        rowsort_rle_pallas_large,
+    )
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+    )
+
+    n, g, span, rb = _plan_layout(length - 8 + 1, 37, 512)
+    assert span == exp_span and g == 1
+    codes = jnp.asarray(_batch(rng, 37, length))
+    ri, rc = count_perread_sparse(codes, 8, canonical)
+    for mode in ("gather", "roll"):
+        gi, gc = rowsort_rle_pallas(
+            codes, 8, canonical=canonical, mode=mode, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+    if length >= 40:
+        r = count_perread_sparse_large(codes, 31, canonical)
+        got = rowsort_rle_pallas_large(
+            codes, 31, canonical=canonical, interpret=True
+        )
+        for a, b in zip(got, r):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
