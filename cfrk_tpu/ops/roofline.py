@@ -127,7 +127,9 @@ def sort_sol(batch: int, read_len: int, k: int, *, keys: int = 1) -> float:
     The stages are sequentially dependent, so the terms add.
     """
     w = read_len - k + 1
-    n = pad_pow2(w)
+    # floor 32 matches the kernel's short-read span packing (128/span
+    # reads per row): the network size is the padded span, not 128.
+    n = pad_pow2(w, floor=32)
     log_n = n.bit_length() - 1
     stages = log_n * (log_n + 1) // 2
     per_elem_s = 1.0 / CROSS_LANE_OPS + 2.0 / VPU_ALU_OPS

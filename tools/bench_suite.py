@@ -97,7 +97,7 @@ def main() -> None:
     ap.add_argument(
         "--only", default=None,
         help=(
-            "comma-separated subset: golden,perread_k8,perread_k8_rowsort,"
+            "comma-separated subset: golden,perread_k8,perread_k8_rowsort,perread_k8_short,"
             "spectrum_k15,spectrum_k8_pallas,spectrum_k8_sort,"
             "spectrum_k15_sort,sparse_k31,ingest,stream,stream_spectrum"
         ),
@@ -230,6 +230,36 @@ def main() -> None:
             sort_sol(args.reads, args.read_len, 8),
             {"sol_model": "sort"},
         )
+
+    # 2b. short-read pairs (70 bp): the span-packed layout — 128/span
+    #     reads share each row, ~2x the per-base rate of 150 bp.
+    if want("perread_k8_short"):
+        from cfrk_tpu.ops.perread_sparse import count_perread_rows
+
+        short = jnp.asarray(
+            np.stack([
+                rng.integers(0, 4, size=(args.reads, 70)).astype(np.int8)
+                for _ in range(n_xs)
+            ])
+        )
+
+        def _step_short(a):
+            i, c = count_perread_rows(a, 8)
+            return jnp.sum(c & 3, dtype=jnp.int32)
+
+        step = jax.jit(_step_short)
+        dt, chk = _scan_case(step, short, steps)
+        rec = {
+            "checksum": chk,
+            "step_ms": round(dt / steps * 1e3, 3),
+            "vs_sol": round(
+                args.reads * 70 * steps / dt
+                / sort_sol(args.reads, 70, 8), 4,
+            ),
+            "sol_model": "sort",
+        }
+        _emit("perread_k8_short70", dt, args.reads * 70 * steps,
+              "bases/s", rec)
 
     # 3. dense spectrum at large k via XLA scatter (kept as the
     #    baseline the sort route beats; auto never picks it on TPU).

@@ -202,6 +202,13 @@ def main() -> None:
         np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
         np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
         out["long_read_g"] = 4
+        # short-read span packing (2 reads per 128-lane row at 70 bp)
+        short = jnp.asarray(rng.integers(-1, 4, size=(64, 70)).astype(np.int8))
+        ri, rc = count_perread_sparse(short, 8, False)
+        gi, gc = rowsort_rle_pallas(short, 8)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+        out["short_read_span"] = 64
         return out
 
     check("rowsort_compiled_parity", rowsort_parity)
