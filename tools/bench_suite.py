@@ -1,25 +1,27 @@
 """Benchmark suite over the BASELINE.json configs (one JSON line each).
 
-1. golden       — time-to-exact-.cfrk on the reconstructed golden sample
-                  (config 1: correctness + end-to-end wall time, hash-checked)
-2. perread_k8   — dense per-read counting (config 2; bench.py's headline,
-                  smaller here)
-3. spectrum_k15 — global dense spectrum at k=15 via scatter (config 3's
-                  single-chip core; the psum merge is exercised by
-                  tools/scaling_bench.py / dryrun_multichip)
-4. sparse_k31   — canonical k=31 sort+RLE sparse spectrum (config 4's
-                  single-chip core; all_to_all routing in dryrun_multichip)
-5. ingest       — host-side streaming ingest (chunked C++ parser + flat
-                  packer) over an on-disk synthetic FASTA, no device work
-                  (config 5's host-bound stage; --ingest-reads to scale
-                  to >= 10M reads)
-6. stream       — the full streaming driver end-to-end (parse overlap,
-                  device counting, write, checkpoints) with the
-                  per-stage breakdown from RunMetrics (config 5's
-                  pipeline; size with --stream-reads — NOTE through the
-                  axon tunnel D2H runs ~5 MB/s, so large per-read
-                  streams only reflect real TPU hardware when run
-                  directly on it)
+Device cases (steady-state 512-step scans, each with a vs_sol fraction
+against its roofline model in cfrk_tpu/ops/roofline.py):
+
+- perread_k8          — packed one-hot dense kernel (the family-floor bar)
+- perread_k8_rowsort  — fused row-sort pairs (the flagship route)
+- perread_k8_short    — 70 bp span-packed short reads
+- spectrum_k8_pallas  — one-hot spectrum kernel (zero per-batch D2H)
+- spectrum_k8_sort / spectrum_k15_sort — sorted spectrum, device side
+- spectrum_k15        — XLA scatter (kept as the baseline sort beats)
+- sparse_k31          — canonical 2-key row sort (config 4's core)
+
+Host / end-to-end cases:
+
+- golden  — time-to-exact-.cfrk on the golden sample, hash-checked
+- ingest  — chunked C++ parser over an on-disk synthetic FASTA
+            (--ingest-reads to scale to >= 10M reads)
+- stream / stream_spectrum — the full streaming driver with per-stage
+  breakdowns (NOTE: through the axon tunnel D2H runs ~5 MB/s, so large
+  per-read streams only reflect real hardware when run directly on it)
+
+--json-out writes the per-round BENCHSUITE_r{N}.json artifact
+(tests/test_tools.py pins its freshness and shape).
 
 Sizes default small enough for the tunneled single chip; scale with
 --reads.  Run: python tools/bench_suite.py [--reads N] [--cpu]

@@ -67,7 +67,7 @@ def main() -> None:
     def prep(codes):
         idx = window_indices(codes, k, False)
         idx = jnp.where(idx < 0, sent, idx)
-        idx, bb = rs._pad_split(idx, w, n, rb, sent)
+        idx, bb = rs._pad_split(idx, w, n, rs.LANES, rb, sent)
         return idx, bb
 
     def call_kernel(idx, bb, variant):
