@@ -246,6 +246,16 @@ def main() -> None:
         np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
         np.testing.assert_array_equal(np.asarray(sc), np.asarray(rc))
 
+        # span-packed short reads inside shard_map (the layout the
+        # 1-device dp-mesh kernel compiles for 70 bp rows)
+        short = jnp.asarray(
+            rng.integers(-1, 4, size=(64, 70)).astype(np.int8)
+        )
+        ri, rc = count_perread_sparse(short, 8, False)
+        si, sc = count_perread_sparse_sharded(short, 8, mesh)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(rc))
+
         smesh = make_seq_mesh(jax.devices()[:1])
         rows = spectrum_seqpar_triples(jnp.asarray(codes[:, :128]), 12, smesh)
         acc = SparseAccumulator()
@@ -255,7 +265,7 @@ def main() -> None:
         gsp = np.zeros(4**12, dtype=np.int64)
         gsp[keys.astype(np.int64)] = counts
         np.testing.assert_array_equal(gsp, wsp)
-        return {"probes": ["packed_mesh", "rowsort_mesh", "seqpar_sorted"]}
+        return {"probes": ["packed_mesh", "rowsort_mesh", "rowsort_mesh_span", "seqpar_sorted"]}
 
     check("mesh_compiled_probes", mesh_compiled_probes)
 
