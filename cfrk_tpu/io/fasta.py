@@ -38,6 +38,7 @@ __all__ = [
     "iter_fasta",
     "iter_fastq",
     "iter_reads",
+    "peek_first_read_len",
     "iter_fasta_encoded",
     "iter_encoded_with_offsets",
     "read_fasta",
@@ -222,6 +223,22 @@ def iter_reads(
     finally:
         if owns:
             f.close()
+
+
+def peek_first_read_len(path) -> int | None:
+    """Length of the first record, or None (empty/unreadable input).
+
+    A cheap read-length hint for :func:`..pipeline.batch.auto_batch_size`
+    — opens the file, parses one record, closes.  Never raises: auto
+    sizing must not turn an input error into a different error than the
+    real run would produce.
+    """
+    try:
+        for _, seq in iter_reads(path):
+            return len(seq)
+    except Exception:
+        return None
+    return None
 
 
 def iter_fasta_encoded(path, min_qual: int = 0) -> Iterator[np.ndarray]:

@@ -27,9 +27,41 @@ __all__ = [
     "iter_batches",
     "len_bucket",
     "round_up",
+    "auto_batch_size",
 ]
 
 PAD = -1
+
+# Padded bases per device batch targeted by auto batch sizing: every
+# jitted dispatch carries a fixed driver cost (Python enqueue + XLA
+# per-call overhead), so reads/batch should scale INVERSELY with read
+# length.  8 Mi padded bases reproduces the measured optimum at 150 bp
+# (32768 reads/batch: 5.43 Gbases/s vs 4.6 at 8192 — docs/PERF.md
+# "Row-sort kernel") while long-contig batches shrink to bound the
+# padded-batch HBM footprint.
+AUTO_BATCH_TARGET_BASES = 8 << 20
+
+
+def auto_batch_size(
+    read_len_hint: int | None, backend: str | None = None
+) -> int:
+    """Reads/batch for a read-length hint (the CLI/bench default).
+
+    On TPU: AUTO_BATCH_TARGET_BASES // len_bucket(hint), clamped to
+    [512, 65536] and rounded to a 512 multiple (the rowsort kernel's
+    default read block).  Without a hint (unreadable input, stdin) or
+    off-TPU the historical 8192 stands — CPU runs are compile/host
+    bound, not dispatch bound.
+    """
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    if backend != "tpu" or not read_len_hint:
+        return 8192
+    bucket = len_bucket(max(int(read_len_hint), 1))
+    b = AUTO_BATCH_TARGET_BASES // bucket
+    return max(512, min(65536, (b // 512) * 512))
 
 
 def round_up(x: int, m: int) -> int:

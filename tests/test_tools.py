@@ -306,7 +306,17 @@ def test_round_artifacts_fresh_and_well_formed():
 
     import glob
 
-    suites = sorted(glob.glob(os.path.join(root, "BENCHSUITE_r*.json")))
+    import re
+
+    def _round_num(p):
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    # Sort by the parsed round NUMBER, not the raw filename: r9 must not
+    # sort after r10 if zero-padding ever changes (ADVICE r3).
+    suites = sorted(
+        glob.glob(os.path.join(root, "BENCHSUITE_r*.json")), key=_round_num
+    )
     assert suites, "no BENCHSUITE artifact checked in"
     # Generation recipe (what the checked-in artifact must come from):
     #   python tools/bench_suite.py --steps 512 --json-out BENCHSUITE_rN.json \

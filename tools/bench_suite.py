@@ -85,7 +85,11 @@ def _scan_case(step_val, xs, steps: int):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=8192)
+    ap.add_argument(
+        "--reads", type=int, default=None,
+        help="reads per device batch (default: auto_batch_size per "
+             "case read length — 32768 at 150 bp on TPU)",
+    )
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
@@ -105,8 +109,10 @@ def main() -> None:
         ),
     )
     ap.add_argument(
-        "--steps", type=int, default=32,
-        help="scan steps per device case (steady-state step time)",
+        "--steps", type=int, default=512,
+        help="scan steps per device case (>= 512 for quotable numbers: "
+             "every jitted run carries ~27 ms fixed dispatch overhead — "
+             "docs/PERF.md; sub-512 runs are tagged unquotable)",
     )
     ap.add_argument(
         "--json-out", default=None,
@@ -126,6 +132,12 @@ def main() -> None:
 
     def want(name):
         return only is None or name in only
+
+    from cfrk_tpu.pipeline.batch import auto_batch_size
+
+    explicit_reads = args.reads
+    if args.reads is None:
+        args.reads = auto_batch_size(args.read_len)
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=(args.reads, args.read_len)).astype(np.int8)
@@ -181,6 +193,10 @@ def main() -> None:
             "step_ms": round(dt / steps * 1e3, 3),
             "vs_sol": round(step_bases * steps / dt / sol_bps, 4),
         }
+        if on_tpu and steps < 512:
+            # Sub-512-step scans carry the ~27 ms per-run dispatch
+            # artifact (docs/PERF.md): never quote these numbers.
+            rec["unquotable"] = True
         if extra:
             rec.update(extra)
         _emit(name, dt, step_bases * steps, "bases/s", rec)
@@ -238,9 +254,13 @@ def main() -> None:
     if want("perread_k8_short"):
         from cfrk_tpu.ops.perread_sparse import count_perread_rows
 
+        # Short reads get their own auto batch size (auto_batch_size(70)
+        # = 65536 on TPU): dispatch overhead is the binding term at
+        # 0.03-0.06 ms device steps (docs/PERF.md "Short reads PACK").
+        n_short = explicit_reads or auto_batch_size(70)
         short = jnp.asarray(
             np.stack([
-                rng.integers(0, 4, size=(args.reads, 70)).astype(np.int8)
+                rng.integers(0, 4, size=(n_short, 70)).astype(np.int8)
                 for _ in range(n_xs)
             ])
         )
@@ -253,14 +273,17 @@ def main() -> None:
         dt, chk = _scan_case(step, short, steps)
         rec = {
             "checksum": chk,
+            "reads": n_short,
             "step_ms": round(dt / steps * 1e3, 3),
             "vs_sol": round(
-                args.reads * 70 * steps / dt
-                / sort_sol(args.reads, 70, 8), 4,
+                n_short * 70 * steps / dt
+                / sort_sol(n_short, 70, 8), 4,
             ),
             "sol_model": "sort",
         }
-        _emit("perread_k8_short70", dt, args.reads * 70 * steps,
+        if on_tpu and steps < 512:
+            rec["unquotable"] = True
+        _emit("perread_k8_short70", dt, n_short * 70 * steps,
               "bases/s", rec)
 
     # 3. dense spectrum at large k via XLA scatter (kept as the
