@@ -32,14 +32,14 @@ reported per k (docs/PERF.md "Rooflines"):
   kernel designs"), so the dense kernel itself can never exceed ~0.33
   of this number; the sort route delivers the same product without
   one-hots and is scored against the same bar.
-* ``vs_sort_sol``: the kernel against its own bitonic-network roofline:
+* ``vs_sort_sol``: the kernel against its own fused sort+RLE roofline:
   sum-over-phases stages = log2(n)(log2(n)+1)/2 compare-exchange passes
   over the padded window axis n, charged per element per key as one
   cross-lane partner fetch (~1.5e12/s permute path) plus two ALU ops
-  (~6e12/s VPU) — doubled for the 2-key lexicographic variant.  RLE and
-  pair emit ride under the same bound (the model charges only the sort
-  network — generous to the roofline, honest to the fraction; constants
-  derived in cfrk_tpu/ops/roofline.py).
+  (~6e12/s VPU) — doubled for the 2-key lexicographic variant — PLUS
+  the RLE neighbour-compare and log2(n) suffix-min passes and the
+  pair-emit HBM traffic (re-derived round 4; constants and derivation
+  in cfrk_tpu/ops/roofline.py::sort_sol).
 
 Measurement honesty (the round-1 lesson still applies):
 
@@ -66,7 +66,11 @@ import numpy as np
 
 K8, LEN8 = 8, 150
 K31, LEN31 = 31, 152
-BATCH = 8192
+# 32768 reads/batch = auto_batch_size(150) — the measured dispatch-
+# amortization optimum at this read length (docs/PERF.md "Row-sort
+# kernel"); matches the CLI's auto default so the bench measures what
+# production dispatches.
+BATCH = 32768
 # 512 steps: each jitted run carries ~27 ms of fixed dispatch/sync
 # overhead (measured by step-count extrapolation, docs/PERF.md
 # "Measurement methodology") — at 64 steps that is +0.43 ms/step of

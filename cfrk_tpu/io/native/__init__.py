@@ -26,6 +26,8 @@ __all__ = [
     "format_rows_bytes",
     "format_pairs_bytes",
     "format_dense_pairs_bytes",
+    "fold_pairs_into",
+    "HAVE_FOLD_NATIVE",
 ]
 
 try:
@@ -41,6 +43,7 @@ except ImportError:  # extension not built — pure-Python fallback
 # stale builds degrade to the pure-Python path instead of crashing.
 HAVE_STREAM_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "parse_encode_stream")
 HAVE_PACK_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "pack_records")
+HAVE_FOLD_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "fold_pairs")
 
 
 def _probe_qual_support() -> bool:
@@ -280,6 +283,47 @@ def format_dense_pairs_bytes(
     keep = flat_c > 0
     dense[rows[keep], flat_i[keep]] = flat_c[keep]
     return format_rows_bytes(dense, first=first)
+
+
+def fold_pairs_into(table: np.ndarray, idx: np.ndarray, counts: np.ndarray) -> None:
+    """Accumulate (idx, count) cells into a dense int64 ``table`` in place.
+
+    The host fold of the sorted spectrum route for k <= 10: ``idx`` /
+    ``counts`` are the drain-narrowed pair matrices (any shape, same
+    size); cells with count <= 0 (sentinels, padding) are skipped.
+    Native path: threaded typed loop with private tables (~10-20x
+    NumPy's float-weights bincount); fallback: masked bincount.
+    """
+    if table.dtype != np.int64 or not table.flags.writeable:
+        raise ValueError("table must be a writable int64 array")
+    idx = np.ascontiguousarray(idx)
+    counts = np.ascontiguousarray(counts)
+    if idx.size != counts.size:
+        raise ValueError("idx/counts size mismatch")
+    if idx.dtype == np.uint32:
+        # lo keys are < 2**31 for every k <= 15; the uint32 sentinel
+        # reinterprets negative and is skipped by the bounds check
+        # (its count is 0 anyway) — zero-copy view, not a cast.
+        idx = idx.view(np.int32)
+    if idx.dtype not in (np.uint16, np.int32):
+        idx = idx.astype(np.int32, copy=False)
+    if counts.dtype not in (np.uint8, np.int16, np.int32, np.int64):
+        counts = counts.astype(np.int32, copy=False)
+    if HAVE_FOLD_NATIVE:
+        # Arrays pass through the buffer protocol — no serialization
+        # copies on the per-batch hot path.
+        _fastaio.fold_pairs(
+            idx, idx.dtype.itemsize,
+            counts, counts.dtype.itemsize,
+            idx.size, table,
+        )
+        return
+    fi = idx.reshape(-1).astype(np.int64, copy=False)
+    fc = counts.reshape(-1).astype(np.int64, copy=False)
+    keep = (fc > 0) & (fi >= 0) & (fi < table.size)
+    table += np.bincount(
+        fi[keep], weights=fc[keep], minlength=table.size
+    ).astype(np.int64)
 
 
 def format_rows_bytes(counts: np.ndarray, *, first: bool = True) -> bytes:

@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 /* Find the end of the line starting at i (position of '\n' or n).
@@ -931,6 +932,133 @@ PyObject* format_pairs64(PyObject*, PyObject* args) {
   return segments_to_bytes(segs);
 }
 
+/* ---- fold_pairs: threaded (key, count) -> dense table histogram ----
+ *
+ * The host side of the sorted spectrum route for k <= 10: the rowsort
+ * kernel ships narrowed (idx, count) pair matrices (uint16/int32 idx,
+ * uint8/int16/int32 counts); this folds them into a dense int64 table.
+ * NumPy's bincount-with-weights measures ~30 ms per 32768-read batch on
+ * this VM (float64 weights path); the typed loop with thread-private
+ * tables is ~10-20x that.  The TPU-native analog of the reference's
+ * device-memory accumulate (reference src/kmer_kernel.cu:87), placed on
+ * the host because every DEVICE fold candidate measured 3-15x worse
+ * than the one-hot kernel it would replace (tools/fold_probe.py,
+ * docs/PERF.md "Device-side fold candidates").
+ */
+template <typename I, typename C>
+static void fold_range(const I* idx, const C* cnt, Py_ssize_t i0,
+                       Py_ssize_t i1, int64_t* table, size_t bins) {
+  for (Py_ssize_t i = i0; i < i1; i++) {
+    const int64_t c = (int64_t)cnt[i];
+    /* Unsigned cast: a negative int32 (impossible from the kernels,
+     * cheap to guard) wraps huge and fails the bounds check.  Sentinel
+     * cells carry count 0 and are skipped; the uint16-compacted
+     * sentinel wraps to 0 but also always carries count 0. */
+    const size_t v = (size_t)(typename std::make_unsigned<I>::type)idx[i];
+    if (c > 0 && v < bins) table[v] += c;
+  }
+}
+
+template <typename I, typename C>
+static void fold_dispatch(const void* idx_raw, const void* cnt_raw,
+                          Py_ssize_t n, int64_t* table, Py_ssize_t bins) {
+  const I* idx = (const I*)idx_raw;
+  const C* cnt = (const C*)cnt_raw;
+  unsigned hc = std::thread::hardware_concurrency();
+  unsigned T = hc ? (hc < 8 ? hc : 8) : 1;
+  if (const char* env = getenv("CFRK_FOLD_THREADS")) {
+    const long cap = atol(env);
+    if (cap > 0 && (unsigned)cap < T) T = (unsigned)cap;
+  }
+  /* Private tables cost T*bins*8 bytes: go serial when the elements are
+   * few (thread spawn dominates) or the table is large (k > 10 never
+   * takes this path — the sparse accumulator owns it). */
+  if (n < (Py_ssize_t)(1 << 20) || bins > (Py_ssize_t)(16 << 20)) T = 1;
+  if (T <= 1) {
+    fold_range<I, C>(idx, cnt, 0, n, table, (size_t)bins);
+    return;
+  }
+  std::vector<std::vector<int64_t>> priv(T);
+  std::vector<std::thread> workers;
+  workers.reserve(T);
+  for (unsigned t = 0; t < T; t++) {
+    const Py_ssize_t i0 = n * (Py_ssize_t)t / (Py_ssize_t)T;
+    const Py_ssize_t i1 = n * (Py_ssize_t)(t + 1) / (Py_ssize_t)T;
+    workers.emplace_back([&, t, i0, i1] {
+      priv[t].assign((size_t)bins, 0);
+      fold_range<I, C>(idx, cnt, i0, i1, priv[t].data(), (size_t)bins);
+    });
+  }
+  for (auto& w : workers) w.join();
+  /* Parallel merge by bin range. */
+  std::vector<std::thread> mergers;
+  mergers.reserve(T);
+  for (unsigned t = 0; t < T; t++) {
+    const Py_ssize_t b0 = bins * (Py_ssize_t)t / (Py_ssize_t)T;
+    const Py_ssize_t b1 = bins * (Py_ssize_t)(t + 1) / (Py_ssize_t)T;
+    mergers.emplace_back([&, b0, b1] {
+      for (const auto& p : priv)
+        for (Py_ssize_t b = b0; b < b1; b++) table[b] += p[(size_t)b];
+    });
+  }
+  for (auto& w : mergers) w.join();
+}
+
+/* fold_pairs(idx: bytes, idx_itemsize, counts: bytes, cnt_itemsize,
+ *            n, table: writable int64 buffer) -> None
+ *
+ * idx dtypes: uint16 (itemsize 2) / int32 (4); counts: uint8 (1) /
+ * int16 (2) / int32 (4) — exactly the narrow_for_fetch drain dtypes.
+ * Cells with count <= 0 or idx >= len(table) are skipped. */
+PyObject* fold_pairs(PyObject*, PyObject* args) {
+  Py_buffer idx_view, cnt_view, tab_view;
+  Py_ssize_t idx_item, cnt_item, n;
+  if (!PyArg_ParseTuple(args, "y*ny*nnw*", &idx_view, &idx_item, &cnt_view,
+                        &cnt_item, &n, &tab_view))
+    return nullptr;
+  auto fail = [&](const char* msg) -> PyObject* {
+    PyBuffer_Release(&idx_view);
+    PyBuffer_Release(&cnt_view);
+    PyBuffer_Release(&tab_view);
+    PyErr_SetString(PyExc_ValueError, msg);
+    return nullptr;
+  };
+  if (idx_view.len != n * idx_item || cnt_view.len != n * cnt_item)
+    return fail("fold buffer size mismatch");
+  if (tab_view.len % (Py_ssize_t)sizeof(int64_t))
+    return fail("table must be int64");
+  const Py_ssize_t bins = tab_view.len / (Py_ssize_t)sizeof(int64_t);
+  int64_t* table = (int64_t*)tab_view.buf;
+  const void* ib = idx_view.buf;
+  const void* cb = cnt_view.buf;
+  bool ok = true;
+  Py_BEGIN_ALLOW_THREADS
+  if (idx_item == 2 && cnt_item == 1)
+    fold_dispatch<uint16_t, uint8_t>(ib, cb, n, table, bins);
+  else if (idx_item == 2 && cnt_item == 2)
+    fold_dispatch<uint16_t, int16_t>(ib, cb, n, table, bins);
+  else if (idx_item == 2 && cnt_item == 4)
+    fold_dispatch<uint16_t, int32_t>(ib, cb, n, table, bins);
+  else if (idx_item == 4 && cnt_item == 1)
+    fold_dispatch<int32_t, uint8_t>(ib, cb, n, table, bins);
+  else if (idx_item == 4 && cnt_item == 2)
+    fold_dispatch<int32_t, int16_t>(ib, cb, n, table, bins);
+  else if (idx_item == 4 && cnt_item == 4)
+    fold_dispatch<int32_t, int32_t>(ib, cb, n, table, bins);
+  else if (idx_item == 2 && cnt_item == 8)
+    fold_dispatch<uint16_t, int64_t>(ib, cb, n, table, bins);
+  else if (idx_item == 4 && cnt_item == 8)
+    fold_dispatch<int32_t, int64_t>(ib, cb, n, table, bins);
+  else
+    ok = false;
+  Py_END_ALLOW_THREADS
+  if (!ok) return fail("unsupported fold dtype combination");
+  PyBuffer_Release(&idx_view);
+  PyBuffer_Release(&cnt_view);
+  PyBuffer_Release(&tab_view);
+  Py_RETURN_NONE;
+}
+
 PyMethodDef kMethods[] = {
     {"parse_encode", parse_encode, METH_VARARGS,
      "parse_encode(fasta_bytes, min_qual_byte=0) -> "
@@ -950,6 +1078,9 @@ PyMethodDef kMethods[] = {
      "first) -> dense cfrk bytes"},
     {"format_pairs64", format_pairs64, METH_VARARGS,
      "format_pairs64(idx_uint64le, counts_int32le, n_rows, n_cols, first) -> bytes"},
+    {"fold_pairs", fold_pairs, METH_VARARGS,
+     "fold_pairs(idx_bytes, idx_itemsize, cnt_bytes, cnt_itemsize, n, "
+     "table_int64_writable) -> None (threaded histogram fold)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

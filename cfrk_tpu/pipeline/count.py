@@ -295,10 +295,12 @@ def spectrum_file(
     if mesh is not None and not seqpar:
         bs = -(-bs // mesh.size) * mesh.size
     if _use_sorted_spectrum(k, impl, seqpar):
-        # Mid-k dense tables (4**11..4**15 bins) defeat both the VMEM
-        # Pallas kernel and XLA scatter (serialised on TPU).  Sort+RLE
-        # the keys on device per batch (for k <= 15 the sparse key IS
-        # the dense index), merge sparsely on host, densify once.
+        # The sorted route (auto for k >= 9 on TPU): sort+RLE the keys
+        # on device per batch (for k <= 15 the sparse key IS the dense
+        # index); k <= 10 folds batches into a dense table with the
+        # threaded native histogram, k >= 11 merges sparsely on host
+        # and densifies once.  See _use_sorted_spectrum for the
+        # measured crossover vs the one-hot kernel.
         # Under seqpar each device sorts its own position slice's
         # windows (parallel/seqpar.spectrum_seqpar_triples) instead of
         # falling back to the ~54 Mb/s scatter accumulator.
@@ -339,18 +341,25 @@ def spectrum_file(
 
 
 def _use_sorted_spectrum(k: int, impl: str, seqpar: bool = False) -> bool:
-    """Route mid-k dense spectra through the sort+RLE machinery.
+    """Route dense spectra through the sort+RLE machinery.
 
-    Auto on TPU for k >= 11: the Pallas dense kernel's VMEM accumulator
-    caps at k=10 and XLA scatter serialises (~25 Mbases/s measured,
-    docs/PERF.md).  Explicit ``impl='sort'`` forces it anywhere, for
-    ANY k (CPU tests, comparisons).  Seqpar composes since round 3:
-    each device sorts its own position slice (the round-2 fallback was
-    the ~54 Mb/s scatter accumulator — verdict weak #3).
+    Auto on TPU for k >= 9 (round 4; was k >= 11).  Measured policy
+    (docs/PERF.md "Spectrum route crossover"): the one-hot kernel's
+    VPU build cost grows with 4**ceil(k/2) — 417 Mbases/s at k=9 and
+    143 at k=10 on-chip — while the sorted route holds its ~5.5 Gb/s
+    device rate at any k and its host fold (threaded native histogram,
+    DenseFoldAccumulator for k <= 10) runs ~680 Mb/s even on this
+    4-vCPU dev VM.  At k <= 8 the one-hot kernel keeps the default:
+    zero per-batch D2H with the table device-resident — every
+    device-side pair->table fold candidate measured 3-15x worse
+    (tools/fold_probe.py).  Explicit ``impl='sort'`` forces the sorted
+    route anywhere, for ANY k (CPU tests, hosts with spare cores).
+    Seqpar composes since round 3: each device sorts its own position
+    slice (the round-2 fallback was the ~54 Mb/s scatter accumulator).
     """
     if impl == "sort":
         return True
-    if k <= 10:
+    if k <= 8:
         return False
     import jax
 
@@ -376,7 +385,11 @@ def _sorted_spectrum_batches(batches, k, canonical, mesh, seqpar=False):
     if seqpar and mesh is not None:
         from ..parallel.seqpar import spectrum_seqpar_triples
 
-    acc = SparseAccumulator()
+    from ..ops.sparse import DenseFoldAccumulator
+
+    # k <= 10: dense threaded fold (8 MB table max) instead of the
+    # searchsorted sparse merge — see _use_sorted_spectrum.
+    acc = DenseFoldAccumulator(k) if k <= 10 else SparseAccumulator()
     slack = 2.0
     for batch in batches:
         if seqpar and mesh is not None:

@@ -741,10 +741,12 @@ def stream_spectrum_file(
     from .count import _use_sorted_spectrum
 
     if _use_sorted_spectrum(k, impl, seqpar):
-        # Mid-k dense spectra (k >= 11) stream through the sparse
-        # sort+RLE machinery (same computation, same checkpoints) and
-        # densify once at the end — XLA scatter into the 4**k device
-        # table serialises, and the Pallas accumulator caps at k=10.
+        # Sorted-route dense spectra (auto for k >= 9 on TPU) stream
+        # through the sparse sort+RLE machinery (same computation, same
+        # checkpoints) and densify once at the end; k <= 10 folds each
+        # batch into a dense table with the threaded native histogram
+        # (ops/sparse.DenseFoldAccumulator) — see
+        # count._use_sorted_spectrum for the measured crossover.
         keys, counts, m2 = stream_sparse_spectrum_file(
             path, k, canonical=canonical, batch_size=batch_size,
             out_path=out_path, resume=resume,
@@ -881,12 +883,19 @@ def stream_sparse_spectrum_file(
     )
 
     ckpt = StreamCheckpoint(fingerprint=fp)
-    acc = SparseAccumulator(merge_every=merge_every)
+    if k <= 10:
+        # k <= 10 (the sorted dense-spectrum route since round 4):
+        # dense threaded host fold — see count._use_sorted_spectrum.
+        from ..ops.sparse import DenseFoldAccumulator
+
+        acc = DenseFoldAccumulator(k)
+    else:
+        acc = SparseAccumulator(merge_every=merge_every)
     if resume and cpath and os.path.exists(cpath):
         prev = StreamCheckpoint.load_if_valid(cpath)
         if prev is not None and prev.matches(fp):
             try:
-                acc.keys, acc.counts = prev.load_sparse()
+                acc.load_arrays(*prev.load_sparse())
                 ckpt = prev
             except (OSError, ValueError, KeyError):
                 pass  # torn sidecar: restart from scratch

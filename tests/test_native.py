@@ -436,3 +436,46 @@ def test_native_min_qual_matches_python(tmp_path):
         got3 = [c for c, _ in iter_encoded_with_offsets(p, min_qual=q)]
         for w, g in zip(want, got3):
             np.testing.assert_array_equal(g, w)
+
+
+def test_fold_pairs_into_native_vs_fallback():
+    """The threaded native fold and the NumPy fallback must produce the
+    same table over every drain dtype combination (uint16/int32 idx x
+    uint8/int16/int32/int64 counts), including sentinel/padding cells
+    (count 0) and the uint16-wrapped sentinel at idx 0."""
+    import cfrk_tpu.io.native as native
+    from cfrk_tpu.io.native import fold_pairs_into
+
+    rng = np.random.default_rng(9)
+    k = 8
+    n = 200_000
+    base_idx = rng.integers(0, 4**k, size=n).astype(np.int64)
+    base_cnt = rng.integers(0, 5, size=n).astype(np.int64)  # zeros included
+    for idt in (np.uint16, np.int32, np.uint32):
+        for cdt in (np.uint8, np.int16, np.int32, np.int64):
+            idx = base_idx.astype(idt)
+            cnt = base_cnt.astype(cdt)
+            ref = np.zeros(4**k, dtype=np.int64)
+            keep = base_cnt > 0
+            ref += np.bincount(
+                base_idx[keep], weights=base_cnt[keep], minlength=4**k
+            ).astype(np.int64)
+            got = np.zeros(4**k, dtype=np.int64)
+            fold_pairs_into(got, idx, cnt)
+            np.testing.assert_array_equal(got, ref)
+            if native.HAVE_FOLD_NATIVE:
+                # force the fallback path and re-check byte equality
+                fb = np.zeros(4**k, dtype=np.int64)
+                native.HAVE_FOLD_NATIVE = False
+                try:
+                    fold_pairs_into(fb, idx, cnt)
+                finally:
+                    native.HAVE_FOLD_NATIVE = True
+                np.testing.assert_array_equal(fb, ref)
+    # out-of-range idx (int32 sentinel 4**k) with positive count is
+    # DROPPED, not a crash (defensive bound — kernels never emit it).
+    t = np.zeros(4**k, dtype=np.int64)
+    fold_pairs_into(
+        t, np.array([4**k, 1], dtype=np.int32), np.array([3, 2], np.int32)
+    )
+    assert t.sum() == 2 and t[1] == 2

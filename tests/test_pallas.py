@@ -349,6 +349,50 @@ def test_rowsort_rle_large_parity(rng, k, canonical):
     np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
 
 
+def test_rowsort_g2split_boundaries(rng):
+    """The half-skip network (g=2 grouped layout) across its
+    eligibility boundaries: W=129 (bspan 1), W=143 (the k=8/150 bp
+    headline, bspan 16), W=192 (bspan 64, the last eligible width),
+    W=193 (ineligible — standard network), plus a 2-key eligible shape
+    and degenerate rows."""
+    from cfrk_tpu.ops.pallas.rowsort import (
+        _g2split_bspan,
+        rowsort_rle_pallas,
+        rowsort_rle_pallas_large,
+    )
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+    )
+
+    assert _g2split_bspan(129, 256, 2, 128, "gather") == 1
+    assert _g2split_bspan(143, 256, 2, 128, "gather") == 16
+    assert _g2split_bspan(192, 256, 2, 128, "gather") == 64
+    assert _g2split_bspan(193, 256, 2, 128, "gather") == 0
+    assert _g2split_bspan(143, 256, 2, 128, "roll") == 0
+    assert _g2split_bspan(100, 128, 1, 128, "gather") == 0
+
+    for length in (136, 150, 199, 200):
+        codes = _batch(rng, 11, length)
+        codes[0] = 0  # poly-A
+        codes[1] = -1  # poly-N
+        ref_i, ref_c = count_perread_sparse(jnp.asarray(codes), 8)
+        got_i, got_c = rowsort_rle_pallas(
+            jnp.asarray(codes), 8, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+
+    codes = _batch(rng, 7, 200, p_invalid=0.01)  # k=16: W=185, bspan 64
+    rh, rl, rc = count_perread_sparse_large(jnp.asarray(codes), 16, True)
+    gh, gl, gc = rowsort_rle_pallas_large(
+        jnp.asarray(codes), 16, canonical=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(gh), np.asarray(rh))
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(rl))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+
+
 def test_rowsort_rle_long_reads_and_edge_rows(rng):
     """g > 2 sub-rows per read (n = 1024), odd batch size, plus the two
     degenerate rows: single-run (poly-A) and all-invalid (poly-N)."""
