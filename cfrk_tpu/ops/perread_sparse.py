@@ -36,13 +36,14 @@ def rowsort_eligible(k: int, w: int, impl: str = "auto") -> bool:
     """True when the fused Pallas row-sort kernel should serve this shape.
 
     On TPU, any k in 1..31 routes to ops/pallas/rowsort.py as long as
-    the padded window axis stays VMEM-friendly: next_pow2(W) <= 16384
-    (g <= 128 sub-rows; the kernel's read block scales down with g to
-    hold ~1024 VMEM rows), i.e. reads/contigs up to ~16 kb.  Measured
-    7.45x the XLA row sort at 4 kb contigs, parity-pinned on-chip at
-    16 kb; longer contigs stream through window tiling or the XLA
-    full-row sort.  Off-TPU the XLA ``lax.sort`` path is both the
-    oracle and the faster choice (interpret-mode Pallas is debug-only).
+    the padded window axis stays VMEM-friendly: next_pow2(W) <= 65536
+    (g <= 512 sub-rows at the rb=8 block floor — ~2 MB key blocks;
+    round 4 extended the round-3 16 kb cap), i.e. reads/contigs up to
+    ~64 kb.  Measured 7.45x the XLA row sort at 4 kb contigs and ~4x
+    at 32-64 kb, parity-pinned on-chip at 64 kb; longer contigs stream
+    through window tiling or the XLA full-row sort.  Off-TPU the XLA
+    ``lax.sort`` path is both the oracle and the faster choice
+    (interpret-mode Pallas is debug-only).
     """
     import jax
 
@@ -51,7 +52,7 @@ def rowsort_eligible(k: int, w: int, impl: str = "auto") -> bool:
     n = 128
     while n < w:
         n *= 2
-    return n <= 16384 and jax.default_backend() == "tpu"
+    return n <= 65536 and jax.default_backend() == "tpu"
 
 
 def count_perread_rows(

@@ -393,6 +393,35 @@ def test_rowsort_g2split_boundaries(rng):
     np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
 
 
+def test_rowsort_bigcontig_layout_and_eligibility():
+    """Round 4 extended the fast path to 64 kb contigs: eligibility cap
+    at next_pow2(W) <= 65536, and _plan_layout keeps kernel blocks at
+    ~1024 VMEM rows past g=128 (rb drops below the 8-read floor, rows
+    stay 8-aligned) — the 16 MB scoped-VMEM limit that OOMed at rb=8 /
+    g=256.  Compiled parity at 32/64 kb is pinned on-chip
+    (TPU_VALID.json: contig_64kb_g)."""
+    from cfrk_tpu.ops.pallas.rowsort import _plan_layout
+
+    for w, want_g, want_rb in [
+        (16384, 128, 8),   # the round-3 boundary: unchanged
+        (32761, 256, 4),   # 32 kb contig
+        (65514, 512, 2),   # 64 kb contig
+    ]:
+        n, g, span, rb = _plan_layout(w, 64, 512)
+        assert (g, rb) == (want_g, want_rb), (w, g, rb)
+        assert rb * g <= 1024 and (rb * g) % 8 == 0
+
+    # eligibility mirrors the layout cap (TPU-only at runtime; the
+    # predicate itself is backend-independent below the cap check).
+    import jax
+
+    from cfrk_tpu.ops.perread_sparse import rowsort_eligible
+
+    on_tpu = jax.default_backend() == "tpu"
+    assert rowsort_eligible(8, 65514) == on_tpu
+    assert rowsort_eligible(8, 65537) is False  # > 64 kb: XLA/tiling
+
+
 def test_rowsort_rle_long_reads_and_edge_rows(rng):
     """g > 2 sub-rows per read (n = 1024), odd batch size, plus the two
     degenerate rows: single-run (poly-A) and all-invalid (poly-N)."""

@@ -331,3 +331,21 @@ def test_round_artifacts_fresh_and_well_formed():
     for case in device_cases:
         assert 0 < case["vs_sol"] <= 1.0, case
         assert case["value"] > 0 and case["step_ms"] > 0, case
+        assert not case.get("unquotable"), case
+
+    # SCALING ladder (round 4+): every mode present, honestly labeled
+    # when produced on the virtual CPU mesh, efficiencies finite.
+    ladders = sorted(
+        glob.glob(os.path.join(root, "SCALING_r*.json")), key=_round_num
+    )
+    assert ladders, "no SCALING artifact checked in"
+    sdoc = json.load(open(ladders[-1]))
+    modes = {r["ladder"][0]["mode"] for r in sdoc["runs"]}
+    assert {"perread", "rows", "spectrum"} <= modes, modes
+    for run in sdoc["runs"]:
+        assert "spmd_validation_only" in run
+        if run["platform"] != "tpu":
+            assert run["spmd_validation_only"] is True
+        for row in run["ladder"]:
+            assert row["reads_per_s"] > 0
+            assert 0 < row["efficiency_vs_1dev"]

@@ -104,7 +104,7 @@ def main() -> None:
         "--only", default=None,
         help=(
             "comma-separated subset: golden,perread_k8,perread_k8_rowsort,perread_k8_short,"
-            "spectrum_k15,spectrum_k8_pallas,spectrum_k8_sort,"
+            "contig_k8_32kb,spectrum_k15,spectrum_k8_pallas,spectrum_k8_sort,"
             "spectrum_k15_sort,sparse_k31,ingest,stream,stream_spectrum"
         ),
     )
@@ -284,6 +284,41 @@ def main() -> None:
         if on_tpu and steps < 512:
             rec["unquotable"] = True
         _emit("perread_k8_short70", dt, n_short * 70 * steps,
+              "bases/s", rec)
+
+    # 2c. 32 kb contigs (round 4: the fast path extends to 64 kb —
+    #     g=256 sub-rows here; measured 5.1x the XLA row sort).
+    if want("contig_k8_32kb"):
+        from cfrk_tpu.ops.perread_sparse import count_perread_rows
+
+        clen = 32700
+        n_contig = explicit_reads or auto_batch_size(clen)
+        contig = jnp.asarray(
+            np.stack([
+                rng.integers(0, 4, size=(n_contig, clen)).astype(np.int8)
+                for _ in range(2)
+            ])
+        )
+
+        def _step_contig(a):
+            i, c = count_perread_rows(a, 8)
+            return jnp.sum(c & 3, dtype=jnp.int32)
+
+        step = jax.jit(_step_contig)
+        dt, chk = _scan_case(step, contig, steps)
+        rec = {
+            "checksum": chk,
+            "reads": n_contig,
+            "step_ms": round(dt / steps * 1e3, 3),
+            "vs_sol": round(
+                n_contig * clen * steps / dt
+                / sort_sol(n_contig, clen, 8), 4,
+            ),
+            "sol_model": "sort",
+        }
+        if on_tpu and steps < 512:
+            rec["unquotable"] = True
+        _emit("contig_k8_32kb", dt, n_contig * clen * steps,
               "bases/s", rec)
 
     # 3. dense spectrum at large k via XLA scatter (kept as the

@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh (8 devices)")
+    ap.add_argument(
+        "--json-out", default=None,
+        help="write the ladder to FILE as one JSON document (the "
+             "per-round SCALING_r*.json artifact; on a virtual CPU "
+             "mesh it is labeled SPMD-validation, not performance)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -70,6 +76,7 @@ def main() -> None:
     ladder = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     rng = np.random.default_rng(0)
     base = None
+    records = []
 
     for n in ladder:
         mesh = make_mesh(devices[:n])
@@ -98,7 +105,7 @@ def main() -> None:
         if base is None:
             base = reads_per_s
         eff = reads_per_s / (base * n)
-        print(json.dumps({
+        rec = {
             "devices": n,
             "mode": args.mode,
             "k": args.k,
@@ -106,8 +113,47 @@ def main() -> None:
             "reads_per_s": round(reads_per_s, 1),
             "efficiency_vs_1dev": round(eff, 4),
             "checksum": checksum,
-        }))
+        }
+        records.append(rec)
+        print(json.dumps(rec))
         sys.stdout.flush()
+
+    if args.json_out:
+        import datetime
+
+        virtual = jax.default_backend() != "tpu"
+        doc = {
+            "platform": jax.default_backend(),
+            "device_kind": getattr(devices[0], "device_kind", "?"),
+            "timestamp": datetime.datetime.now(datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ"),
+            # HONESTY LABEL: on a virtual CPU mesh every "device" shares
+            # the same host cores — the ladder validates that the SPMD
+            # paths compile + execute at every mesh size, and the
+            # efficiency numbers are NOT performance.  On real
+            # multi-chip hardware this same command measures true ICI
+            # weak scaling (BASELINE "scaling eff. @ N hosts").
+            "spmd_validation_only": virtual,
+            "ladder": records,
+        }
+        import os as _os
+
+        out = {"runs": []}
+        if _os.path.exists(args.json_out):
+            try:
+                with open(args.json_out) as f:
+                    out = json.load(f)
+                if "runs" not in out:
+                    out = {"runs": []}
+            except (OSError, ValueError):
+                out = {"runs": []}
+        out["runs"] = [
+            r for r in out["runs"] if r.get("ladder", [{}])[0].get("mode")
+            != args.mode
+        ] + [doc]
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"# wrote {args.json_out} ({len(out['runs'])} mode runs)")
 
 
 if __name__ == "__main__":
