@@ -83,7 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
         ],
         help=(
             "kernel implementation (auto picks per backend/k; 'sort' = "
-            "device sort+RLE spectrum accumulation, auto for k >= 11 "
+            "device sort+RLE spectrum accumulation, auto for k >= 9 "
             "on TPU)"
         ),
     )

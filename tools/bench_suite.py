@@ -179,6 +179,38 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     steps = args.steps if on_tpu else 2
     n_xs = 4
+
+    def rowsort_step(k, canonical=False):
+        """Per-batch scalar-producing step for the rowsort routes.
+
+        On TPU: the kernel's in-kernel checksum (same measurement
+        discipline as bench.py — the pair writes are part of the same
+        custom call, no extra consumer read pass is charged to the
+        kernel).  Off-TPU: the XLA oracle + a masked sum.
+        """
+        if on_tpu:
+            from cfrk_tpu.ops.pallas.rowsort import (
+                rowsort_rle_pallas,
+                rowsort_rle_pallas_large,
+            )
+
+            def _step(a):
+                if k <= 15:
+                    out = rowsort_rle_pallas(
+                        a, k, canonical=canonical, checksum=True
+                    )
+                else:
+                    out = rowsort_rle_pallas_large(
+                        a, k, canonical=canonical, checksum=True
+                    )
+                return jnp.sum(out[-1])
+        else:
+            from cfrk_tpu.ops.perread_sparse import count_perread_rows
+
+            def _step(a):
+                out = count_perread_rows(a, k, canonical)
+                return jnp.sum(out[-1] & 3, dtype=jnp.int32)
+        return jax.jit(_step)
     xs = jnp.asarray(
         np.stack([codes] + [
             rng.integers(0, 4, size=codes.shape).astype(np.int8)
@@ -235,13 +267,7 @@ def main() -> None:
     # 2a. per-read k=8 pairs via the fused row-sort kernel — the route
     #     dense-row AND --nonzero `.cfrk` output actually takes.
     if want("perread_k8_rowsort"):
-        from cfrk_tpu.ops.perread_sparse import count_perread_rows
-
-        def _step_rs(a):
-            i, c = count_perread_rows(a, 8)
-            return jnp.sum(c & 3, dtype=jnp.int32)
-
-        step = jax.jit(_step_rs)
+        step = rowsort_step(8)
         dt, chk = _scan_case(step, xs, steps)
         emit_device(
             "perread_k8_rowsort", dt, chk,
@@ -264,12 +290,7 @@ def main() -> None:
                 for _ in range(n_xs)
             ])
         )
-
-        def _step_short(a):
-            i, c = count_perread_rows(a, 8)
-            return jnp.sum(c & 3, dtype=jnp.int32)
-
-        step = jax.jit(_step_short)
+        step = rowsort_step(8)
         dt, chk = _scan_case(step, short, steps)
         rec = {
             "checksum": chk,
@@ -300,11 +321,7 @@ def main() -> None:
             ])
         )
 
-        def _step_contig(a):
-            i, c = count_perread_rows(a, 8)
-            return jnp.sum(c & 3, dtype=jnp.int32)
-
-        step = jax.jit(_step_contig)
+        step = rowsort_step(8)
         dt, chk = _scan_case(step, contig, steps)
         rec = {
             "checksum": chk,
@@ -354,13 +371,7 @@ def main() -> None:
     # 3b. spectrum k=8 via the row-sort route (device side of
     #     impl='sort': per-read sort+RLE pairs, host fold absorbs them).
     if want("spectrum_k8_sort"):
-        from cfrk_tpu.ops.perread_sparse import count_perread_rows
-
-        def _step_s8(a):
-            i, c = count_perread_rows(a, 8)
-            return jnp.sum(c & 3, dtype=jnp.int32)
-
-        step = jax.jit(_step_s8)
+        step = rowsort_step(8)
         dt, chk = _scan_case(step, xs, steps)
         emit_device(
             "spectrum_k8_sort_device", dt, chk,
@@ -374,12 +385,7 @@ def main() -> None:
         from cfrk_tpu.ops.perread_sparse import count_perread_rows
 
         ks = 15 if on_tpu else 11
-
-        def _step_s15(a):
-            i, c = count_perread_rows(a, ks)
-            return jnp.sum(c & 3, dtype=jnp.int32)
-
-        step = jax.jit(_step_s15)
+        step = rowsort_step(ks)
         dt, chk = _scan_case(step, xs, steps)
         emit_device(
             f"spectrum_k{ks}_sort", dt, chk,
@@ -392,11 +398,7 @@ def main() -> None:
     if want("sparse_k31"):
         from cfrk_tpu.ops.perread_sparse import count_perread_rows
 
-        def _step31(a):
-            hi, lo, counts = count_perread_rows(a, 31, True)
-            return jnp.sum(counts & 3, dtype=jnp.int32)
-
-        step = jax.jit(_step31)
+        step = rowsort_step(31, canonical=True)
         dt, chk = _scan_case(step, xs, steps)
         emit_device(
             "sparse_k31_canonical", dt, chk,

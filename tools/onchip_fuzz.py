@@ -48,11 +48,15 @@ def main() -> int:
     t0 = time.perf_counter()
     for t in range(args.trials):
         # Bias lengths toward the interesting layout boundaries:
-        # spans (<= 71 bp at k=8), one-vreg rows, multi-sub-row, contigs.
+        # spans (<= 71 bp at k=8), one-vreg rows, the g=2 half-skip
+        # band (129-192 windows), multi-sub-row, contigs — including
+        # the round-4 extended 17-64 kb band (g up to 512; rarer: each
+        # such trial is a ~30 s Mosaic compile).
         length = int(rng.choice([
             rng.integers(33, 72), rng.integers(72, 200),
             rng.integers(200, 600), rng.integers(600, 2500),
-        ]))
+            rng.integers(2500, 16500), rng.integers(16500, 66000),
+        ], p=[0.22, 0.26, 0.18, 0.18, 0.08, 0.08]))
         big = bool(rng.integers(0, 3) == 0)
         if big:
             k = int(rng.integers(16, 32))
@@ -60,6 +64,8 @@ def main() -> int:
         else:
             k = int(rng.integers(1, 16))
         b = int(rng.choice([5, 37, 64, 256, 511]))
+        if length > 2500:
+            b = int(rng.choice([3, 9, 16]))  # contig batches are small
         canonical = bool(rng.integers(0, 2))
         p_n = float(rng.choice([0.0, 0.02, 0.3]))
         codes = rng.integers(0, 4, size=(b, length)).astype(np.int8)

@@ -196,6 +196,16 @@ def main() -> None:
         np.testing.assert_array_equal(np.asarray(gh), np.asarray(rh))
         np.testing.assert_array_equal(np.asarray(gl), np.asarray(rl))
         np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+        # 2-key g=2 half-skip band (W=170 at k=31/200 bp -> bspan 64):
+        # the one layout x key-count combination the fixed shapes above
+        # miss (round 4's asymmetric network).
+        wide = jnp.asarray(rng.integers(-1, 4, size=(32, 200)).astype(np.int8))
+        rh, rl, rc = count_perread_sparse_large(wide, 31, True)
+        gh, gl, gc = rowsort_rle_pallas_large(wide, 31, canonical=True)
+        np.testing.assert_array_equal(np.asarray(gh), np.asarray(rh))
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(rl))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+        out["halfskip_2key_bspan"] = 64
         long = jnp.asarray(rng.integers(-1, 4, size=(16, 500)).astype(np.int8))
         ri, rc = count_perread_sparse(long, 8, False)
         gi, gc = rowsort_rle_pallas(long, 8)
