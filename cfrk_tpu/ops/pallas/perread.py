@@ -90,9 +90,12 @@ def _perread_kernel(
         if checksum:
             # Fold the counts while they are still in VMEM: proves the
             # values were computed without charging an HBM read-back.
-            # (chk is a full-array SMEM block — tiny — indexed by the
-            # read-block id; per-block SMEM tiles are not lowerable.)
-            chk_ref[i, 0] = jnp.sum(a & 3)
+            # (chk is a full-array SMEM block — indexed by the read-block
+            # id; per-block SMEM tiles are not lowerable.  Laid out as ONE
+            # row (1, nblocks): SMEM windows pad every ROW to 512 B, so a
+            # (nblocks, 1) layout costs nblocks*512 B and overflows the
+            # 1 MB SMEM at 2048 blocks — batch 32768 / read_block 16.)
+            chk_ref[0, i] = jnp.sum(a & 3)
         if packed == "fh":
             # Two hi-bins per int32: bin h in bits 31..16 packs with bin
             # h + fh/2 in bits 15..0 — rank-3 output block.
@@ -262,10 +265,10 @@ def count_perread_pallas(
     if checksum:
         out_specs.append(
             pl.BlockSpec(
-                (bb // rb, 1), lambda i, t: (0, 0), memory_space=pltpu.SMEM
+                (1, bb // rb), lambda i, t: (0, 0), memory_space=pltpu.SMEM
             )
         )
-        out_shape.append(jax.ShapeDtypeStruct((bb // rb, 1), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((1, bb // rb), jnp.int32))
     outs = pl.pallas_call(
         kernel,
         grid=(bb // rb, n_tiles),

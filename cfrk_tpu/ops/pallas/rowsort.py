@@ -441,8 +441,10 @@ def _rowsort_kernel(
     idx_out_ref[...] = jnp.where(first, x, sentinel)
     cnt_out_ref[...] = counts
     if checksum:
+        # One-row SMEM layout (1, nblocks): SMEM windows pad every row to
+        # 512 B, so (nblocks, 1) overflows 1 MB SMEM at 2048 blocks.
         i = pl.program_id(0)
-        chk_ref[i, 0] = jnp.sum(counts & 3) + jnp.sum(
+        chk_ref[0, i] = jnp.sum(counts & 3) + jnp.sum(
             jnp.where(first, x, 0) & 3
         )
 
@@ -462,8 +464,9 @@ def _rowsort_kernel_large(
     lo_out_ref[...] = jnp.where(first, lo, sentinel)
     cnt_out_ref[...] = counts
     if checksum:
+        # One-row SMEM layout — see _rowsort_kernel.
         i = pl.program_id(0)
-        chk_ref[i, 0] = jnp.sum(counts & 3) + jnp.sum(
+        chk_ref[0, i] = jnp.sum(counts & 3) + jnp.sum(
             jnp.where(first, lo, 0) & 3
         )
 
@@ -613,10 +616,10 @@ def rowsort_rle_pallas(
     ]
     if checksum:
         out_specs.append(
-            pl.BlockSpec((bb // rb, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, bb // rb), lambda i: (0, 0),
                          memory_space=pltpu.SMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((bb // rb, 1), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((1, bb // rb), jnp.int32))
     outs = pl.pallas_call(
         kernel,
         grid=(bb // rb,),
@@ -707,10 +710,10 @@ def rowsort_rle_pallas_large(
     ]
     if checksum:
         out_specs.append(
-            pl.BlockSpec((bb // rb, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, bb // rb), lambda i: (0, 0),
                          memory_space=pltpu.SMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((bb // rb, 1), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((1, bb // rb), jnp.int32))
     outs = pl.pallas_call(
         kernel,
         grid=(bb // rb,),

@@ -349,3 +349,29 @@ def test_round_artifacts_fresh_and_well_formed():
         for row in run["ladder"]:
             assert row["reads_per_s"] > 0
             assert 0 < row["efficiency_vs_1dev"]
+
+    # SCALE demo (round 4+, BASELINE config 5 bounded-scale): >= 10M
+    # reads end-to-end through the real CLI, per-stage breakdowns, and
+    # the kill+--resume splice byte-identical to the uninterrupted run.
+    scales = sorted(
+        glob.glob(os.path.join(root, "SCALE_r*.json")), key=_round_num
+    )
+    assert scales, "no SCALE artifact checked in (tools/scale_demo.py)"
+    cdoc = json.load(open(scales[-1]))
+    assert cdoc["reads"] >= 10_000_000, cdoc["reads"]
+    legs = cdoc["legs"]
+    assert {"perread_k8_nonzero", "spectrum_k8", "sparse_k31_resume"} \
+        <= set(legs), sorted(legs)
+    for name in ("perread_k8_nonzero", "spectrum_k8"):
+        leg = legs[name]
+        assert leg["wall_s"] > 0 and leg["bases_per_s"] > 0
+        assert len(leg["sha256"]) == 64
+        assert leg["stats"]["reads"] == cdoc["reads"]
+        assert leg["stats"]["stages_s"], name  # per-stage breakdown
+    sp = legs["sparse_k31_resume"]
+    assert sp["was_killed_midrun"] is True, "kill point never reached"
+    assert sp["byte_equal"] is True, "resume splice output differs"
+    assert sp["full"]["sha256"] == sp["resumed"]["sha256"]
+    # The resumed run must actually have SKIPPED the already-counted
+    # prefix (fewer reads processed than the full run).
+    assert sp["resumed"]["stats"]["reads"] < cdoc["reads"]
