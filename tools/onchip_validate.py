@@ -289,6 +289,38 @@ def main() -> None:
 
     check("mesh_compiled_probes", mesh_compiled_probes)
 
+    if not args.skip_pallas:
+
+        def auto_batch_capacity():
+            """Compile + run the hot kernels at the PRODUCTION batch size
+            (auto_batch_size at 150 bp — 32768 on TPU) with checksum-only
+            consumption.  Capacity/lowering regressions (e.g. the round-4
+            checksum-SMEM row-padding overflow: (nblocks, 1) int32 costs
+            nblocks*512 B of SMEM and dies at 2048 blocks) only surface at
+            this scale — the small parity batches above can stay green
+            while every production dispatch fails to compile."""
+            from cfrk_tpu.ops.pallas.perread import count_perread_pallas
+            from cfrk_tpu.ops.pallas.rowsort import rowsort_rle_pallas
+            from cfrk_tpu.pipeline.batch import auto_batch_size
+
+            b = auto_batch_size(150)
+            rng = np.random.default_rng(6)
+            codes = jnp.asarray(
+                rng.integers(-1, 4, size=(b, 150)).astype(np.int8)
+            )
+            _, chk = count_perread_pallas(codes, 8, packed=True, checksum=True)
+            dense_chk = int(np.asarray(jnp.sum(chk)))
+            _, _, chk = rowsort_rle_pallas(codes, 8, checksum=True)
+            rowsort_chk = int(np.asarray(jnp.sum(chk)))
+            assert dense_chk > 0 and rowsort_chk > 0
+            return {
+                "batch": b,
+                "dense_checksum": dense_chk,
+                "rowsort_checksum": rowsort_chk,
+            }
+
+        check("auto_batch_capacity", auto_batch_capacity)
+
     ok = all(c["ok"] for c in record["checks"].values())
     record["ok"] = ok
     out_path = args.out or os.path.join(
