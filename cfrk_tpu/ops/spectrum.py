@@ -38,6 +38,14 @@ __all__ = ["spectrum", "MAX_DENSE_SPECTRUM_K"]
 
 MAX_DENSE_SPECTRUM_K = 15
 
+# The one-hot Pallas kernel's measured per-base optimum is an 8192-read
+# invocation: 1.48 ms (0.81 of family SOL) vs 4.88 ms at 16384 and
+# 10.0 ms at 32768 (round 4 batch ladder, docs/PERF.md "Spectrum route
+# crossover").  Larger driver batches are sliced to this size inside
+# the traced step — tables sum exactly — so the stream keeps its
+# dispatch-amortizing auto batch while the kernel runs at its optimum.
+SPECTRUM_PALLAS_BATCH = 8192
+
 
 @partial(jax.jit, static_argnums=(1, 2), inline=True)
 def _spectrum_scatter(codes: jax.Array, k: int, canonical: bool) -> jax.Array:
@@ -117,5 +125,16 @@ def spectrum(
     if impl == "pallas":
         from .pallas.spectrum import spectrum_pallas
 
+        b = math.prod(codes.shape[:-1])
+        if b > SPECTRUM_PALLAS_BATCH:
+            flat = codes.reshape(b, codes.shape[-1])
+            table = None
+            for s in range(0, b, SPECTRUM_PALLAS_BATCH):
+                part = spectrum_pallas(
+                    flat[s : s + SPECTRUM_PALLAS_BATCH], k,
+                    canonical=canonical,
+                )
+                table = part if table is None else table + part
+            return table
         return spectrum_pallas(codes, k, canonical=canonical)
     raise ValueError(f"unknown impl {impl!r}")

@@ -163,6 +163,22 @@ def test_spectrum_pallas_k9_matches_scatter():
     np.testing.assert_array_equal(got, want)
 
 
+def test_spectrum_pallas_batch_slicing(monkeypatch):
+    """Batches above SPECTRUM_PALLAS_BATCH are sliced into kernel-optimal
+    sub-batches whose tables sum exactly (incl. a ragged tail)."""
+    import numpy as np
+
+    from cfrk_tpu.ops import spectrum as spec_mod
+
+    monkeypatch.setattr(spec_mod, "SPECTRUM_PALLAS_BATCH", 16)
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=(40, 60)).astype(np.int8)  # 16+16+8
+    codes[rng.random(codes.shape) < 0.02] = -1
+    got = np.asarray(spec_mod.spectrum(codes, 6, impl="pallas"))
+    want = np.asarray(spec_mod.spectrum(codes, 6, impl="scatter"))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_packed_odd_batch_pads_and_guards():
     import numpy as np
     import pytest as _pytest

@@ -35,6 +35,11 @@ def main() -> None:
                  "kernelnoop", "kernelsort"],
     )
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument(
+        "--keys", type=int, default=1, choices=[1, 2],
+        help="2: the (hi, lo) 2-key network (k in 16..31, canonical "
+             "keys) — decomposes the sparse_k31 case's cost centers",
+    )
     args = ap.parse_args()
 
     import jax
@@ -60,27 +65,52 @@ def main() -> None:
             val = jnp.sum(counts & 3) + jnp.sum(jnp.where(first, x, 0) & 3)
         else:
             val = jnp.sum(x & 3)
-        chk_ref[pl.program_id(0), 0] = val
+        chk_ref[0, pl.program_id(0)] = val
+
+    def kernel2(hi_ref, lo_ref, chk_ref, *, variant, mode):
+        sent_i = 0x7FFFFFFF
+        keys = (hi_ref[...], lo_ref[...])
+        if variant in ("full", "sortonly"):
+            keys = rs._bitonic_sort(keys, g, mode)
+        if variant in ("full", "rleonly"):
+            first, counts = rs._rle_sorted(keys, g, keys[1] != sent_i)
+            val = jnp.sum(counts & 3) + jnp.sum(
+                jnp.where(first, keys[1], 0) & 3
+            )
+        else:
+            val = jnp.sum(keys[0] & 3) + jnp.sum(keys[1] & 3)
+        chk_ref[0, pl.program_id(0)] = val
 
     from cfrk_tpu.ops.encode import window_indices
+    from cfrk_tpu.ops.sparse import kmer_keys
 
     def prep(codes):
+        if args.keys == 2:
+            sent_i = 0x7FFFFFFF
+            hi, lo = kmer_keys(codes, k, True)
+            flip = jnp.uint32(0x80000000)
+            hi = (hi ^ flip).astype(jnp.int32)
+            lo = (lo ^ flip).astype(jnp.int32)
+            hi, bb = rs._pad_split(hi, w, n, rs.LANES, rb, sent_i)
+            lo, _ = rs._pad_split(lo, w, n, rs.LANES, rb, sent_i)
+            return (hi, lo), bb
         idx = window_indices(codes, k, False)
         idx = jnp.where(idx < 0, sent, idx)
         idx, bb = rs._pad_split(idx, w, n, rs.LANES, rb, sent)
-        return idx, bb
+        return (idx,), bb
 
-    def call_kernel(idx, bb, variant):
+    def call_kernel(streams, bb, variant):
         blk = pl.BlockSpec((rb * g, rs.LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        body = kernel if len(streams) == 1 else kernel2
         out = pl.pallas_call(
-            functools.partial(kernel, variant=variant, mode=args.mode),
+            functools.partial(body, variant=variant, mode=args.mode),
             grid=(bb // rb,),
-            in_specs=[blk],
-            out_specs=pl.BlockSpec((bb // rb, 1), lambda i: (0, 0),
+            in_specs=[blk] * len(streams),
+            out_specs=pl.BlockSpec((1, bb // rb), lambda i: (0, 0),
                                    memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((bb // rb, 1), jnp.int32),
-        )(idx)
+            out_shape=jax.ShapeDtypeStruct((1, bb // rb), jnp.int32),
+        )(*streams)
         return jnp.sum(out)
 
     rng = np.random.default_rng(0)
