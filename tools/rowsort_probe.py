@@ -40,6 +40,11 @@ def main() -> None:
         help="2: the (hi, lo) 2-key network (k in 16..31, canonical "
              "keys) — decomposes the sparse_k31 case's cost centers",
     )
+    ap.add_argument(
+        "--rle", default="kernel", choices=["kernel", "gather"],
+        help="gather: candidate clamped-gather RLE (g=1 only) — "
+             "suffix-min by index-clamped doubling, no fill masks",
+    )
     args = ap.parse_args()
 
     import jax
@@ -67,13 +72,46 @@ def main() -> None:
             val = jnp.sum(x & 3)
         chk_ref[0, pl.program_id(0)] = val
 
+    def _rle_gather_g1(keys, real):
+        """Candidate RLE for g == 1 rows: every shifted fetch is an
+        index-CLAMPED gather; min over overlapping suffix ranges is
+        exact (idempotent), so no per-pass fill masks or iota compares
+        — the cost centers of the roll+where RLE."""
+        lane = rs._lane_iota(keys[0].shape)
+        prev_idx = jnp.maximum(lane - 1, 0)
+        neq = None
+        for kk in keys:
+            nk = kk != jnp.take_along_axis(kk, prev_idx, axis=1)
+            neq = nk if neq is None else (neq | nk)
+        first = ((lane == 0) | neq) & real
+        boundary = jnp.where(first | ~real, lane, rs.LANES)
+        nxt = jnp.take_along_axis(
+            boundary, jnp.minimum(lane + 1, rs.LANES - 1), axis=1
+        )
+        d = 1
+        while d < rs.LANES:
+            nxt = jnp.minimum(
+                nxt,
+                jnp.take_along_axis(
+                    nxt, jnp.minimum(lane + d, rs.LANES - 1), axis=1
+                ),
+            )
+            d *= 2
+        # lane 127's suffix is empty: force the fill the clamp skipped.
+        nxt = jnp.where(lane == rs.LANES - 1, rs.LANES, nxt)
+        counts = jnp.where(first, nxt - lane, 0)
+        return first, counts
+
     def kernel2(hi_ref, lo_ref, chk_ref, *, variant, mode):
         sent_i = 0x7FFFFFFF
         keys = (hi_ref[...], lo_ref[...])
         if variant in ("full", "sortonly"):
             keys = rs._bitonic_sort(keys, g, mode)
         if variant in ("full", "rleonly"):
-            first, counts = rs._rle_sorted(keys, g, keys[1] != sent_i)
+            rle = _rle_gather_g1 if args.rle == "gather" else (
+                lambda ks, real: rs._rle_sorted(ks, g, real)
+            )
+            first, counts = rle(keys, keys[1] != sent_i)
             val = jnp.sum(counts & 3) + jnp.sum(
                 jnp.where(first, keys[1], 0) & 3
             )
@@ -120,28 +158,31 @@ def main() -> None:
         pre = []
         prep_j = jax.jit(prep)
         for i in range(4):
-            idx, bb = prep_j(jnp.asarray(raw[i]))
-            pre.append(np.asarray(idx))
-        xs = jnp.asarray(np.stack(pre))
+            streams, bb = prep_j(jnp.asarray(raw[i]))
+            pre.append(np.stack([np.asarray(s) for s in streams]))
+        xs = jnp.asarray(np.stack(pre))  # [4, n_streams, rows, 128]
         inner = "noop" if args.variant == "kernelnoop" else "sortonly"
 
         @jax.jit
-        def step(idx):
-            return call_kernel(idx, idx.shape[0] // g, inner)
+        def step(stacked):
+            streams = tuple(stacked[j] for j in range(stacked.shape[0]))
+            rows = streams[0].shape[0]
+            bb = rows // g
+            return call_kernel(streams, bb, inner)
     elif args.variant == "preponly":
         xs = jnp.asarray(rng.integers(0, 4, size=(4, B, L)).astype(np.int8))
 
         @jax.jit
         def step(codes):
-            idx, bb = prep(codes)
-            return jnp.sum(idx[:, :1] & 3)  # consume without the kernel
+            streams, bb = prep(codes)
+            return sum(jnp.sum(s[:, :1] & 3) for s in streams)
     else:
         xs = jnp.asarray(rng.integers(0, 4, size=(4, B, L)).astype(np.int8))
 
         @jax.jit
         def step(codes):
-            idx, bb = prep(codes)
-            return call_kernel(idx, bb, args.variant)
+            streams, bb = prep(codes)
+            return call_kernel(streams, bb, args.variant)
     _ = int(np.asarray(step(xs[0])))
 
     def run(xs):
