@@ -493,10 +493,12 @@ def _plan_layout(w: int, b: int, read_block: int):
     rb = min(read_block, b, max(8, 1024 // g))
     rb = max(8, (rb // 8) * 8)
     if g > 128:
-        # Huge contigs (32-64 kb, round 4): the 8-read floor would put
-        # 2048+ rows in a block and blow the 16 MB scoped-VMEM limit;
-        # cap blocks at ~1024 rows (rows stay a multiple of 8 because
-        # g >= 256).  Measured to compile and beat the XLA row sort.
+        # Huge contigs (32 kb - 256 kb, round 4): the 8-read floor would
+        # put 2048+ rows in a block and blow the 16 MB scoped-VMEM
+        # limit; cap blocks at ~1024 rows where g allows (rows stay a
+        # multiple of 8 because g >= 256); at g > 1024 a single read IS
+        # the block (g rows — 1 MB/stream at g=2048, measured to
+        # compile in ~88 s and run 3.0 Gb/s at 256 kb).
         rb = max(1, 1024 // g)
     return n, g, LANES, rb
 

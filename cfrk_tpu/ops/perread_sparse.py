@@ -36,14 +36,16 @@ def rowsort_eligible(k: int, w: int, impl: str = "auto") -> bool:
     """True when the fused Pallas row-sort kernel should serve this shape.
 
     On TPU, any k in 1..31 routes to ops/pallas/rowsort.py as long as
-    the padded window axis stays VMEM-friendly: next_pow2(W) <= 65536
-    (g <= 512 sub-rows at the rb=8 block floor — ~2 MB key blocks;
-    round 4 extended the round-3 16 kb cap), i.e. reads/contigs up to
-    ~64 kb.  Measured 7.45x the XLA row sort at 4 kb contigs and ~4x
-    at 32-64 kb, parity-pinned on-chip at 64 kb; longer contigs stream
-    through window tiling or the XLA full-row sort.  Off-TPU the XLA
-    ``lax.sort`` path is both the oracle and the faster choice
-    (interpret-mode Pallas is debug-only).
+    the padded window axis stays VMEM-friendly: next_pow2(W) <= 262144
+    (g <= 2048 sub-rows at rb=1 — ~1 MB key blocks; round 4 extended
+    the round-3 16 kb cap to 64 kb and then to 256 kb), i.e.
+    reads/contigs up to ~256 kb.  Measured 7.45x the XLA row sort at
+    4 kb contigs, ~4x at 32-64 kb, 3.57/3.00 Gb/s at 128/256 kb
+    (one-time Mosaic compile 83/88 s per length bucket), parity-pinned
+    on-chip at 64/128/256 kb (also 2-key k=31 at 128 kb); longer
+    contigs stream through window tiling or the XLA full-row sort.
+    Off-TPU the XLA ``lax.sort`` path is both the oracle and the
+    faster choice (interpret-mode Pallas is debug-only).
     """
     import jax
 
@@ -52,7 +54,7 @@ def rowsort_eligible(k: int, w: int, impl: str = "auto") -> bool:
     n = 128
     while n < w:
         n *= 2
-    return n <= 65536 and jax.default_backend() == "tpu"
+    return n <= 262144 and jax.default_backend() == "tpu"
 
 
 def count_perread_rows(

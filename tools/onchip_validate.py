@@ -222,6 +222,17 @@ def main() -> None:
         np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
         np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
         out["contig_64kb_g"] = 512
+        # 128 kb contigs (g=1024, rb=1 — the round-4 256 kb eligibility
+        # extension; 256 kb + 2-key-at-128kb parity were probed the
+        # round the bound moved, ~88 s cold compiles each)
+        contig2 = jnp.asarray(
+            rng.integers(-1, 4, size=(2, 131041)).astype(np.int8)
+        )
+        ri, rc = count_perread_sparse(contig2, 8, False)
+        gi, gc = rowsort_rle_pallas(contig2, 8)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(rc))
+        out["contig_128kb_g"] = 1024
         # short-read span packing (2 reads per 128-lane row at 70 bp)
         short = jnp.asarray(rng.integers(-1, 4, size=(64, 70)).astype(np.int8))
         ri, rc = count_perread_sparse(short, 8, False)
