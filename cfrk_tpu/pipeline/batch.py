@@ -49,9 +49,15 @@ def auto_batch_size(
 
     On TPU: AUTO_BATCH_TARGET_BASES // len_bucket(hint), clamped to
     [512, 65536] and rounded to a 512 multiple (the rowsort kernel's
-    default read block).  Without a hint (unreadable input, stdin) or
-    off-TPU the historical 8192 stands — CPU runs are compile/host
-    bound, not dispatch bound.
+    default read block).  Contig-class rows (bucket > 64 kb) drop the
+    512-read floor: it would override the padded-bases target by up to
+    32x, and at ~1 Mb contigs the per-window int32 streams (key in,
+    pairs out) of a 512-row batch would walk past HBM — such batches
+    clamp to [8, ...] in 8-multiples instead (the read block at
+    g > 128 is single digits anyway; batch-128kb = 64 reads ~ 1.5 GB
+    of streams).  Without a hint (unreadable input, stdin) or off-TPU
+    the historical 8192 stands — CPU runs are compile/host bound, not
+    dispatch bound.
     """
     if backend is None:
         import jax
@@ -61,6 +67,8 @@ def auto_batch_size(
         return 8192
     bucket = len_bucket(max(int(read_len_hint), 1))
     b = AUTO_BATCH_TARGET_BASES // bucket
+    if bucket > 65536:
+        return max(8, (b // 8) * 8)
     return max(512, min(65536, (b // 512) * 512))
 
 

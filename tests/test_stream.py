@@ -1233,3 +1233,19 @@ def test_checkpoint_fingerprint_mtime_ns(tmp_path):
     os.utime(f, ns=(os.stat(f).st_atime_ns, os.stat(f).st_mtime_ns + 1))
     fp2 = StreamCheckpoint.fingerprint_of(f, 2, "perread", False)
     assert fp1 != fp2
+
+
+def test_auto_batch_size_ladder():
+    """Reads/batch scale inversely with length; contig-class buckets
+    (> 64 kb) drop the 512-read floor so padded window streams stay
+    inside HBM (docs/PERF.md)."""
+    from cfrk_tpu.pipeline.batch import auto_batch_size
+
+    assert auto_batch_size(70, backend="tpu") == 65536
+    assert auto_batch_size(150, backend="tpu") == 32768
+    assert auto_batch_size(16000, backend="tpu") == 512
+    assert auto_batch_size(64000, backend="tpu") == 512
+    assert auto_batch_size(131000, backend="tpu") == 64
+    assert auto_batch_size(1_000_000, backend="tpu") == 8
+    assert auto_batch_size(None, backend="tpu") == 8192
+    assert auto_batch_size(150, backend="cpu") == 8192
