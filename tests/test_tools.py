@@ -320,7 +320,8 @@ def test_round_artifacts_fresh_and_well_formed():
     assert suites, "no BENCHSUITE artifact checked in"
     # Generation recipe (what the checked-in artifact must come from):
     #   python tools/bench_suite.py --steps 512 --json-out BENCHSUITE_rN.json \
-    #       --only perread_k8,perread_k8_rowsort,spectrum_k8_pallas,\
+    #       --only perread_k8,perread_k8_rowsort,perread_k8_short,\
+    #              contig_k8_32kb,contig_k8_128kb,spectrum_k8_pallas,\
     #              spectrum_k8_sort,spectrum_k15_sort,sparse_k31
     # Host/golden/stream cases carry no vs_sol — only device cases are
     # checked for roofline sanity.

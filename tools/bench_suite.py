@@ -104,8 +104,9 @@ def main() -> None:
         "--only", default=None,
         help=(
             "comma-separated subset: golden,perread_k8,perread_k8_rowsort,perread_k8_short,"
-            "contig_k8_32kb,spectrum_k15,spectrum_k8_pallas,spectrum_k8_sort,"
-            "spectrum_k15_sort,sparse_k31,ingest,stream,stream_spectrum"
+            "contig_k8_32kb,contig_k8_128kb,spectrum_k15,spectrum_k8_pallas,"
+            "spectrum_k8_sort,spectrum_k15_sort,sparse_k31,ingest,stream,"
+            "stream_spectrum"
         ),
     )
     ap.add_argument(
@@ -336,6 +337,36 @@ def main() -> None:
         if on_tpu and steps < 512:
             rec["unquotable"] = True
         _emit("contig_k8_32kb", dt, n_contig * clen * steps,
+              "bases/s", rec)
+
+    # 2d. 128 kb contigs (round 4 late: eligibility extends to 256 kb —
+    #     g=1024, one read per block; measured 3.57 Gb/s vs an XLA
+    #     fallback whose compile never finished at this width).
+    if want("contig_k8_128kb"):
+        clen = 131041
+        n_contig = explicit_reads or auto_batch_size(clen)
+        contig = jnp.asarray(
+            np.stack([
+                rng.integers(0, 4, size=(n_contig, clen)).astype(np.int8)
+                for _ in range(2)
+            ])
+        )
+
+        step = rowsort_step(8)
+        dt, chk = _scan_case(step, contig, steps)
+        rec = {
+            "checksum": chk,
+            "reads": n_contig,
+            "step_ms": round(dt / steps * 1e3, 3),
+            "vs_sol": round(
+                n_contig * clen * steps / dt
+                / sort_sol(n_contig, clen, 8), 4,
+            ),
+            "sol_model": "sort",
+        }
+        if on_tpu and steps < 512:
+            rec["unquotable"] = True
+        _emit("contig_k8_128kb", dt, n_contig * clen * steps,
               "bases/s", rec)
 
     # 3. dense spectrum at large k via XLA scatter (kept as the
