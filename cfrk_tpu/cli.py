@@ -167,6 +167,20 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--mem-budget-mb",
+        type=int,
+        default=None,
+        metavar="MB",
+        help=(
+            "sparse --stream mode, k >= 11: cap host accumulator memory "
+            "— merged (key, count) arrays beyond the budget spill to "
+            "sorted on-disk runs next to the checkpoint and the final "
+            "result is a bounded-memory multiway merge (byte-identical "
+            "to the unbounded run).  The reference OOM-exited instead, "
+            "src/kmer_main.cu:51-56"
+        ),
+    )
+    p.add_argument(
         "--packed",
         action="store_true",
         help=(
@@ -671,6 +685,7 @@ def _run_byte_ranged(args, t0) -> int:
             mesh=args.mesh, slack=args.slack,
             byte_range=(start, limit), cleanup=False,
             min_qual=args.min_qual, seqpar=args.seqpar,
+            mem_budget_mb=args.mem_budget_mb,
         )
         with open(part, "wb") as f:
             np.savez(f, keys=keys, counts=cnts)
@@ -878,6 +893,7 @@ def _run_inputs(args, t0) -> int:
                 checkpoint_every=args.checkpoint_every or 64,
                 cleanup=False, mesh=args.mesh, slack=args.slack,
                 min_qual=args.min_qual, seqpar=args.seqpar,
+                mem_budget_mb=args.mem_budget_mb,
             )
             _write_sparse(
                 out, keys, cnts, args.k,

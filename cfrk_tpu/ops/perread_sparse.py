@@ -151,11 +151,28 @@ def count_perread_rows_tiled(
             )
         tiles.append(sl)
     n_tiles = len(tiles)
-    stacked = jnp.asarray(np.concatenate(tiles, axis=0))  # tile-major
-    out = narrow_for_fetch(
-        count_perread_rows(stacked, k, canonical, impl=impl), k
-    )
-    host = [np.asarray(a) for a in out]
+    stacked = np.concatenate(tiles, axis=0)  # tile-major
+    # Bounded sub-batches (ADVICE r4): one dispatch of ALL tiles of ALL
+    # reads can exceed HBM at tens-of-Mb contigs (n_tiles*b rows of
+    # `step`-wide int32 key/pair streams), so cap each dispatch at ~8Mi
+    # windows (~100 MB of device key+pair traffic) and fetch
+    # incrementally — the host merge below is chunk-order-agnostic.
+    rows_per = max(1, (8 << 20) // step)
+    host_parts: list[list] | None = None
+    for s in range(0, stacked.shape[0], rows_per):
+        out = narrow_for_fetch(
+            count_perread_rows(
+                jnp.asarray(stacked[s : s + rows_per]), k, canonical,
+                impl=impl,
+            ),
+            k,
+        )
+        arrs = [np.asarray(a) for a in out]
+        if host_parts is None:
+            host_parts = [[] for _ in arrs]
+        for lst, a in zip(host_parts, arrs):
+            lst.append(a)
+    host = [np.concatenate(lst, axis=0) for lst in host_parts]
 
     two_key = len(host) == 3
     if two_key:

@@ -37,9 +37,11 @@ __all__ = [
     "batch_spectrum_triples",
     "rows_to_triples",
     "fetch_triples",
+    "fetched_to_triples",
     "merge_sorted_key_counts",
     "merge_sorted_spectra",
     "SparseAccumulator",
+    "SpillingSparseAccumulator",
     "DenseFoldAccumulator",
     "decode_key",
 ]
@@ -195,19 +197,29 @@ def rows_to_triples(rows, k: int):
     from .perread_sparse import narrow_for_fetch
 
     rows = narrow_for_fetch(rows, k)
-    if len(rows) == 2:
-        idx, cnt = rows
-        lo = np.asarray(idx).reshape(-1).astype(np.uint32)
-        c = np.asarray(cnt).reshape(-1).astype(np.int64)
+    return fetched_to_triples([np.asarray(a) for a in rows], k)
+
+
+def fetched_to_triples(arrs, k: int):
+    """Already-fetched drain-narrowed host arrays → flat (hi, lo, counts).
+
+    Keeps the drain dtypes (uint16/int32 keys, uint8/int16 counts) —
+    both accumulators consume them directly, so widening here would
+    only add ~100 MB/batch of astype memory traffic at production batch
+    sizes (round-5 fold-path measurement, docs/PERF.md).  The streaming
+    driver calls this on buffers it fetched itself so the fetch can be
+    staged separately from the fold."""
+    if len(arrs) == 2:
+        idx, cnt = arrs
+        lo = idx.reshape(-1)
+        c = cnt.reshape(-1)
         # uint16-compacted idx wraps the sentinel to 0, but sentinel
         # cells carry count 0 and every consumer masks counts > 0.
-        return np.zeros(lo.shape, dtype=np.uint32), lo, c
-    hi, lo, counts = rows
-    return (
-        np.asarray(hi).reshape(-1),
-        np.asarray(lo).reshape(-1),
-        np.asarray(counts).reshape(-1),
-    )
+        # hi is structurally zero for k <= 15: a broadcast view, not a
+        # materialised zeros array.
+        return np.broadcast_to(np.uint32(0), lo.shape), lo, c
+    hi, lo, counts = arrs
+    return hi.reshape(-1), lo.reshape(-1), counts.reshape(-1)
 
 
 def merge_sorted_key_counts(parts):
@@ -348,6 +360,209 @@ class SparseAccumulator:
         self._pending = []
 
 
+class SpillingSparseAccumulator(SparseAccumulator):
+    """SparseAccumulator with a host-memory bound (disk-spilled runs).
+
+    The unbounded accumulator reached ~24 GB RSS at a 10M-read k=31
+    canonical run (~186M distinct keys plus fold transients) — which
+    does not extrapolate to the >= 100M-read BASELINE config-5 target.
+    This variant caps the merged in-memory (keys, counts) arrays: when
+    they exceed a third of ``budget_bytes`` (the searchsorted merge
+    transiently holds ~2x the merged arrays, and the pending buffer
+    rides on top), they are written to ``spill_dir`` as one sorted-
+    unique run (``.npy`` pair, fsynced) and accumulation restarts
+    empty.  The final result is a bounded-memory multiway merge of all
+    runs plus the in-memory remainder (:meth:`iter_merged_chunks`) —
+    the on-disk extension of the two-level searchsorted merge.
+
+    The reference simply OOM-exited when a table outgrew memory
+    (reference ``src/kmer_main.cu:51-56``); this is the capability it
+    never had.  Runs double as the CHECKPOINT unit: a checkpoint spills
+    the in-memory state and records the run list (append-only, O(new
+    data) per checkpoint instead of O(total accumulated)).
+    """
+
+    def __init__(self, spill_dir: str, budget_bytes: int,
+                 merge_every: int = 32):
+        super().__init__(merge_every=merge_every)
+        self.spill_dir = str(spill_dir)
+        self.budget_bytes = int(budget_bytes)
+        self.run_files: list[str] = []  # run basenames, spill order
+        self._run_seq = 0
+
+    def add(self, hi, lo, counts) -> None:
+        super().add(hi, lo, counts)
+        if (
+            self.keys.nbytes + self.counts.nbytes
+            >= max(self.budget_bytes // 3, 1 << 12)
+        ):
+            self.spill_run()
+
+    def spill_run(self) -> None:
+        """Write the merged in-memory arrays to disk as one sorted run
+        (durable: data fsynced, then the rename, then the directory)."""
+        import os
+
+        self._fold()
+        if not len(self.keys):
+            return
+        os.makedirs(self.spill_dir, exist_ok=True)
+        base = f"run{self._run_seq:05d}"
+        self._run_seq += 1
+        for name, arr in (("keys", self.keys), ("counts", self.counts)):
+            p = os.path.join(self.spill_dir, f"{base}.{name}.npy")
+            tmp = p + ".tmp.npy"
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+        dfd = os.open(self.spill_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        self.run_files.append(base)
+        self.keys = np.empty(0, dtype=np.uint64)
+        self.counts = np.empty(0, dtype=np.int64)
+
+    def checkpoint_runs(self) -> list[str]:
+        """Spill pending + in-memory state and return the authoritative
+        run list for the checkpoint JSON (append-only checkpointing)."""
+        self.spill_run()
+        return list(self.run_files)
+
+    def adopt_runs(self, run_files) -> None:
+        """Resume from a checkpointed run list: restore it and delete
+        any stale spill files from the crashed segment (runs spilled
+        after the last durable checkpoint would double-count their
+        batches, which the resume replays)."""
+        import os
+
+        self.run_files = [str(b) for b in run_files]
+        seqs = [
+            int(b[3:]) for b in self.run_files
+            if b.startswith("run") and b[3:].isdigit()
+        ]
+        self._run_seq = max(seqs, default=-1) + 1
+        keep = {
+            f"{b}.{part}.npy"
+            for b in self.run_files
+            for part in ("keys", "counts")
+        }
+        if os.path.isdir(self.spill_dir):
+            for fn in os.listdir(self.spill_dir):
+                if fn not in keep:
+                    try:
+                        os.remove(os.path.join(self.spill_dir, fn))
+                    except OSError:
+                        pass
+        missing = [
+            fn for fn in keep
+            if not os.path.exists(os.path.join(self.spill_dir, fn))
+        ]
+        if missing:
+            raise ValueError(f"checkpoint spill runs missing: {missing}")
+        self.keys = np.empty(0, dtype=np.uint64)
+        self.counts = np.empty(0, dtype=np.int64)
+        self._pending = []
+
+    def _open_runs(self):
+        import os
+
+        runs = []
+        for b in self.run_files:
+            ks = np.load(
+                os.path.join(self.spill_dir, f"{b}.keys.npy"), mmap_mode="r"
+            )
+            cs = np.load(
+                os.path.join(self.spill_dir, f"{b}.counts.npy"), mmap_mode="r"
+            )
+            runs.append((ks, cs))
+        return runs
+
+    def iter_merged_chunks(self, chunk: int | None = None):
+        """Yield the full merged spectrum as ascending (keys, counts)
+        chunks; every key appears in exactly ONE chunk (so chunk-local
+        duplicate summing is globally exact), keys strictly increase
+        across chunks.  Peak memory is O(n_runs * chunk); the default
+        chunk spends about a third of the budget on merge windows.
+        This is the >= 100M-read output path: a chunked writer never
+        materialises the full key set."""
+        self._fold()
+        runs = self._open_runs()
+        if len(self.keys):
+            runs.append((self.keys, self.counts))
+        if not runs:
+            return
+        if chunk is None:
+            per_run = self.budget_bytes // (3 * 16 * max(len(runs), 1))
+            chunk = int(min(max(per_run, 1 << 20), 1 << 26))
+        if len(runs) == 1:
+            ks, cs = runs[0]
+            for s in range(0, len(ks), chunk):
+                yield (
+                    np.asarray(ks[s : s + chunk]),
+                    np.asarray(cs[s : s + chunk]),
+                )
+            return
+        cursors = [0] * len(runs)
+        while True:
+            # Pivot: the smallest "window-end key" over the active runs.
+            # Every element <= pivot in ANY run lies within that run's
+            # next (chunk+1)-wide window — runs are sorted-unique, so
+            # elements past the window-end index strictly exceed its
+            # key, which is >= pivot.  Hence one pass consumes exactly
+            # the global prefix <= pivot and no key spans two chunks.
+            pivot = None
+            for (ks, _), c in zip(runs, cursors):
+                if c < len(ks):
+                    cand = ks[min(c + chunk, len(ks) - 1)]
+                    if pivot is None or cand < pivot:
+                        pivot = cand
+            if pivot is None:
+                return
+            parts_k: list = []
+            parts_c: list = []
+            for r, (ks, cs) in enumerate(runs):
+                c = cursors[r]
+                if c >= len(ks):
+                    continue
+                win = np.asarray(ks[c : min(c + chunk + 1, len(ks))])
+                e = int(np.searchsorted(win, pivot, side="right"))
+                if e == 0:
+                    continue
+                parts_k.append(win[:e])
+                parts_c.append(np.asarray(cs[c : c + e]))
+                cursors[r] = c + e
+            allk = np.concatenate(parts_k)
+            allc = np.concatenate(parts_c)
+            order = np.argsort(allk, kind="stable")
+            allk = allk[order]
+            allc = allc[order]
+            starts = np.r_[0, np.flatnonzero(allk[1:] != allk[:-1]) + 1]
+            yield allk[starts], np.add.reduceat(allc, starts)
+
+    def result_arrays(self):
+        self._fold()
+        if not self.run_files:
+            return self.keys, self.counts
+        ks: list = []
+        cs: list = []
+        for k_chunk, c_chunk in self.iter_merged_chunks():
+            ks.append(k_chunk)
+            cs.append(c_chunk)
+        if not ks:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        return np.concatenate(ks), np.concatenate(cs)
+
+    def cleanup_spill(self) -> None:
+        """Remove all spill files and the directory (end of run)."""
+        import shutil
+
+        shutil.rmtree(self.spill_dir, ignore_errors=True)
+
+
 class DenseFoldAccumulator:
     """SparseAccumulator drop-in for SMALL key spaces (k <= 10).
 
@@ -371,9 +586,17 @@ class DenseFoldAccumulator:
         # hi is structurally zero for every k <= 15 pair row
         # (rows_to_triples); count<=0 cells (sentinels, padding) are
         # skipped inside the fold.
+        self.add_pairs(lo, counts)
+
+    def add_pairs(self, idx, counts) -> None:
+        """Fold a drain-narrowed (idx, counts) pair directly — the
+        streaming driver's fast path, skipping the triple packaging.
+        The native fold consumes uint16/int32 idx and uint8/int16/int32
+        counts as-is (io/native fold_pairs), so no widening copy ever
+        touches the ~50 MB/batch pair buffers."""
         from ..io.native import fold_pairs_into
 
-        fold_pairs_into(self.table, np.asarray(lo), np.asarray(counts))
+        fold_pairs_into(self.table, np.asarray(idx), np.asarray(counts))
 
     def result_arrays(self):
         keys = np.flatnonzero(self.table)

@@ -29,7 +29,12 @@ import numpy as np
 
 from . import faults
 
-__all__ = ["StreamCheckpoint", "checkpoint_path", "cleanup_checkpoint"]
+__all__ = [
+    "StreamCheckpoint",
+    "checkpoint_path",
+    "cleanup_checkpoint",
+    "spill_dir_path",
+]
 
 
 def cleanup_checkpoint(out_path: str | os.PathLike) -> None:
@@ -38,8 +43,13 @@ def cleanup_checkpoint(out_path: str | os.PathLike) -> None:
     For callers that stream with ``cleanup=False`` (keeping the
     checkpoint alive until the real output file is written) and then
     finalize."""
+    import shutil
+
     cpath = checkpoint_path(out_path)
     if not os.path.exists(cpath):
+        # Spill runs can exist without a checkpoint JSON (a budgeted
+        # run short enough to never checkpoint) — still remove them.
+        shutil.rmtree(spill_dir_path(cpath), ignore_errors=True)
         return
     ckpt = StreamCheckpoint.load_if_valid(cpath) or StreamCheckpoint(
         fingerprint={}
@@ -49,6 +59,13 @@ def cleanup_checkpoint(out_path: str | os.PathLike) -> None:
 
 def checkpoint_path(out_path: str | os.PathLike) -> str:
     return str(out_path) + ".ckpt.json"
+
+
+def spill_dir_path(ckpt_path: str) -> str:
+    """Directory holding a memory-bounded sparse run's spilled runs —
+    derived from the checkpoint path so resume finds it and
+    :meth:`StreamCheckpoint.cleanup` removes it with the checkpoint."""
+    return os.path.abspath(ckpt_path + ".spill")
 
 
 @dataclasses.dataclass
@@ -63,6 +80,12 @@ class StreamCheckpoint:
     # uncompressed inputs only): resume seeks here in O(1) instead of
     # re-parsing reads_done records.  None = offsets unavailable (gzip).
     input_offset: int | None = None
+    # Memory-bounded sparse runs (ops/sparse.SpillingSparseAccumulator):
+    # the authoritative list of spilled run basenames under
+    # ``<ckpt>.spill/`` as of this checkpoint.  Runs spilled after the
+    # JSON flip are stale (their batches get replayed) and are deleted
+    # by adopt_runs on resume.  None = unbounded npz checkpointing.
+    sparse_runs: list | None = None
 
     @staticmethod
     def fingerprint_of(input_path, k: int, mode: str, canonical: bool) -> dict:
@@ -171,11 +194,14 @@ class StreamCheckpoint:
 
     def cleanup(self, ckpt_path: str) -> None:
         """Remove checkpoint files after a successful run (including any
-        orphaned sidecar generations from interrupted checkpoints)."""
+        orphaned sidecar generations from interrupted checkpoints and
+        the memory-bound spill-run directory)."""
         import glob
+        import shutil
 
         esc = glob.escape(ckpt_path)  # metachars in out paths must not glob
         stale = glob.glob(esc + ".spectrum.*") + glob.glob(esc + ".sparse.*")
         for p in {ckpt_path, self.spectrum_path, *stale}:
             if p and os.path.exists(p):
                 os.remove(p)
+        shutil.rmtree(spill_dir_path(ckpt_path), ignore_errors=True)

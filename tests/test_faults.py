@@ -189,3 +189,71 @@ def test_checkpoint_trip_is_noop_when_disarmed(tmp_path):
     assert m.reads == 8
     assert not (tmp_path / (out.name + ".ckpt.json")).exists()
     assert checkpoint_path(out).endswith(".ckpt.json")
+
+
+def test_stream_sparse_spill_crash_resume(tmp_path):
+    """Spill-mode (mem_budget_mb) checkpointing is an append-only run
+    list: die after the 2nd checkpoint, resume, and the merged result
+    must equal the uninterrupted run — including dropping any run
+    spilled after the last durable checkpoint."""
+    from cfrk_tpu.pipeline.stream import stream_sparse_spectrum_file
+
+    rng = np.random.default_rng(17)
+    reads = _random_reads(40, rng, lo=40, hi=80)
+    fasta = tmp_path / "in.fasta"
+    _write_fasta(fasta, reads)
+    k, bs = 16, 8
+
+    wk, wc, _ = stream_sparse_spectrum_file(fasta, k, batch_size=bs)
+
+    out = tmp_path / "crashed.tsv"
+    faults.arm("checkpoint", 2)
+    with pytest.raises(faults.InjectedFault):
+        stream_sparse_spectrum_file(
+            fasta, k, batch_size=bs, out_path=out,
+            mem_budget_mb=1, checkpoint_every=1, cleanup=False,
+        )
+    cj = tmp_path / (out.name + ".ckpt.json")
+    assert cj.exists()
+    import json as _json
+
+    runs = _json.loads(cj.read_text())["sparse_runs"]
+    assert runs  # append-only run list is the checkpoint payload
+
+    gk, gc, _ = stream_sparse_spectrum_file(
+        fasta, k, batch_size=bs, out_path=out,
+        mem_budget_mb=1, checkpoint_every=1, resume=True, cleanup=False,
+    )
+    cleanup_checkpoint(out)
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gc, wc)
+    assert not (tmp_path / (out.name + ".ckpt.json.spill")).exists()
+
+
+def test_stream_sparse_spill_resume_without_budget(tmp_path):
+    """Resuming a budgeted run WITHOUT --mem-budget-mb must still honour
+    the checkpointed run list (the run list, not the caller's flags,
+    defines the accumulator state)."""
+    from cfrk_tpu.pipeline.stream import stream_sparse_spectrum_file
+
+    rng = np.random.default_rng(23)
+    reads = _random_reads(30, rng, lo=40, hi=80)
+    fasta = tmp_path / "in.fasta"
+    _write_fasta(fasta, reads)
+    k, bs = 16, 8
+
+    wk, wc, _ = stream_sparse_spectrum_file(fasta, k, batch_size=bs)
+
+    out = tmp_path / "crashed.tsv"
+    faults.arm("checkpoint", 2)
+    with pytest.raises(faults.InjectedFault):
+        stream_sparse_spectrum_file(
+            fasta, k, batch_size=bs, out_path=out,
+            mem_budget_mb=1, checkpoint_every=1, cleanup=False,
+        )
+    gk, gc, _ = stream_sparse_spectrum_file(
+        fasta, k, batch_size=bs, out_path=out,
+        checkpoint_every=1, resume=True,  # no budget on the resume
+    )
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gc, wc)

@@ -263,3 +263,29 @@ def test_tiled_rows_match_oracle_exactly():
     np.testing.assert_array_equal(gh, rh)
     np.testing.assert_array_equal(gl, rl)
     np.testing.assert_array_equal(gcc, rcc)
+
+
+def test_tiled_rows_k12_and_canonical_1key():
+    """ADVICE r4: the un-narrowed int32 1-key branch (k in 9..15) and
+    the canonical 1-key merge were untested — pin both, plus the
+    bounded sub-batch dispatch (rows_per chunking splits these 6 reads
+    x 5 tiles into several dispatches at step=64)."""
+    import numpy as np
+
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_rows_tiled,
+        count_perread_sparse,
+    )
+
+    rng = np.random.default_rng(12)
+    codes = rng.integers(0, 4, size=(6, 300)).astype(np.int8)
+    codes[0, 17] = -1
+    codes[2, :] = 1  # poly-C: runs span tiles
+    for k, canonical in ((12, False), (12, True), (9, True)):
+        ri, rc = (
+            np.asarray(a)
+            for a in count_perread_sparse(codes, k, canonical)
+        )
+        gi, gc = count_perread_rows_tiled(codes, k, canonical, step=64)
+        np.testing.assert_array_equal(gi, ri)
+        np.testing.assert_array_equal(gc, rc)

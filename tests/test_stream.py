@@ -1249,3 +1249,45 @@ def test_auto_batch_size_ladder():
     assert auto_batch_size(1_000_000, backend="tpu") == 8
     assert auto_batch_size(None, backend="tpu") == 8192
     assert auto_batch_size(150, backend="cpu") == 8192
+
+
+def test_stream_sparse_mem_budget_byte_identical(tmp_path):
+    """--mem-budget-mb: disk-spilled runs + chunked merge must equal the
+    unbounded accumulator exactly (VERDICT r4 #3), and the spill dir
+    must be gone after a clean finish."""
+    import os
+
+    from cfrk_tpu.io.fasta import decode_codes
+    from cfrk_tpu.pipeline.stream import stream_sparse_spectrum_file
+
+    rng = np.random.default_rng(31)
+    fasta = tmp_path / "in.fasta"
+    with open(fasta, "wb") as f:
+        for i in range(600):
+            codes = rng.integers(0, 4, size=100).astype(np.int8)
+            f.write(b">r%d\n" % i + decode_codes(codes) + b"\n")
+    k, bs = 16, 64
+
+    wk, wc, _ = stream_sparse_spectrum_file(fasta, k, batch_size=bs)
+    out = tmp_path / "s.tsv"
+    gk, gc, m = stream_sparse_spectrum_file(
+        fasta, k, batch_size=bs, out_path=out,
+        mem_budget_mb=1, checkpoint_every=2,
+    )
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gc, wc)
+    leftovers = [p for p in os.listdir(tmp_path) if ".spill" in p]
+    assert not leftovers, leftovers
+
+
+def test_stream_sparse_budget_needs_out_path(tmp_path):
+    from cfrk_tpu.io.fasta import decode_codes
+    from cfrk_tpu.pipeline.stream import stream_sparse_spectrum_file
+
+    fasta = tmp_path / "in.fasta"
+    with open(fasta, "wb") as f:
+        f.write(b">r0\n" + decode_codes(
+            np.random.default_rng(0).integers(0, 4, 40).astype(np.int8)
+        ) + b"\n")
+    with pytest.raises(ValueError, match="out_path"):
+        stream_sparse_spectrum_file(fasta, 16, mem_budget_mb=1)

@@ -315,10 +315,13 @@ def main() -> None:
 
         clen = 32700
         n_contig = explicit_reads or auto_batch_size(clen)
+        # n_xs distinct inputs like every other case (CLAUDE.md bench
+        # rule; ADVICE r4): ~8 MB per input at the auto batch, so four
+        # fit HBM trivially.
         contig = jnp.asarray(
             np.stack([
                 rng.integers(0, 4, size=(n_contig, clen)).astype(np.int8)
-                for _ in range(2)
+                for _ in range(n_xs)
             ])
         )
 
@@ -345,10 +348,11 @@ def main() -> None:
     if want("contig_k8_128kb"):
         clen = 131041
         n_contig = explicit_reads or auto_batch_size(clen)
+        # n_xs distinct inputs (CLAUDE.md bench rule; ADVICE r4).
         contig = jnp.asarray(
             np.stack([
                 rng.integers(0, 4, size=(n_contig, clen)).astype(np.int8)
-                for _ in range(2)
+                for _ in range(n_xs)
             ])
         )
 
