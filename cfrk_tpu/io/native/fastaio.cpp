@@ -945,17 +945,30 @@ PyObject* format_pairs64(PyObject*, PyObject* args) {
  * than the one-hot kernel it would replace (tools/fold_probe.py,
  * docs/PERF.md "Device-side fold candidates").
  */
-template <typename I, typename C>
+template <typename I, typename C, typename T>
 static void fold_range(const I* idx, const C* cnt, Py_ssize_t i0,
-                       Py_ssize_t i1, int64_t* table, size_t bins) {
-  for (Py_ssize_t i = i0; i < i1; i++) {
+                       Py_ssize_t i1, T* table, size_t bins) {
+  /* The loop is bound by the random table access (2-8 MB working set
+   * at k=9/10 — beyond L1/L2): prefetch the bin PF cells ahead so the
+   * load miss overlaps the adds in between (measured 1.6-1.9x on this
+   * host, round 5). */
+  constexpr Py_ssize_t PF = 16;
+  Py_ssize_t i = i0;
+  for (; i + PF < i1; i++) {
+    const size_t vp = (size_t)(typename std::make_unsigned<I>::type)idx[i + PF];
+    if (vp < bins) __builtin_prefetch(&table[vp], 1, 1);
     const int64_t c = (int64_t)cnt[i];
     /* Unsigned cast: a negative int32 (impossible from the kernels,
      * cheap to guard) wraps huge and fails the bounds check.  Sentinel
      * cells carry count 0 and are skipped; the uint16-compacted
      * sentinel wraps to 0 but also always carries count 0. */
     const size_t v = (size_t)(typename std::make_unsigned<I>::type)idx[i];
-    if (c > 0 && v < bins) table[v] += c;
+    if (c > 0 && v < bins) table[v] += (T)c;
+  }
+  for (; i < i1; i++) {
+    const int64_t c = (int64_t)cnt[i];
+    const size_t v = (size_t)(typename std::make_unsigned<I>::type)idx[i];
+    if (c > 0 && v < bins) table[v] += (T)c;
   }
 }
 
@@ -970,23 +983,43 @@ static void fold_dispatch(const void* idx_raw, const void* cnt_raw,
     const long cap = atol(env);
     if (cap > 0 && (unsigned)cap < T) T = (unsigned)cap;
   }
-  /* Private tables cost T*bins*8 bytes: go serial when the elements are
-   * few (thread spawn dominates) or the table is large (k > 10 never
-   * takes this path — the sparse accumulator owns it). */
+  /* Private tables cost T*bins*4-8 bytes: go serial when the elements
+   * are few (thread spawn dominates) or the table is large (k > 10
+   * never takes this path — the sparse accumulator owns it). */
   if (n < (Py_ssize_t)(1 << 20) || bins > (Py_ssize_t)(16 << 20)) T = 1;
   if (T <= 1) {
-    fold_range<I, C>(idx, cnt, 0, n, table, (size_t)bins);
+    fold_range<I, C, int64_t>(idx, cnt, 0, n, table, (size_t)bins);
     return;
   }
-  std::vector<std::vector<int64_t>> priv(T);
+  /* int32 private tables halve the random-access working set (the real
+   * bound: an int64 k=10 table is 8 MB/thread — past L2 on any core).
+   * Exact whenever the call's TOTAL count mass fits int32 — for RLE
+   * pair matrices it always does (counts sum to <= windows/batch), but
+   * the entry point is generic, so measure it: one sequential
+   * SIMD-friendly pass (~0.3 ms for 8M int16) buys the certainty. */
+  int64_t total = 0;
+  for (Py_ssize_t i = 0; i < n; i++) {
+    const int64_t c = (int64_t)cnt[i];
+    total += c > 0 ? c : 0;
+  }
+  const bool narrow = total < (int64_t)INT32_MAX;
+  std::vector<std::vector<int64_t>> priv64(narrow ? 0 : T);
+  std::vector<std::vector<int32_t>> priv32(narrow ? T : 0);
   std::vector<std::thread> workers;
   workers.reserve(T);
   for (unsigned t = 0; t < T; t++) {
     const Py_ssize_t i0 = n * (Py_ssize_t)t / (Py_ssize_t)T;
     const Py_ssize_t i1 = n * (Py_ssize_t)(t + 1) / (Py_ssize_t)T;
     workers.emplace_back([&, t, i0, i1] {
-      priv[t].assign((size_t)bins, 0);
-      fold_range<I, C>(idx, cnt, i0, i1, priv[t].data(), (size_t)bins);
+      if (narrow) {
+        priv32[t].assign((size_t)bins, 0);
+        fold_range<I, C, int32_t>(idx, cnt, i0, i1, priv32[t].data(),
+                                  (size_t)bins);
+      } else {
+        priv64[t].assign((size_t)bins, 0);
+        fold_range<I, C, int64_t>(idx, cnt, i0, i1, priv64[t].data(),
+                                  (size_t)bins);
+      }
     });
   }
   for (auto& w : workers) w.join();
@@ -997,8 +1030,13 @@ static void fold_dispatch(const void* idx_raw, const void* cnt_raw,
     const Py_ssize_t b0 = bins * (Py_ssize_t)t / (Py_ssize_t)T;
     const Py_ssize_t b1 = bins * (Py_ssize_t)(t + 1) / (Py_ssize_t)T;
     mergers.emplace_back([&, b0, b1] {
-      for (const auto& p : priv)
-        for (Py_ssize_t b = b0; b < b1; b++) table[b] += p[(size_t)b];
+      if (narrow) {
+        for (const auto& p : priv32)
+          for (Py_ssize_t b = b0; b < b1; b++) table[b] += p[(size_t)b];
+      } else {
+        for (const auto& p : priv64)
+          for (Py_ssize_t b = b0; b < b1; b++) table[b] += p[(size_t)b];
+      }
     });
   }
   for (auto& w : mergers) w.join();

@@ -28,6 +28,7 @@ __all__ = [
     "count_perread_rows_tiled",
     "rowsort_eligible",
     "compact_pairs",
+    "valid_pair_prefix",
     "pairs_to_host",
     "MAX_SPARSE_PERREAD_K",
     "ROWSORT_MAX_WINDOWS",
@@ -334,6 +335,19 @@ def narrow_for_fetch(device_out, k: int):
     elif w < 2**15:
         cnt = cnt.astype(jnp.int16)
     return hi, lo, cnt
+
+
+def valid_pair_prefix(rows, w: int):
+    """Slice per-read RLE pair rows to their first ``w`` columns before
+    a D2H fetch.  Exact for any sorted-RLE row layout: a row's real
+    keys sort ahead of the sentinels, so every run-start (the only
+    cells with count > 0) sits within the first ``n_real <= w``
+    positions — columns past ``w`` are structurally (sentinel, 0).
+    The spectrum fold drains use it to cut D2H and host-fold traffic
+    by the pad fraction (256/143 ≈ 1.8x at k=9/150 bp); per-read
+    ``.cfrk`` drains keep the full rows (their formatters are already
+    count-masked, but the exact-layout tests pin the padded shape)."""
+    return tuple(a[..., :w] for a in rows)
 
 
 def pairs_to_host(device_out, n_reads: int):

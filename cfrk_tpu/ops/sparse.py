@@ -183,11 +183,20 @@ def batch_spectrum_triples(codes, k: int, canonical: bool = False):
     """
     import jax.numpy as jnp
 
-    from .perread_sparse import count_perread_rows
-
-    return rows_to_triples(
-        count_perread_rows(jnp.asarray(codes), k, canonical), k
+    from .perread_sparse import (
+        count_perread_rows,
+        narrow_for_fetch,
+        valid_pair_prefix,
     )
+
+    w = codes.shape[-1] - k + 1
+    rows = valid_pair_prefix(
+        narrow_for_fetch(
+            count_perread_rows(jnp.asarray(codes), k, canonical), k
+        ),
+        w,
+    )
+    return fetched_to_triples([np.asarray(a) for a in rows], k)
 
 
 def rows_to_triples(rows, k: int):

@@ -883,7 +883,11 @@ def stream_sparse_spectrum_file(
     POSITION slice's windows (parallel/seqpar.spectrum_seqpar_triples)
     — the long-contig shape where row sharding has nothing to shard.
     """
-    from ..ops.perread_sparse import count_perread_rows, narrow_for_fetch
+    from ..ops.perread_sparse import (
+        count_perread_rows,
+        narrow_for_fetch,
+        valid_pair_prefix,
+    )
     from ..ops.sparse import (
         DenseFoldAccumulator,
         SparseAccumulator,
@@ -1006,13 +1010,18 @@ def stream_sparse_spectrum_file(
         else:
             # Row sorts (the fused Pallas kernel on TPU) — ~3x the
             # full-batch sort at k <= 15 (docs/PERF.md); the enqueue is
-            # async, the fetch waits at drain time.
+            # async, the fetch waits at drain time.  valid_pair_prefix
+            # drops the structurally-empty pad columns before the D2H.
             with m.stage("dispatch"):
-                rows = narrow_for_fetch(
-                    count_perread_rows(
-                        jax.numpy.asarray(batch.codes), k, canonical
+                w = batch.codes.shape[1] - k + 1
+                rows = valid_pair_prefix(
+                    narrow_for_fetch(
+                        count_perread_rows(
+                            jax.numpy.asarray(batch.codes), k, canonical
+                        ),
+                        k,
                     ),
-                    k,
+                    w,
                 )
             fetch = lambda rows=rows: [np.asarray(a) for a in rows]  # noqa: E731
         pending.append(

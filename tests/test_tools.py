@@ -322,7 +322,7 @@ def test_round_artifacts_fresh_and_well_formed():
     #   python tools/bench_suite.py --steps 512 --json-out BENCHSUITE_rN.json \
     #       --only perread_k8,perread_k8_rowsort,perread_k8_short,\
     #              contig_k8_32kb,contig_k8_128kb,spectrum_k8_pallas,\
-    #              spectrum_k8_sort,spectrum_k15_sort,sparse_k31
+    #              spectrum_k8_sort,spectrum_k9_e2e,spectrum_k15_sort,sparse_k31
     # Host/golden/stream cases carry no vs_sol — only device cases are
     # checked for roofline sanity.
     doc = json.load(open(suites[-1]))

@@ -116,9 +116,14 @@ def main() -> None:
     ap.add_argument("--workdir", default=None,
                     help="scratch dir (default: ./scale_scratch; needs "
                          "~35 GB for the 10M-read perread output)")
-    ap.add_argument("--json-out", default="SCALE_r04.json")
+    ap.add_argument("--json-out", default="SCALE_r05.json")
     ap.add_argument("--skip", default="",
                     help="comma list of legs to skip: perread,spectrum,sparse")
+    ap.add_argument("--sparse-mem-mb", type=int, default=4096,
+                    help="--mem-budget-mb for the sparse k=31 leg: the "
+                         "accumulator spills sorted runs to disk past "
+                         "budget/3 in-memory bytes, bounding host RSS "
+                         "(VERDICT r4 #3; 0 = unbounded round-4 behavior)")
     ap.add_argument("--kill-frac", type=float, default=0.4,
                     help="SIGKILL the sparse leg at this fraction of its "
                          "uninterrupted wall time")
@@ -205,14 +210,19 @@ def main() -> None:
 
     # ---- leg 3: sparse k=31 canonical, uninterrupted vs kill+resume
     if "sparse" not in skip:
+        budget = (
+            ["--mem-budget-mb", str(args.sparse_mem_mb)]
+            if args.sparse_mem_mb else []
+        )
         out_full = os.path.join(wd, "sparse_full.tsv")
-        log("sparse k=31 canonical (uninterrupted)")
+        log(f"sparse k=31 canonical (uninterrupted, budget={budget})")
         _, wall_full, stats_full, rss, retries_full = run_leg(
             [fasta, "-k", "31", "--canonical", "-o", out_full, "--mode",
-             "sparse", "--stream", "--stats"],
+             "sparse", "--stream", "--stats", *budget],
         )
         sha_full = sha256_file(out_full)
         leg = {
+            "mem_budget_mb": args.sparse_mem_mb or None,
             "full": {
                 "wall_s": round(wall_full, 1),
                 "bases_per_s": round(
@@ -232,7 +242,7 @@ def main() -> None:
         log(f"sparse kill at {kill_at:.0f}s then --resume")
         _, wall_killed, _, _, killed = run_cli(
             [fasta, "-k", "31", "--canonical", "-o", out_res, "--mode",
-             "sparse", "--stream", "--stats"],
+             "sparse", "--stream", "--stats", *budget],
             kill_after=kill_at,
         )
         if not killed:
@@ -240,7 +250,7 @@ def main() -> None:
                 "splice not exercised")
         _, wall_res, stats_res, rss2, retries_res = run_leg(
             [fasta, "-k", "31", "--canonical", "-o", out_res, "--mode",
-             "sparse", "--stream", "--stats", "--resume"],
+             "sparse", "--stream", "--stats", "--resume", *budget],
         )
         sha_res = sha256_file(out_res)
         leg["killed_at_s"] = round(wall_killed, 1)
