@@ -404,6 +404,38 @@ def _write_sparse(
             f.write(f"{decode_key(int(key), k)}\t{cnt}\n")
 
 
+def _write_sparse_chunks(
+    path: str, chunks, k: int, fmt: str = "tsv", min_count: int = 1
+) -> None:
+    """Bounded-memory :func:`_write_sparse`: consumes ascending
+    (keys, counts) chunks (ops/sparse ``iter_merged_chunks``) so the
+    full key set never materialises — byte-identical output.  'hist'
+    accumulates the count-of-counts incrementally (distinct abundance
+    VALUES are few even when distinct k-mers are billions)."""
+    if fmt == "hist":
+        occ: dict = {}
+        for keys, counts in chunks:
+            counts = np.asarray(counts)
+            vals, ns = np.unique(
+                counts[counts >= max(min_count, 1)], return_counts=True
+            )
+            for c, n in zip(vals.tolist(), ns.tolist()):
+                occ[c] = occ.get(c, 0) + n
+        with _open_out(path, "wt") as f:
+            for c in sorted(occ):
+                f.write(f"{c}\t{occ[c]}\n")
+        return
+    from .ops.sparse import decode_key
+
+    with _open_out(path, "wt") as f:
+        for keys, counts in chunks:
+            keys = np.asarray(keys)
+            counts = np.asarray(counts)
+            mask = counts >= max(min_count, 1)
+            for key, cnt in zip(keys[mask].tolist(), counts[mask].tolist()):
+                f.write(f"{decode_key(int(key), k)}\t{cnt}\n")
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -886,7 +918,7 @@ def _run_inputs(args, t0) -> int:
             from .pipeline.stream import stream_sparse_spectrum_file
             from .runtime.checkpoint import cleanup_checkpoint
 
-            keys, cnts, m = stream_sparse_spectrum_file(
+            acc, cnts, m = stream_sparse_spectrum_file(
                 inp, args.k,
                 canonical=args.canonical, batch_size=args.batch_size,
                 out_path=out, resume=args.resume,
@@ -894,9 +926,13 @@ def _run_inputs(args, t0) -> int:
                 cleanup=False, mesh=args.mesh, slack=args.slack,
                 min_qual=args.min_qual, seqpar=args.seqpar,
                 mem_budget_mb=args.mem_budget_mb,
+                finalize="accumulator",
             )
-            _write_sparse(
-                out, keys, cnts, args.k,
+            # Stream the merged chunks straight into the writer: with a
+            # memory budget the full key set NEVER materialises (the
+            # bounded-finalize half of the >= 100M-read story).
+            _write_sparse_chunks(
+                out, acc.iter_merged_chunks(), args.k,
                 args.spectrum_format, args.min_count,
             )
             # Checkpoint survives until the REAL output exists: a crash

@@ -368,6 +368,14 @@ class SparseAccumulator:
         self.counts = np.asarray(counts, dtype=np.int64)
         self._pending = []
 
+    def iter_merged_chunks(self, chunk: int | None = None):
+        """Ascending (keys, counts) chunks — the uniform streamed-output
+        interface (the spilling subclass merges disk runs here)."""
+        keys, counts = self.result_arrays()
+        chunk = chunk or (1 << 24)
+        for s in range(0, len(keys), chunk):
+            yield keys[s : s + chunk], counts[s : s + chunk]
+
 
 class SpillingSparseAccumulator(SparseAccumulator):
     """SparseAccumulator with a host-memory bound (disk-spilled runs).
@@ -610,6 +618,12 @@ class DenseFoldAccumulator:
     def result_arrays(self):
         keys = np.flatnonzero(self.table)
         return keys.astype(np.uint64), self.table[keys]
+
+    def iter_merged_chunks(self, chunk: int | None = None):
+        keys, counts = self.result_arrays()
+        chunk = chunk or (1 << 24)
+        for s in range(0, len(keys), chunk):
+            yield keys[s : s + chunk], counts[s : s + chunk]
 
     def load_arrays(self, keys, counts) -> None:
         self.table[:] = 0

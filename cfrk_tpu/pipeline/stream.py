@@ -852,6 +852,7 @@ def stream_sparse_spectrum_file(
     min_qual: int = 0,
     seqpar: bool = False,
     mem_budget_mb: int | None = None,
+    finalize: str = "arrays",
 ):
     """Stream a FASTA file into a sparse spectrum for large k (16..31).
 
@@ -873,6 +874,11 @@ def stream_sparse_spectrum_file(
     the same overlap discipline as ``stream_count_file``).  Stage
     attribution: "dispatch" is the async device enqueue, "materialize"
     the device wait + D2H fetch, "fold" the host accumulate.
+
+    ``finalize="accumulator"`` returns ``(accumulator, None, metrics)``
+    instead of materialised arrays: the caller streams
+    ``iter_merged_chunks()`` into its writer (bounded-memory output for
+    >= 100M-read runs) and owns the checkpoint cleanup.
 
     With ``mesh`` (1-axis or (dp, tp)): each batch routes its keys
     through the all_to_all bucket exchange (parallel/bucket.py, the
@@ -1032,11 +1038,18 @@ def stream_sparse_spectrum_file(
     while pending:
         drain_one()
 
+    m.total_reads = ckpt.reads_done
+    if finalize == "accumulator":
+        # The bounded-finalize path (>= 100M-read runs): the CALLER
+        # streams acc.iter_merged_chunks()/result_arrays() into its
+        # writer and then removes the checkpoint + spill runs
+        # (runtime.checkpoint.cleanup_checkpoint) — a full key-set
+        # materialisation never has to exist.
+        return acc, None, m
     keys, counts = acc.result_arrays()
     if cleanup:
         if cpath and os.path.exists(cpath):
             ckpt.cleanup(cpath)
         elif spilling:
             acc.cleanup_spill()
-    m.total_reads = ckpt.reads_done
     return keys, counts, m

@@ -659,3 +659,35 @@ def test_stdin_refuses_resume_and_needs_output(monkeypatch, tmp_path):
         main(["-", "-k", "2", "-o", str(tmp_path / "o"), "--resume"])
     with pytest.raises(SystemExit, match="output"):
         main(["-", "-k", "2"])
+
+
+def test_sparse_stream_budget_chunked_writer_byte_identical(tmp_path):
+    """--mem-budget-mb routes output through the chunked writer
+    (bounded finalize); bytes must equal the materialised writer's for
+    both tsv and hist formats."""
+    import numpy as np
+
+    from cfrk_tpu.cli import main
+    from cfrk_tpu.io.fasta import decode_codes
+
+    rng = np.random.default_rng(5)
+    fasta = tmp_path / "in.fasta"
+    with open(fasta, "wb") as f:
+        for i in range(300):
+            f.write(
+                b">r%d\n" % i
+                + decode_codes(rng.integers(0, 4, 90).astype(np.int8))
+                + b"\n"
+            )
+    for fmt in ("tsv", "hist"):
+        outs = []
+        for extra in (["--mem-budget-mb", "1"], []):
+            out = tmp_path / f"{fmt}_{len(extra)}.out"
+            rc = main([
+                str(fasta), "-o", str(out), "--mode", "sparse", "--stream",
+                "-k", "16", "--batch-size", "64",
+                "--spectrum-format", fmt, *extra,
+            ])
+            assert rc == 0
+            outs.append(out.read_bytes())
+        assert outs[0] == outs[1], fmt

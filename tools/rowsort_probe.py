@@ -45,6 +45,15 @@ def main() -> None:
         help="gather: candidate clamped-gather RLE (g=1 only) — "
              "suffix-min by index-clamped doubling, no fill masks",
     )
+    ap.add_argument(
+        "--major-bits", type=int, default=0,
+        help="keys=2 only: replace hi with its top N bits (0 = full "
+             "key).  The round-5 radix-partition probe: a STABLE b-bit "
+             "partition on this VPU has no scatter/inverse-permute "
+             "primitive, so it IS a 2-key sort of (bucket_bits, lane) — "
+             "this measures that partition pass at its cheapest "
+             "(1-bit major) against the full (hi, lo) network",
+    )
     args = ap.parse_args()
 
     import jax
@@ -55,14 +64,28 @@ def main() -> None:
 
     from cfrk_tpu.ops.pallas import rowsort as rs
 
-    k, L, B, rb = args.k, args.read_len, args.batch, args.rb
+    k, L, B = args.k, args.read_len, args.batch
     w = L - k + 1
     sent = 4**k
-    n = max(rs._next_pow2(w), rs.LANES)
-    g = n // rs.LANES
+    n, g, span, rb_plan = rs._plan_layout(w, B, args.rb)
+    rb = rb_plan if span < rs.LANES else min(args.rb, rb_plan)
+    rows_blk = rb * g if span == rs.LANES else rb // (rs.LANES // span)
 
     def kernel(idx_ref, chk_ref, *, variant, mode):
         x = idx_ref[...]
+        if span < rs.LANES:
+            # Short-read span-packed layout (128/span reads per row).
+            if variant in ("full", "sortonly"):
+                (x,) = rs._bitonic_sort_span((x,), span, mode)
+            if variant in ("full", "rleonly"):
+                first, counts = rs._rle_sorted_span((x,), span, x != sent)
+                val = jnp.sum(counts & 3) + jnp.sum(
+                    jnp.where(first, x, 0) & 3
+                )
+            else:
+                val = jnp.sum(x & 3)
+            chk_ref[0, pl.program_id(0)] = val
+            return
         if variant in ("full", "sortonly"):
             (x,) = rs._bitonic_sort((x,), g, mode)
         if variant in ("full", "rleonly"):
@@ -129,16 +152,22 @@ def main() -> None:
             flip = jnp.uint32(0x80000000)
             hi = (hi ^ flip).astype(jnp.int32)
             lo = (lo ^ flip).astype(jnp.int32)
+            if args.major_bits:
+                # Radix-partition probe: the major key becomes its top
+                # N bits — the comparator work of a stable partition.
+                hi = jax.lax.shift_right_logical(
+                    hi, jnp.int32(32 - args.major_bits)
+                )
             hi, bb = rs._pad_split(hi, w, n, rs.LANES, rb, sent_i)
             lo, _ = rs._pad_split(lo, w, n, rs.LANES, rb, sent_i)
             return (hi, lo), bb
         idx = window_indices(codes, k, False)
         idx = jnp.where(idx < 0, sent, idx)
-        idx, bb = rs._pad_split(idx, w, n, rs.LANES, rb, sent)
+        idx, bb = rs._pad_split(idx, w, n, span, rb, sent)
         return (idx,), bb
 
     def call_kernel(streams, bb, variant):
-        blk = pl.BlockSpec((rb * g, rs.LANES), lambda i: (i, 0),
+        blk = pl.BlockSpec((rows_blk, rs.LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         body = kernel if len(streams) == 1 else kernel2
         out = pl.pallas_call(
@@ -167,7 +196,10 @@ def main() -> None:
         def step(stacked):
             streams = tuple(stacked[j] for j in range(stacked.shape[0]))
             rows = streams[0].shape[0]
-            bb = rows // g
+            bb = (
+                rows // g if span == rs.LANES
+                else rows * (rs.LANES // span)
+            )
             return call_kernel(streams, bb, inner)
     elif args.variant == "preponly":
         xs = jnp.asarray(rng.integers(0, 4, size=(4, B, L)).astype(np.int8))
