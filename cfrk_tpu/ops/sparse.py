@@ -168,7 +168,8 @@ def fetch_triples(hi, lo, counts, k: int):
     return nphi, nplo, np.asarray(counts)
 
 
-def batch_spectrum_triples(codes, k: int, canonical: bool = False):
+def batch_spectrum_triples(codes, k: int, canonical: bool = False,
+                           max_len: int | None = None):
     """Host (hi, lo, counts) of ONE batch for the sparse accumulator.
 
     Counts via PER-READ row sorts (ops/perread_sparse) instead of one
@@ -180,6 +181,10 @@ def batch_spectrum_triples(codes, k: int, canonical: bool = False):
     anyway, so the entry counts match too).  The mesh path is NOT
     served here — all_to_all bucket routing needs bucket-contiguous
     keys from the global sort (parallel/bucket.py).
+
+    ``max_len``: the batch's TRUE longest read (not the padded bucket
+    width) — rows are prefix-sliced to its window count before the
+    fetch (valid_pair_prefix; pad columns are structurally empty).
     """
     import jax.numpy as jnp
 
@@ -189,7 +194,7 @@ def batch_spectrum_triples(codes, k: int, canonical: bool = False):
         valid_pair_prefix,
     )
 
-    w = codes.shape[-1] - k + 1
+    w = max(max_len or codes.shape[-1], k) - k + 1
     rows = valid_pair_prefix(
         narrow_for_fetch(
             count_perread_rows(jnp.asarray(codes), k, canonical), k

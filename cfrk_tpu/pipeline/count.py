@@ -404,7 +404,10 @@ def _sorted_spectrum_batches(batches, k, canonical, mesh, seqpar=False):
             )
             acc.add(*fetch_triples(hi, lo, counts, k))
         else:
-            acc.add(*batch_spectrum_triples(batch.codes, k, canonical))
+            acc.add(*batch_spectrum_triples(
+                batch.codes, k, canonical,
+                max_len=int(batch.lengths.max(initial=0)),
+            ))
     return acc.result_arrays()
 
 
@@ -460,7 +463,10 @@ def sparse_spectrum_file(
             )
             acc.add(*fetch_triples(hi, lo, counts, k))
         else:
-            acc.add(*batch_spectrum_triples(batch.codes, k, canonical))
+            acc.add(*batch_spectrum_triples(
+                batch.codes, k, canonical,
+                max_len=int(batch.lengths.max(initial=0)),
+            ))
     return acc.result()
 
 

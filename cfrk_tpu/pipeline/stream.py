@@ -1017,9 +1017,12 @@ def stream_sparse_spectrum_file(
             # Row sorts (the fused Pallas kernel on TPU) — ~3x the
             # full-batch sort at k <= 15 (docs/PERF.md); the enqueue is
             # async, the fetch waits at drain time.  valid_pair_prefix
-            # drops the structurally-empty pad columns before the D2H.
+            # slices rows to the batch's TRUE max window count (not the
+            # geometric-bucket width — e.g. 142 of 248 columns for
+            # 150 bp reads in a 256 bucket): pad columns past every
+            # read's real windows are structurally (sentinel, 0).
             with m.stage("dispatch"):
-                w = batch.codes.shape[1] - k + 1
+                w = max(int(batch.lengths.max(initial=0)), k) - k + 1
                 rows = valid_pair_prefix(
                     narrow_for_fetch(
                         count_perread_rows(

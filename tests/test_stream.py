@@ -1291,3 +1291,56 @@ def test_stream_sparse_budget_needs_out_path(tmp_path):
         ) + b"\n")
     with pytest.raises(ValueError, match="out_path"):
         stream_sparse_spectrum_file(fasta, 16, mem_budget_mb=1)
+
+
+def test_spectrum_stream_stage_attribution(tmp_path):
+    """Stage honesty (VERDICT r4 #2): the device-queue drain must be
+    booked under 'drain', never inside 'checkpoint' (which is sidecar
+    I/O only); the sparse driver books enqueue/fetch/fold separately."""
+    from cfrk_tpu.io.fasta import decode_codes
+    from cfrk_tpu.pipeline.stream import (
+        stream_sparse_spectrum_file,
+        stream_spectrum_file,
+    )
+
+    rng = np.random.default_rng(3)
+    fasta = tmp_path / "in.fasta"
+    with open(fasta, "wb") as f:
+        for i in range(40):
+            f.write(b">r%d\n" % i + decode_codes(
+                rng.integers(0, 4, 60).astype(np.int8)) + b"\n")
+
+    out = tmp_path / "t.spec"
+    _, m = stream_spectrum_file(
+        fasta, 3, batch_size=8, out_path=out, checkpoint_every=2,
+    )
+    assert "drain" in m.stages and "checkpoint" in m.stages
+    assert "dispatch" in m.stages
+
+    _, _, m2 = stream_sparse_spectrum_file(fasta, 16, batch_size=8)
+    assert {"dispatch", "materialize", "fold"} <= set(m2.stages)
+
+
+def test_valid_pair_prefix_exact():
+    """Bucket-pad columns of sorted-RLE rows are structurally
+    (sentinel, 0): slicing to the TRUE max window count (reads 100 bp
+    inside a 256-wide bucket) must preserve every nonzero cell."""
+    from cfrk_tpu.ops.perread_sparse import (
+        count_perread_sparse,
+        count_perread_sparse_large,
+        valid_pair_prefix,
+    )
+
+    rng = np.random.default_rng(9)
+    codes = np.full((16, 256), -1, dtype=np.int8)  # 256-bucket padding
+    codes[:, :100] = rng.integers(0, 4, size=(16, 100)).astype(np.int8)
+    codes[2, 5] = -1  # an internal N too
+    for k, fn in ((9, count_perread_sparse), (31, count_perread_sparse_large)):
+        w = 100 - k + 1  # true windows; rows are 256-k+1 wide
+        rows = tuple(np.asarray(a) for a in fn(codes, k))
+        assert rows[-1].shape[1] == 256 - k + 1
+        sliced = valid_pair_prefix(rows, w)
+        assert (rows[-1][:, w:] == 0).all()  # pad columns carry nothing
+        assert int((rows[-1] > 0).sum()) == int((sliced[-1] > 0).sum())
+        for a_full, a_sl in zip(rows, sliced):
+            np.testing.assert_array_equal(a_full[:, :w], a_sl)
