@@ -964,18 +964,48 @@ def stream_sparse_spectrum_file(
     pending: list = []
     since_ckpt = 0
 
+    # Single-worker fold thread: the native fold and the NumPy merge
+    # both release the GIL, so batch i's host fold really overlaps
+    # batch i+1's D2H fetch (one worker — the accumulator is mutable
+    # state).  Background fold time lands under "fold_bg"; the time the
+    # MAIN thread waits on outstanding folds (checkpoints, finish) is
+    # "fold_wait" — the exposed fold cost.
+    import concurrent.futures
+    import time as _time
+
+    folder = (
+        concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        if mesh is None else None
+    )
+    fold_futs: list = []
+
+    def _fold(arrs) -> None:
+        t0 = _time.perf_counter()
+        if dense_fold and len(arrs) == 2:
+            acc.add_pairs(arrs[0], arrs[1])
+        else:
+            acc.add(*fetched_to_triples(arrs, k))
+        m.stages["fold_bg"] = m.stages.get("fold_bg", 0.0) + (
+            _time.perf_counter() - t0
+        )
+
+    def _wait_folds() -> None:
+        while fold_futs:
+            fold_futs.pop(0).result()  # re-raise worker errors
+
     def drain_one() -> None:
         nonlocal since_ckpt
         fetch, n_reads, nbases, end_off = pending.pop(0)
         with m.stage("materialize"):  # device wait + D2H fetch
             arrs = fetch()
-        with m.stage("fold"):  # host accumulate
-            if dense_fold and len(arrs) == 2:
-                acc.add_pairs(arrs[0], arrs[1])
-            else:
-                acc.add(*fetched_to_triples(arrs, k))
+        if folder is not None:
+            fold_futs.append(folder.submit(_fold, arrs))
+        else:
+            with m.stage("fold"):
+                _fold(arrs)
         # Only FOLDED batches are checkpointable: reads_done must never
-        # run ahead of the accumulator state the checkpoint persists.
+        # run ahead of the accumulator state the checkpoint persists
+        # (outstanding folds are joined before any checkpoint write).
         ckpt.reads_done += n_reads
         ckpt.input_offset = end_off
         m.batches += 1
@@ -983,6 +1013,8 @@ def stream_sparse_spectrum_file(
         m.bases += nbases
         since_ckpt += 1
         if cpath and since_ckpt >= checkpoint_every:
+            with m.stage("fold_wait"):
+                _wait_folds()
             with m.stage("checkpoint"):
                 if spilling:
                     ckpt.sparse_runs = acc.checkpoint_runs()
@@ -1040,6 +1072,10 @@ def stream_sparse_spectrum_file(
             drain_one()
     while pending:
         drain_one()
+    if folder is not None:
+        with m.stage("fold_wait"):
+            _wait_folds()
+        folder.shutdown(wait=True)
 
     m.total_reads = ckpt.reads_done
     if finalize == "accumulator":

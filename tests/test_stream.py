@@ -1318,7 +1318,11 @@ def test_spectrum_stream_stage_attribution(tmp_path):
     assert "dispatch" in m.stages
 
     _, _, m2 = stream_sparse_spectrum_file(fasta, 16, batch_size=8)
-    assert {"dispatch", "materialize", "fold"} <= set(m2.stages)
+    # fold runs on the background worker ("fold_bg"); "fold_wait" is
+    # the exposed main-thread wait.
+    assert {"dispatch", "materialize", "fold_bg", "fold_wait"} <= set(
+        m2.stages
+    )
 
 
 def test_valid_pair_prefix_exact():
