@@ -397,6 +397,15 @@ def _write_sparse(
             for c, n in zip(vals.tolist(), occ.tolist()):
                 f.write(f"{c}\t{n}\n")
         return
+    from .io.native import format_kmer_tsv_bytes
+
+    blob = format_kmer_tsv_bytes(keys, counts, k, min_count)
+    if blob is not None:
+        # Threaded native row formatter (byte-identical; the Python
+        # loop below ran ~30 min at the 186M-key config-5 scale).
+        with _open_out(path, "wb") as f:
+            f.write(blob)
+        return
     from .ops.sparse import decode_key
 
     with _open_out(path, "wt") as f:
@@ -424,6 +433,13 @@ def _write_sparse_chunks(
         with _open_out(path, "wt") as f:
             for c in sorted(occ):
                 f.write(f"{c}\t{occ[c]}\n")
+        return
+    from .io.native import HAVE_KMER_TSV_NATIVE, format_kmer_tsv_bytes
+
+    if HAVE_KMER_TSV_NATIVE:
+        with _open_out(path, "wb") as f:
+            for keys, counts in chunks:
+                f.write(format_kmer_tsv_bytes(keys, counts, k, min_count))
         return
     from .ops.sparse import decode_key
 

@@ -28,6 +28,8 @@ __all__ = [
     "format_dense_pairs_bytes",
     "fold_pairs_into",
     "HAVE_FOLD_NATIVE",
+    "format_kmer_tsv_bytes",
+    "HAVE_KMER_TSV_NATIVE",
 ]
 
 try:
@@ -44,6 +46,24 @@ except ImportError:  # extension not built — pure-Python fallback
 HAVE_STREAM_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "parse_encode_stream")
 HAVE_PACK_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "pack_records")
 HAVE_FOLD_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "fold_pairs")
+HAVE_KMER_TSV_NATIVE = HAVE_NATIVE and hasattr(_fastaio, "format_kmer_tsv")
+
+
+def format_kmer_tsv_bytes(keys, counts, k: int, min_count: int = 1):
+    """Threaded native ``KMERSTRING\\tcount\\n`` rows for a sparse
+    spectrum chunk (byte-identical to the Python decode_key writer), or
+    None when the extension lacks the symbol (caller falls back)."""
+    import numpy as np
+
+    if not HAVE_KMER_TSV_NATIVE:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    if keys.size != counts.size:
+        raise ValueError("keys/counts size mismatch")
+    return _fastaio.format_kmer_tsv(
+        keys, counts, keys.size, int(k), int(min_count)
+    )
 
 
 def _probe_qual_support() -> bool:

@@ -932,6 +932,70 @@ PyObject* format_pairs64(PyObject*, PyObject* args) {
   return segments_to_bytes(segs);
 }
 
+/* ---- format_kmer_tsv: sparse-spectrum text rows ----------------------
+ *
+ * format_kmer_tsv(keys: bytes/uint64-LE, counts: bytes/int64-LE, n, k,
+ *                 min_count) -> bytes
+ *
+ * One "KMERSTRING\tcount\n" row per key with count >= min_count —
+ * byte-identical to the pure-Python decode_key writer (cli._write_sparse).
+ * The base string decodes 2 bits/base MSB-first over "ACGT".  The
+ * round-4 at-scale sparse leg spent ~30 min in the Python row loop at
+ * 186M keys; this is the threaded native replacement (same segment
+ * discipline as the .cfrk formatters).
+ */
+PyObject* format_kmer_tsv(PyObject*, PyObject* args) {
+  Py_buffer kv, cv;
+  Py_ssize_t n, k, min_count;
+  if (!PyArg_ParseTuple(args, "y*y*nnn", &kv, &cv, &n, &k, &min_count))
+    return nullptr;
+  auto fail = [&](const char* msg) -> PyObject* {
+    PyBuffer_Release(&kv);
+    PyBuffer_Release(&cv);
+    PyErr_SetString(PyExc_ValueError, msg);
+    return nullptr;
+  };
+  if (kv.len != n * (Py_ssize_t)sizeof(uint64_t) ||
+      cv.len != n * (Py_ssize_t)sizeof(int64_t))
+    return fail("format_kmer_tsv buffer size mismatch");
+  if (k < 1 || k > 32) return fail("k out of range");
+  const uint64_t* keys = (const uint64_t*)kv.buf;
+  const int64_t* cnts = (const int64_t*)cv.buf;
+  const int64_t mc = min_count < 1 ? 1 : min_count;
+  static const char kBases[4] = {'A', 'C', 'G', 'T'};
+
+  std::vector<std::vector<char>> segs;
+  Py_BEGIN_ALLOW_THREADS
+  segs = format_row_segments(
+      n, (size_t)n * ((size_t)k + 8),
+      [&](Py_ssize_t r0, Py_ssize_t r1, std::vector<char>& out) {
+        const size_t row_cap = (size_t)k + 24;  /* bases + \t + 20 digits + \n */
+        const Py_ssize_t chunk =
+            (Py_ssize_t)((((size_t)32 << 20) / row_cap) + 1);
+        for (Py_ssize_t c0 = r0; c0 < r1; c0 += chunk) {
+          const Py_ssize_t c1 = c0 + chunk < r1 ? c0 + chunk : r1;
+          const size_t base = out.size();
+          out.resize(base + (size_t)(c1 - c0) * row_cap);
+          char* dst = out.data() + base;
+          for (Py_ssize_t r = c0; r < c1; r++) {
+            if (cnts[r] < mc) continue;
+            const uint64_t key = keys[r];
+            for (Py_ssize_t i = 0; i < k; i++)
+              *dst++ = kBases[(key >> (2 * (uint64_t)(k - 1 - i))) & 3];
+            *dst++ = '\t';
+            dst = emit_u64(dst, (uint64_t)cnts[r]);
+            *dst++ = '\n';
+          }
+          out.resize((size_t)(dst - out.data()));
+        }
+      });
+  Py_END_ALLOW_THREADS
+  PyObject* res = segments_to_bytes(segs);
+  PyBuffer_Release(&kv);
+  PyBuffer_Release(&cv);
+  return res;
+}
+
 /* ---- fold_pairs: threaded (key, count) -> dense table histogram ----
  *
  * The host side of the sorted spectrum route for k <= 10: the rowsort
@@ -1116,6 +1180,9 @@ PyMethodDef kMethods[] = {
      "first) -> dense cfrk bytes"},
     {"format_pairs64", format_pairs64, METH_VARARGS,
      "format_pairs64(idx_uint64le, counts_int32le, n_rows, n_cols, first) -> bytes"},
+    {"format_kmer_tsv", format_kmer_tsv, METH_VARARGS,
+     "format_kmer_tsv(keys_u64le, counts_i64le, n, k, min_count) -> "
+     "KMERSTRING\\tcount rows (threaded)"},
     {"fold_pairs", fold_pairs, METH_VARARGS,
      "fold_pairs(idx_bytes, idx_itemsize, cnt_bytes, cnt_itemsize, n, "
      "table_int64_writable) -> None (threaded histogram fold)"},

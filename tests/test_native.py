@@ -479,3 +479,34 @@ def test_fold_pairs_into_native_vs_fallback():
         t, np.array([4**k, 1], dtype=np.int32), np.array([3, 2], np.int32)
     )
     assert t.sum() == 2 and t[1] == 2
+
+
+def test_format_kmer_tsv_native_matches_python():
+    """Native sparse-tsv formatter must be byte-identical to the Python
+    decode_key writer for random keys/counts, min_count filters, and
+    the full k range."""
+    import numpy as np
+
+    from cfrk_tpu.io.native import HAVE_KMER_TSV_NATIVE, format_kmer_tsv_bytes
+    from cfrk_tpu.ops.sparse import decode_key
+
+    if not HAVE_KMER_TSV_NATIVE:
+        import pytest
+
+        pytest.skip("extension without format_kmer_tsv")
+    rng = np.random.default_rng(21)
+    for k in (1, 8, 15, 16, 31):
+        n = 500
+        keys = np.sort(
+            rng.integers(0, 4**min(k, 31), n, dtype=np.uint64)
+        )
+        counts = rng.integers(0, 5, n).astype(np.int64)
+        counts[7] = 10**12  # > 32-bit count
+        for mc in (1, 2):
+            want = "".join(
+                f"{decode_key(int(key), k)}\t{cnt}\n"
+                for key, cnt in zip(keys.tolist(), counts.tolist())
+                if cnt >= mc
+            ).encode()
+            got = format_kmer_tsv_bytes(keys, counts, k, mc)
+            assert got == want, (k, mc)
