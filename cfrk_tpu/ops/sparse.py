@@ -414,9 +414,18 @@ class SpillingSparseAccumulator(SparseAccumulator):
 
     def add(self, hi, lo, counts) -> None:
         super().add(hi, lo, counts)
+        # The budget must see EVERYTHING the accumulator holds: merged
+        # arrays AND the un-folded pending buffer (up to merge_every
+        # batches — at 10M-read k=31 scale the pending alone is ~2.6 GB
+        # between folds; round-5 rerun measured a 10.4 GB sawtooth with
+        # a merged-arrays-only trigger).  Trigger at budget/4: the fold
+        # inside spill_run transiently holds ~2x the trigger volume
+        # (argsort + the interleave allocation), keeping the true peak
+        # near 3/4 of the budget.
+        pend = sum(pk.nbytes + pc.nbytes for pk, pc in self._pending)
         if (
-            self.keys.nbytes + self.counts.nbytes
-            >= max(self.budget_bytes // 3, 1 << 12)
+            self.keys.nbytes + self.counts.nbytes + pend
+            >= max(self.budget_bytes // 4, 1 << 12)
         ):
             self.spill_run()
 
