@@ -170,6 +170,13 @@ def main() -> None:
         doc = {
             "platform": jax.default_backend(),
             "device_kind": getattr(devices[0], "device_kind", "?"),
+            # Context for the virtual-mesh numbers: n virtual devices
+            # share these physical cores, so efficiency_vs_1dev is
+            # bounded by ~cores/n once n > cores — the
+            # efficiency_vs_unsharded column is the one that isolates
+            # SPMD overhead there.
+            "host_cores": os.cpu_count(),
+            "reads_per_device": rpd,
             "timestamp": datetime.datetime.now(datetime.timezone.utc)
             .strftime("%Y-%m-%dT%H:%M:%SZ"),
             # HONESTY LABEL: on a virtual CPU mesh every "device" shares
