@@ -333,6 +333,19 @@ def test_round_artifacts_fresh_and_well_formed():
         assert 0 < case["vs_sol"] <= 1.0, case
         assert case["value"] > 0 and case["step_ms"] > 0, case
         assert not case.get("unquotable"), case
+    if _round_num(suites[-1]) >= 5:
+        # Round 5+: the k=9/10 auto spectrum route must be quoted
+        # fold-INCLUSIVE (VERDICT r4 weak #1) with its per-term split
+        # and the fold thread ladder.
+        e2e = [c for c in doc["cases"] if c["bench"] == "spectrum_k9_auto_e2e"]
+        assert e2e, [c["bench"] for c in doc["cases"]]
+        e2e = e2e[0]
+        for field in (
+            "fold_ms_per_batch", "fold_ms_by_threads", "device_step_ms",
+            "fetch_ms_per_batch", "e2e_model_pcie16_bases_per_s",
+            "binding_term",
+        ):
+            assert field in e2e, field
 
     # SCALING ladder (round 4+): every mode present, honestly labeled
     # when produced on the virtual CPU mesh, efficiencies finite.
