@@ -316,6 +316,21 @@ def fold_pairs_into(table: np.ndarray, idx: np.ndarray, counts: np.ndarray) -> N
     """
     if table.dtype != np.int64 or not table.flags.writeable:
         raise ValueError("table must be a writable int64 array")
+    if (
+        idx.ndim == 2
+        and idx.shape == counts.shape
+        and not idx.flags.c_contiguous
+        and idx.flags.f_contiguous
+        and counts.flags.f_contiguous
+    ):
+        # The axon tunnel fetches device arrays COLUMN-major; a
+        # histogram is cell-order-invariant, so transposing BOTH views
+        # (zero-copy — .T of an F-array is C-contiguous) keeps the
+        # (idx, count) pairing while skipping a ~12 ms strided
+        # ascontiguousarray transpose per 23 MB batch (measured round
+        # 5 — it tripled the apparent fold cost).
+        idx = idx.T
+        counts = counts.T
     idx = np.ascontiguousarray(idx)
     counts = np.ascontiguousarray(counts)
     if idx.size != counts.size:

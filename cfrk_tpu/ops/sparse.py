@@ -223,6 +223,22 @@ def fetched_to_triples(arrs, k: int):
     sizes (round-5 fold-path measurement, docs/PERF.md).  The streaming
     driver calls this on buffers it fetched itself so the fetch can be
     staged separately from the fold."""
+    if (
+        arrs[0].ndim == 2
+        and all(
+            a.shape == arrs[0].shape
+            and a.flags.f_contiguous
+            and not a.flags.c_contiguous
+            for a in arrs
+        )
+    ):
+        # Column-major fetch buffers (the axon tunnel returns these):
+        # spectrum accumulation is cell-order-invariant, and an F-ravel
+        # of an F-contiguous array is a zero-copy VIEW — every array of
+        # the tuple raveled the same way keeps the cell pairing while
+        # skipping a strided-transpose copy per array (~12 ms/23 MB
+        # measured; see io/native.fold_pairs_into).
+        arrs = [a.ravel(order="F") for a in arrs]
     if len(arrs) == 2:
         idx, cnt = arrs
         lo = idx.reshape(-1)
