@@ -510,3 +510,45 @@ def test_format_kmer_tsv_native_matches_python():
             ).encode()
             got = format_kmer_tsv_bytes(keys, counts, k, mc)
             assert got == want, (k, mc)
+
+
+def test_fold_pairs_f_order_zero_copy_path():
+    """Column-major (device-tunnel-layout) pair buffers must fold to
+    the exact same table as C-order — the zero-copy transpose path."""
+    import numpy as np
+
+    from cfrk_tpu.io.native import fold_pairs_into
+
+    rng = np.random.default_rng(33)
+    idx_c = rng.integers(0, 4**9, size=(512, 142)).astype(np.int32)
+    cnt_c = rng.integers(0, 3, size=(512, 142)).astype(np.uint8)
+    idx_f = np.asfortranarray(idx_c)
+    cnt_f = np.asfortranarray(cnt_c)
+    assert idx_f.flags.f_contiguous and not idx_f.flags.c_contiguous
+    t1 = np.zeros(4**9, np.int64)
+    t2 = np.zeros(4**9, np.int64)
+    fold_pairs_into(t1, idx_c, cnt_c)
+    fold_pairs_into(t2, idx_f, cnt_f)
+    np.testing.assert_array_equal(t1, t2)
+    # mixed layouts (one C, one F) must still be exact (copy path)
+    t3 = np.zeros(4**9, np.int64)
+    fold_pairs_into(t3, idx_f, cnt_c)
+    np.testing.assert_array_equal(t1, t3)
+
+
+def test_fetched_to_triples_f_order_views():
+    import numpy as np
+
+    from cfrk_tpu.ops.sparse import fetched_to_triples
+
+    rng = np.random.default_rng(34)
+    idx = rng.integers(0, 100, size=(16, 9)).astype(np.int32)
+    cnt = rng.integers(0, 3, size=(16, 9)).astype(np.uint8)
+    hi0, lo0, c0 = fetched_to_triples([idx, cnt], 9)
+    hiF, loF, cF = fetched_to_triples(
+        [np.asfortranarray(idx), np.asfortranarray(cnt)], 9
+    )
+    # cell order may differ; the (key, count) MULTISET must not
+    a = sorted(zip(lo0.tolist(), c0.tolist()))
+    b = sorted(zip(loF.tolist(), cF.tolist()))
+    assert a == b
