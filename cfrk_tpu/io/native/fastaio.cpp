@@ -1012,10 +1012,12 @@ PyObject* format_kmer_tsv(PyObject*, PyObject* args) {
 template <typename I, typename C, typename T>
 static void fold_range(const I* idx, const C* cnt, Py_ssize_t i0,
                        Py_ssize_t i1, T* table, size_t bins) {
-  /* The loop is bound by the random table access (2-8 MB working set
-   * at k=9/10 — beyond L1/L2): prefetch the bin PF cells ahead so the
-   * load miss overlaps the adds in between (measured 1.6-1.9x on this
-   * host, round 5). */
+  /* The loop is bound by the random table access: prefetching the bin
+   * PF cells ahead overlaps the load misses (round-5 single-core
+   * probe: +11% at k=10's 4-8 MB table, ~neutral at k=9 where the
+   * int32 table is L2-resident and per-row-sorted keys already stream
+   * well).  The bigger lever is the int32 table variant below
+   * (1.2-1.3x: half the random-access working set). */
   constexpr Py_ssize_t PF = 16;
   Py_ssize_t i = i0;
   for (; i + PF < i1; i++) {
@@ -1051,22 +1053,30 @@ static void fold_dispatch(const void* idx_raw, const void* cnt_raw,
    * are few (thread spawn dominates) or the table is large (k > 10
    * never takes this path — the sparse accumulator owns it). */
   if (n < (Py_ssize_t)(1 << 20) || bins > (Py_ssize_t)(16 << 20)) T = 1;
-  if (T <= 1) {
-    fold_range<I, C, int64_t>(idx, cnt, 0, n, table, (size_t)bins);
-    return;
-  }
-  /* int32 private tables halve the random-access working set (the real
-   * bound: an int64 k=10 table is 8 MB/thread — past L2 on any core).
-   * Exact whenever the call's TOTAL count mass fits int32 — for RLE
-   * pair matrices it always does (counts sum to <= windows/batch), but
-   * the entry point is generic, so measure it: one sequential
-   * SIMD-friendly pass (~0.3 ms for 8M int16) buys the certainty. */
+  /* int32 (private/scratch) tables halve the random-access working set
+   * (the real bound: an int64 k=10 table is 8 MB — past L2 on any
+   * core; measured 1.2-1.3x single-core, round 5).  Exact whenever the
+   * call's TOTAL count mass fits int32 — for RLE pair matrices it
+   * always does (counts sum to <= windows/batch), but the entry point
+   * is generic, so measure it: one sequential SIMD-friendly pass
+   * (~0.3 ms for 8M int16) buys the certainty. */
   int64_t total = 0;
   for (Py_ssize_t i = 0; i < n; i++) {
     const int64_t c = (int64_t)cnt[i];
     total += c > 0 ? c : 0;
   }
   const bool narrow = total < (int64_t)INT32_MAX;
+  if (T <= 1) {
+    if (narrow && n >= (Py_ssize_t)(1 << 18)) {
+      std::vector<int32_t> scratch((size_t)bins, 0);
+      fold_range<I, C, int32_t>(idx, cnt, 0, n, scratch.data(),
+                                (size_t)bins);
+      for (Py_ssize_t b = 0; b < bins; b++) table[b] += scratch[(size_t)b];
+    } else {
+      fold_range<I, C, int64_t>(idx, cnt, 0, n, table, (size_t)bins);
+    }
+    return;
+  }
   std::vector<std::vector<int64_t>> priv64(narrow ? 0 : T);
   std::vector<std::vector<int32_t>> priv32(narrow ? T : 0);
   std::vector<std::thread> workers;
