@@ -964,6 +964,13 @@ def stream_sparse_spectrum_file(
     pending: list = []
     since_ckpt = 0
 
+    # Large drain buffers must not be retained by glibc arenas: without
+    # this a long sparse run's RSS creeps to ~2.7x the accumulator
+    # budget before flattening (runtime/metrics.pin_malloc_for_streaming).
+    from ..runtime.metrics import malloc_trim, pin_malloc_for_streaming
+
+    pin_malloc_for_streaming()
+
     # Single-worker fold thread: the native fold and the NumPy merge
     # both release the GIL, so batch i's host fold really overlaps
     # batch i+1's D2H fetch (one worker — the accumulator is mutable
@@ -1023,6 +1030,7 @@ def stream_sparse_spectrum_file(
                     keys, cnts = acc.result_arrays()
                     ckpt.save_sparse(cpath, keys, cnts)
                     ckpt.save(cpath)
+                malloc_trim()  # return freed arena pages at the quiet point
             since_ckpt = 0
 
     for batch in _prefetched(gen, metrics=m):

@@ -21,7 +21,12 @@ import json
 import time
 from contextlib import contextmanager
 
-__all__ = ["RunMetrics", "StageTimer"]
+__all__ = [
+    "RunMetrics",
+    "StageTimer",
+    "pin_malloc_for_streaming",
+    "malloc_trim",
+]
 
 
 @dataclasses.dataclass
@@ -84,6 +89,36 @@ class RunMetrics:
 
     def json_line(self) -> str:
         return json.dumps(self.to_dict())
+
+
+def pin_malloc_for_streaming() -> bool:
+    """Keep glibc from retaining the streaming drain's large buffers.
+
+    The per-batch host buffers (19-47 MB fetched pair matrices, fold
+    transients) sit just under glibc's DYNAMIC mmap threshold, so freed
+    blocks are cached in arenas forever: a 20M-read k=31 run crept to a
+    flat 11.1 GB RSS against a 4 GB accumulator budget (round-5
+    measurement).  Pinning M_MMAP_THRESHOLD to 1 MB routes the big
+    blocks through mmap/munmap — RSS then tracks the live set.  Safe
+    no-op on non-glibc platforms.  Returns True when applied."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        return bool(libc.mallopt(M_MMAP_THRESHOLD, 1 << 20))
+    except Exception:
+        return False
+
+
+def malloc_trim() -> None:
+    """Return freed arena pages to the OS (checkpoint-time hygiene)."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
 
 
 class StageTimer:
