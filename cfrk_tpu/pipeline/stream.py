@@ -869,11 +869,13 @@ def stream_sparse_spectrum_file(
     rewriting the whole accumulator — O(new data) per checkpoint.
     Needs ``out_path``; byte-identical to the unbounded run.
 
-    Batches pipeline: the device sort for batch i+1 runs while batch
-    i's pairs are fetched and folded on host (a bounded pending queue,
-    the same overlap discipline as ``stream_count_file``).  Stage
-    attribution: "dispatch" is the async device enqueue, "materialize"
-    the device wait + D2H fetch, "fold" the host accumulate.
+    Batches pipeline twice over: the device sort for batch i+1 runs
+    while batch i's pairs are fetched (bounded pending queue), and the
+    host fold runs on a single worker thread so it overlaps the NEXT
+    fetch.  Stage attribution: "dispatch" is the async device enqueue,
+    "materialize" the device wait + D2H fetch, "fold_bg" the
+    background fold work, "fold_wait" the exposed main-thread join
+    (checkpoints and finish).
 
     ``finalize="accumulator"`` returns ``(accumulator, None, metrics)``
     instead of materialised arrays: the caller streams
