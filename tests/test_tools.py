@@ -389,3 +389,15 @@ def test_round_artifacts_fresh_and_well_formed():
     # The resumed run must actually have SKIPPED the already-counted
     # prefix (fewer reads processed than the full run).
     assert sp["resumed"]["stats"]["reads"] < cdoc["reads"]
+    if _round_num(scales[-1]) >= 5:
+        # Round 5+: the sparse leg runs under an enforced host-memory
+        # budget, and a 2x-reads leg pins the cap's scale-invariance
+        # (peak RSS flat within ~15% while wall scales with reads).
+        assert sp.get("mem_budget_mb"), "sparse leg must be budgeted"
+        chk = legs["sparse_k31_scale_check_20m"]
+        assert chk["reads"] >= 2 * cdoc["reads"]
+        assert chk["peak_rss_mb"] < sp["full"]["ru_maxrss_mb"] * 1.15
+        assert chk["count_mass"] > 0 and chk["count_mass_model"] > 0
+        assert abs(chk["count_mass"] - chk["count_mass_model"]) < (
+            0.01 * chk["count_mass_model"]
+        )
