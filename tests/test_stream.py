@@ -1348,3 +1348,17 @@ def test_valid_pair_prefix_exact():
         assert int((rows[-1] > 0).sum()) == int((sliced[-1] > 0).sum())
         for a_full, a_sl in zip(rows, sliced):
             np.testing.assert_array_equal(a_full[:, :w], a_sl)
+
+
+def test_malloc_pinning_applies_on_glibc():
+    """The RSS scale-invariance story depends on pinning glibc's mmap
+    threshold (docs/PERF.md); it must report success on glibc hosts."""
+    import ctypes
+
+    from cfrk_tpu.runtime.metrics import pin_malloc_for_streaming
+
+    try:
+        ctypes.CDLL("libc.so.6")
+    except OSError:
+        pytest.skip("not a glibc platform")
+    assert pin_malloc_for_streaming() is True
